@@ -1,0 +1,409 @@
+"""Sequence and frame header OBU payload writers (AV1 spec 5.5 / 5.9).
+
+Counterpart: write_sequence_header_obu / svt_aom_encode_sps_av1 /
+svt_aom_write_frame_header_av1 in the reference
+(Source/Lib/Codec/entropy_coding.c:3623,3834,3764); clean-room from spec.
+
+Feature coverage grows with the encoder; every written field is the spec
+field name in order. Unsupported features are pinned to their "off"
+codepoints and asserted against the config.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .bitw import BitWriter
+
+
+@dataclass
+class SequenceConfig:
+    width: int
+    height: int
+    bit_depth: int = 8
+    mono_chrome: bool = False
+    subsampling_x: int = 1
+    subsampling_y: int = 1
+    profile: int = 0
+    still_picture: bool = False
+    use_128x128_superblock: bool = False
+    enable_filter_intra: bool = False
+    enable_intra_edge_filter: bool = False
+    enable_interintra_compound: bool = False
+    enable_masked_compound: bool = False
+    enable_warped_motion: bool = False
+    enable_dual_filter: bool = False
+    enable_order_hint: bool = True
+    enable_jnt_comp: bool = False
+    enable_ref_frame_mvs: bool = False
+    order_hint_bits: int = 7
+    enable_superres: bool = False
+    enable_cdef: bool = False
+    enable_restoration: bool = False
+    film_grain_params_present: bool = False
+    timing_info_present: bool = False
+    # color description (0 => unspecified, not written)
+    color_primaries: int = 0
+    transfer_characteristics: int = 0
+    matrix_coefficients: int = 0
+    color_range: int = 0
+    chroma_sample_position: int = 0
+    separate_uv_delta_q: bool = False
+
+    @property
+    def sb_size(self) -> int:
+        return 128 if self.use_128x128_superblock else 64
+
+    @property
+    def num_planes(self) -> int:
+        return 1 if self.mono_chrome else 3
+
+    def seq_level_idx(self) -> int:
+        """Smallest spec level satisfying picture-size constraints
+        (spec A.3; simplified: size-based only)."""
+        pic = self.width * self.height
+        # (level_idx, MaxPicSize, MaxHSize, MaxVSize)
+        levels = [
+            (0, 147456, 2048, 1152),
+            (1, 278784, 2816, 1584),
+            (4, 665856, 4352, 2448),
+            (5, 1065024, 5504, 3096),
+            (8, 2359296, 6144, 3456),
+            (9, 2359296, 6144, 3456),
+            (12, 8912896, 8192, 4352),
+            (13, 8912896, 8192, 4352),
+            (16, 35651584, 16384, 8704),
+            (17, 35651584, 16384, 8704),
+        ]
+        for idx, max_pic, max_h, max_v in levels:
+            if pic <= max_pic and self.width <= max_h and self.height <= max_v:
+                return idx
+        return 19  # 6.3
+
+
+def write_sequence_header(seq: SequenceConfig) -> bytes:
+    w = BitWriter()
+    w.f(seq.profile, 3)  # seq_profile
+    w.f(1 if seq.still_picture else 0, 1)  # still_picture
+    w.f(0, 1)  # reduced_still_picture_header
+    w.f(0, 1)  # timing_info_present_flag
+    # (no decoder model)
+    w.f(0, 1)  # initial_display_delay_present_flag
+    w.f(0, 5)  # operating_points_cnt_minus_1
+    w.f(0, 12)  # operating_point_idc[0]
+    level = seq.seq_level_idx()
+    w.f(level, 5)  # seq_level_idx[0]
+    if level > 7:
+        w.f(0, 1)  # seq_tier[0]
+
+    wbits = max(1, (seq.width - 1).bit_length())
+    hbits = max(1, (seq.height - 1).bit_length())
+    w.f(wbits - 1, 4)  # frame_width_bits_minus_1
+    w.f(hbits - 1, 4)  # frame_height_bits_minus_1
+    w.f(seq.width - 1, wbits)  # max_frame_width_minus_1
+    w.f(seq.height - 1, hbits)  # max_frame_height_minus_1
+
+    w.f(0, 1)  # frame_id_numbers_present_flag
+    w.f(1 if seq.use_128x128_superblock else 0, 1)
+    w.f(1 if seq.enable_filter_intra else 0, 1)
+    w.f(1 if seq.enable_intra_edge_filter else 0, 1)
+
+    w.f(1 if seq.enable_interintra_compound else 0, 1)
+    w.f(1 if seq.enable_masked_compound else 0, 1)
+    w.f(1 if seq.enable_warped_motion else 0, 1)
+    w.f(1 if seq.enable_dual_filter else 0, 1)
+    w.f(1 if seq.enable_order_hint else 0, 1)
+    if seq.enable_order_hint:
+        w.f(1 if seq.enable_jnt_comp else 0, 1)
+        w.f(1 if seq.enable_ref_frame_mvs else 0, 1)
+    w.f(0, 1)  # seq_choose_screen_content_tools
+    w.f(0, 1)  # seq_force_screen_content_tools = 0
+    # (force_integer_mv not coded since screen content tools are off)
+    if seq.enable_order_hint:
+        w.f(seq.order_hint_bits - 1, 3)  # order_hint_bits_minus_1
+    w.f(1 if seq.enable_superres else 0, 1)
+    w.f(1 if seq.enable_cdef else 0, 1)
+    w.f(1 if seq.enable_restoration else 0, 1)
+
+    # color_config()
+    assert seq.bit_depth in (8, 10, 12)
+    if seq.profile == 2 and seq.bit_depth == 12:
+        w.f(1, 1)  # high_bitdepth
+        w.f(1, 1)  # twelve_bit
+    else:
+        w.f(1 if seq.bit_depth == 10 else 0, 1)  # high_bitdepth
+    if seq.profile != 1:
+        w.f(1 if seq.mono_chrome else 0, 1)
+    described = seq.color_primaries or seq.transfer_characteristics or seq.matrix_coefficients
+    w.f(1 if described else 0, 1)  # color_description_present_flag
+    if described:
+        w.f(seq.color_primaries, 8)
+        w.f(seq.transfer_characteristics, 8)
+        w.f(seq.matrix_coefficients, 8)
+    if seq.mono_chrome:
+        w.f(seq.color_range, 1)
+    else:
+        # identity matrix (RGB) not supported; profile-implied subsampling
+        w.f(seq.color_range, 1)
+        if seq.profile == 0:
+            assert seq.subsampling_x == 1 and seq.subsampling_y == 1
+        elif seq.profile == 1:
+            assert seq.subsampling_x == 0 and seq.subsampling_y == 0
+        else:
+            raise NotImplementedError("profile 2 subsampling signaling")
+        if seq.subsampling_x and seq.subsampling_y:
+            w.f(seq.chroma_sample_position, 2)
+        w.f(1 if seq.separate_uv_delta_q else 0, 1)
+
+    w.f(1 if seq.film_grain_params_present else 0, 1)
+    w.trailing_bits()
+    return w.data()
+
+
+@dataclass
+class TileInfo:
+    cols_log2: int = 0
+    rows_log2: int = 0
+    context_update_tile_id: int = 0
+    tile_size_bytes: int = 4
+    # derived at compute time
+    min_cols_log2: int = 0
+    max_cols_log2: int = 0
+    min_rows_log2: int = 0
+    max_rows_log2: int = 0
+    min_log2_tiles: int = 0
+    tile_cols: int = 1
+    tile_rows: int = 1
+    # mi boundaries per tile (start indices plus terminal bound)
+    col_starts_sb: list = field(default_factory=list)
+    row_starts_sb: list = field(default_factory=list)
+
+
+def _tile_log2(blk_size: int, target: int) -> int:
+    k = 0
+    while (blk_size << k) < target:
+        k += 1
+    return k
+
+
+def compute_tile_info(seq: SequenceConfig, cols_log2: int = 0, rows_log2: int = 0) -> TileInfo:
+    """Uniform tile spacing parameters (spec 5.9.15)."""
+    mi_cols = 2 * ((seq.width + 7) >> 3)
+    mi_rows = 2 * ((seq.height + 7) >> 3)
+    sb_shift = 5 if seq.use_128x128_superblock else 4
+    sb_cols = (mi_cols + (1 << sb_shift) - 1) >> sb_shift
+    sb_rows = (mi_rows + (1 << sb_shift) - 1) >> sb_shift
+    sb_size_log2 = sb_shift + 2  # 6 for 64x64 SBs, 7 for 128x128
+    max_tile_width_sb = 4096 >> sb_size_log2
+    max_tile_area_sb = (4096 * 2304) >> (2 * sb_size_log2)
+
+    ti = TileInfo()
+    ti.min_cols_log2 = _tile_log2(max_tile_width_sb, sb_cols)
+    ti.max_cols_log2 = _tile_log2(1, min(sb_cols, 64))
+    ti.max_rows_log2 = _tile_log2(1, min(sb_rows, 64))
+    ti.min_log2_tiles = max(ti.min_cols_log2, _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+
+    ti.cols_log2 = max(cols_log2, ti.min_cols_log2)
+    ti.min_rows_log2 = max(ti.min_log2_tiles - ti.cols_log2, 0)
+    ti.rows_log2 = max(rows_log2, ti.min_rows_log2)
+
+    # uniform spacing boundaries (in superblocks)
+    tile_width_sb = (sb_cols + (1 << ti.cols_log2) - 1) >> ti.cols_log2
+    ti.col_starts_sb = list(range(0, sb_cols, tile_width_sb)) + [sb_cols]
+    tile_height_sb = (sb_rows + (1 << ti.rows_log2) - 1) >> ti.rows_log2
+    ti.row_starts_sb = list(range(0, sb_rows, tile_height_sb)) + [sb_rows]
+    ti.tile_cols = len(ti.col_starts_sb) - 1
+    ti.tile_rows = len(ti.row_starts_sb) - 1
+    return ti
+
+
+@dataclass
+class FrameConfig:
+    frame_type: int = 0  # 0 KEY, 1 INTER, 2 INTRA_ONLY, 3 SWITCH
+    show_frame: bool = True
+    base_q_idx: int = 80
+    disable_cdf_update: bool = False
+    order_hint: int = 0
+    tx_mode_select: bool = False  # False => TX_MODE_LARGEST
+    reduced_tx_set: bool = False
+    # loop filter (level search lands later)
+    lf_level: tuple = (0, 0, 0, 0)
+    lf_sharpness: int = 0
+    # quant deltas
+    delta_q_y_dc: int = 0
+    delta_q_u_dc: int = 0
+    delta_q_u_ac: int = 0
+    # refs (inter path)
+    primary_ref_frame: int = 7  # PRIMARY_REF_NONE
+    refresh_frame_flags: int = 0xFF
+    ref_frame_idx: tuple = (0, 1, 2, 3, 4, 5, 6)
+    ref_order_hints: tuple = (0,) * 8
+    error_resilient_mode: bool = False
+    allow_intrabc: bool = False
+    interp_filter: int = 0  # EIGHTTAP
+    is_motion_mode_switchable: bool = False
+    use_ref_frame_mvs: bool = False
+    cdef_damping: int = 3
+    cdef_bits: int = 0
+    cdef_y_strengths: tuple = (0,)
+    cdef_uv_strengths: tuple = (0,)
+    tile: TileInfo | None = None
+
+    @property
+    def frame_is_intra(self) -> bool:
+        return self.frame_type in (0, 2)
+
+
+def _write_delta_q(w: BitWriter, v: int) -> None:
+    if v:
+        w.f(1, 1)
+        w.su(v, 7)
+    else:
+        w.f(0, 1)
+
+
+def write_frame_header(seq: SequenceConfig, fr: FrameConfig, w: BitWriter) -> None:
+    """uncompressed_header for the supported feature set, written into `w`.
+
+    Caller byte-aligns (OBU_FRAME) or writes trailing bits (OBU_FRAME_HEADER).
+    """
+    w.f(0, 1)  # show_existing_frame
+    w.f(fr.frame_type, 2)
+    w.f(1 if fr.show_frame else 0, 1)
+    if not fr.show_frame:
+        w.f(1, 1)  # showable_frame
+    key_shown = fr.frame_type == 0 and fr.show_frame
+    if not (fr.frame_type == 3 or key_shown):
+        w.f(1 if fr.error_resilient_mode else 0, 1)
+    w.f(1 if fr.disable_cdf_update else 0, 1)
+    # allow_screen_content_tools: seq_force==0 -> implied 0
+    if fr.frame_type != 3:
+        w.f(0, 1)  # frame_size_override_flag = 0
+    if seq.enable_order_hint:
+        w.f(fr.order_hint, seq.order_hint_bits)
+    if not (fr.frame_is_intra or fr.error_resilient_mode):
+        w.f(fr.primary_ref_frame, 3)
+    if not key_shown:
+        if fr.frame_type == 3:
+            pass  # refresh all implied
+        else:
+            w.f(fr.refresh_frame_flags, 8)
+
+    if fr.frame_is_intra:
+        _write_frame_size(w, seq)
+        # allow_intrabc only when screen content tools allowed (off)
+        assert not fr.allow_intrabc
+    else:
+        # frame_refs_short_signaling (only when order hint): write 0
+        if seq.enable_order_hint:
+            w.f(0, 1)
+        for i in range(7):
+            w.f(fr.ref_frame_idx[i], 3)
+        # frame_size_override==0: frame_size_with_refs -> found_ref loop
+        for _ in range(7):
+            w.f(0, 1)  # found_ref = 0 for each -> fall back to frame_size()
+        _write_frame_size(w, seq)
+        # allow_high_precision_mv (force_integer_mv==0)
+        w.f(0, 1)
+        # read_interpolation_filter
+        w.f(0, 1)  # is_filter_switchable = 0
+        w.f(fr.interp_filter, 2)
+        w.f(1 if fr.is_motion_mode_switchable else 0, 1)
+        if not fr.error_resilient_mode and seq.enable_ref_frame_mvs:
+            w.f(1 if fr.use_ref_frame_mvs else 0, 1)
+
+    if not fr.disable_cdf_update:
+        w.f(1, 1)  # disable_frame_end_update_cdf = 1 (backward update off)
+
+    _write_tile_info(w, seq, fr)
+    _write_quantization_params(w, seq, fr)
+    w.f(0, 1)  # segmentation_enabled
+    # delta_q_params
+    if fr.base_q_idx > 0:
+        w.f(0, 1)  # delta_q_present
+    # delta_lf_params: nothing (delta_q_present == 0)
+    _write_loop_filter_params(w, seq, fr)
+    _write_cdef_params(w, seq, fr)
+    # lr_params: enable_restoration off => nothing
+    assert not seq.enable_restoration
+    # read_tx_mode
+    w.f(1 if fr.tx_mode_select else 0, 1)
+    # frame_reference_mode
+    if not fr.frame_is_intra:
+        w.f(0, 1)  # reference_select = 0 (single reference mode)
+    # skip_mode_params: skipModeAllowed=0 (intra or !reference_select)
+    if not (fr.frame_is_intra or fr.error_resilient_mode) and seq.enable_warped_motion:
+        w.f(0, 1)  # allow_warped_motion
+    w.f(1 if fr.reduced_tx_set else 0, 1)
+    # global_motion_params
+    if not fr.frame_is_intra:
+        for _ in range(7):
+            w.f(0, 1)  # is_global[ref] = 0
+    # film grain: not present
+    assert not seq.film_grain_params_present
+
+
+def _write_frame_size(w: BitWriter, seq: SequenceConfig) -> None:
+    # frame_size_override == 0: nothing; superres off: nothing
+    # render_size:
+    w.f(0, 1)  # render_and_frame_size_different
+
+
+def _write_tile_info(w: BitWriter, seq: SequenceConfig, fr: FrameConfig) -> None:
+    ti = fr.tile or compute_tile_info(seq)
+    fr.tile = ti
+    w.f(1, 1)  # uniform_tile_spacing_flag
+    k = ti.min_cols_log2
+    while k < ti.max_cols_log2:
+        if k < ti.cols_log2:
+            w.f(1, 1)
+            k += 1
+        else:
+            w.f(0, 1)
+            break
+    k = ti.min_rows_log2
+    while k < ti.max_rows_log2:
+        if k < ti.rows_log2:
+            w.f(1, 1)
+            k += 1
+        else:
+            w.f(0, 1)
+            break
+    if ti.cols_log2 or ti.rows_log2:
+        w.f(ti.context_update_tile_id, ti.rows_log2 + ti.cols_log2)
+        w.f(ti.tile_size_bytes - 1, 2)
+
+
+def _write_quantization_params(w: BitWriter, seq: SequenceConfig, fr: FrameConfig) -> None:
+    w.f(fr.base_q_idx, 8)
+    _write_delta_q(w, fr.delta_q_y_dc)
+    if seq.num_planes > 1:
+        if seq.separate_uv_delta_q:
+            w.f(0, 1)  # diff_uv_delta
+        _write_delta_q(w, fr.delta_q_u_dc)
+        _write_delta_q(w, fr.delta_q_u_ac)
+    w.f(0, 1)  # using_qmatrix
+
+
+def _write_loop_filter_params(w: BitWriter, seq: SequenceConfig, fr: FrameConfig) -> None:
+    # CodedLossless / allow_intrabc both false in supported set
+    lf = fr.lf_level
+    w.f(lf[0], 6)
+    w.f(lf[1], 6)
+    if seq.num_planes > 1 and (lf[0] or lf[1]):
+        w.f(lf[2], 6)
+        w.f(lf[3], 6)
+    w.f(fr.lf_sharpness, 3)
+    w.f(0, 1)  # loop_filter_delta_enabled
+
+
+def _write_cdef_params(w: BitWriter, seq: SequenceConfig, fr: FrameConfig) -> None:
+    if not seq.enable_cdef:
+        return
+    w.f(fr.cdef_damping - 3, 2)
+    w.f(fr.cdef_bits, 2)
+    for i in range(1 << fr.cdef_bits):
+        w.f(fr.cdef_y_strengths[i] // 4, 4)
+        w.f(fr.cdef_y_strengths[i] % 4, 2)
+        w.f(fr.cdef_uv_strengths[i] // 4, 4)
+        w.f(fr.cdef_uv_strengths[i] % 4, 2)
