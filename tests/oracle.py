@@ -1,0 +1,134 @@
+"""ctypes bindings to the reference C kernels, compiled as a test oracle.
+
+Replicates the reference's own kernel test strategy (test/*.cc: run the C
+reference and the optimized variant on identical random inputs, assert
+bit-exact equality) with our numpy/Pallas kernels in the "optimized" role.
+The oracle library is built on demand from the reference sources into
+.refbuild/ (never shipped; tests skip if the reference tree is absent).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+REF = Path("/root/reference/Source")
+BUILD = Path("/root/repo/.refbuild")
+SO = BUILD / "liboracle.so"
+
+_SOURCES = [
+    "Lib/Codec/inv_transforms.c",
+    "Lib/Codec/transforms.c",
+]
+_INCLUDES = ["Lib/Codec", "API", "Lib/Globals", "Lib/C_DEFAULT"]
+
+_lib = None
+
+
+def available() -> bool:
+    return REF.exists()
+
+
+def _build() -> None:
+    """Two-pass build: link, then stub out unused RTCD pointer symbols so the
+    library loads eagerly (the stubs are never called by the _c kernels)."""
+    BUILD.mkdir(exist_ok=True)
+    base = ["gcc", "-O2", "-DNDEBUG", "-shared", "-fPIC", "-fvisibility=default"]
+    base += [str(REF / s) for s in _SOURCES]
+    base += [f"-I{REF / i}" for i in _INCLUDES]
+    subprocess.run(base + ["-o", str(SO)], check=True, capture_output=True)
+    nm = subprocess.run(["nm", "-u", str(SO)], check=True, capture_output=True, text=True)
+    # helpers genuinely called by the _c kernels get real definitions;
+    # everything else (unused RTCD pointers) becomes a null data stub
+    real = {
+        "svt_memcpy_c": "#include <string.h>\n"
+        "void svt_memcpy_c(void *d, const void *s, unsigned long n) { memcpy(d, s, n); }",
+        "svt_av1_is_lossless_segment": "int svt_av1_is_lossless_segment(void *a, int b) { (void)a; (void)b; return 0; }",
+    }
+    stubs = []
+    for line in nm.stdout.splitlines():
+        parts = line.split()
+        sym = parts[-1]
+        if "@" in sym or sym.startswith(("_ITM", "__gmon", "__cxa")):
+            continue
+        stubs.append(real.get(sym, f"void *{sym} = 0;"))
+    stub_c = BUILD / "oracle_stubs.c"
+    stub_c.write_text("\n".join(stubs) + "\n")
+    subprocess.run(base + [str(stub_c), "-o", str(SO)], check=True, capture_output=True)
+
+
+def get_lib():
+    global _lib
+    if _lib is None:
+        try:
+            _lib = ctypes.CDLL(str(SO))
+        except OSError:
+            _build()
+            _lib = ctypes.CDLL(str(SO))
+    return _lib
+
+
+_I32P = np.ctypeslib.ndpointer(np.int32, flags="C")
+_I16P = np.ctypeslib.ndpointer(np.int16, flags="C")
+_U16P = np.ctypeslib.ndpointer(np.uint16, flags="C")
+
+
+# TxSize enum index by (w, h), spec ordering
+_TX_SIZE_IDX = {
+    (4, 4): 0, (8, 8): 1, (16, 16): 2, (32, 32): 3, (64, 64): 4,
+    (4, 8): 5, (8, 4): 6, (8, 16): 7, (16, 8): 8, (16, 32): 9, (32, 16): 10,
+    (32, 64): 11, (64, 32): 12, (4, 16): 13, (16, 4): 14, (8, 32): 15,
+    (32, 8): 16, (16, 64): 17, (64, 16): 18,
+}
+_SQUARE = {(4, 4), (8, 8), (16, 16), (32, 32), (64, 64)}
+
+
+def inv_txfm2d_add(coeffs: np.ndarray, pred: np.ndarray, tx_w: int, tx_h: int,
+                   tx_type: int, bd: int = 8) -> np.ndarray:
+    """Reference svt_av1_inv_txfm2d_add_WxH_c.
+
+    Signatures differ by size class: squares (.., tx_type, bd);
+    4x8/8x4 add tx_size; other rects add tx_size and eob.
+    """
+    lib = get_lib()
+    fn = getattr(lib, f"svt_av1_inv_txfm2d_add_{tx_w}x{tx_h}_c")
+    base = [_I32P, _U16P, ctypes.c_int32, _U16P, ctypes.c_int32, ctypes.c_int32]
+    if (tx_w, tx_h) in _SQUARE:
+        extra = []
+    elif (tx_w, tx_h) in ((4, 8), (8, 4), (4, 16), (16, 4)):
+        extra = [ctypes.c_int32]  # tx_size
+    else:
+        extra = [ctypes.c_int32, ctypes.c_int32]  # tx_size, eob
+    fn.argtypes = base + extra + [ctypes.c_int32]
+    cw, ch = min(tx_w, 32), min(tx_h, 32)
+    coeffs = np.ascontiguousarray(coeffs.reshape(ch, cw), dtype=np.int32)
+    out = np.ascontiguousarray(pred.reshape(tx_h, tx_w), dtype=np.uint16)
+    recon = out.copy()
+    args = [coeffs.ravel(), out.ravel(), tx_w, recon.ravel(), tx_w, tx_type]
+    ts = _TX_SIZE_IDX[(tx_w, tx_h)]
+    if len(extra) == 1:
+        args.append(ts)
+    elif len(extra) == 2:
+        args += [ts, cw * ch]
+    args.append(bd)
+    fn(*args)
+    return recon
+
+
+def fwd_txfm2d(residual: np.ndarray, tx_w: int, tx_h: int, tx_type: int,
+               bd: int = 8) -> np.ndarray:
+    """Reference forward: svt_av1_transform_two_d_NxN_c for squares,
+    svt_av1_fwd_txfm2d_WxH_c for rects (same signature)."""
+    lib = get_lib()
+    if (tx_w, tx_h) in _SQUARE:
+        fn = getattr(lib, f"svt_av1_transform_two_d_{tx_w}x{tx_h}_c")
+    else:
+        fn = getattr(lib, f"svt_av1_fwd_txfm2d_{tx_w}x{tx_h}_c")
+    fn.argtypes = [_I16P, _I32P, ctypes.c_uint32, ctypes.c_int, ctypes.c_uint8]
+    res = np.ascontiguousarray(residual.reshape(tx_h, tx_w), dtype=np.int16)
+    out = np.zeros(tx_w * tx_h, dtype=np.int32)
+    fn(res.ravel(), out, tx_w, tx_type, bd)
+    return out

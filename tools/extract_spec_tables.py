@@ -227,6 +227,23 @@ def extract_qlookup(text: str) -> dict[str, np.ndarray]:
     return out
 
 
+def extract_trig(text: str) -> dict[str, np.ndarray]:
+    """cospi/sinpi tables (normative transform constants, spec 7.13.3)."""
+    out = {}
+    for cname, key, shape in [
+        ("svt_aom_eb_av1_cospi_arr_data", "cospi_arr_data", (7, 64)),
+        ("svt_aom_eb_av1_sinpi_arr_data", "sinpi_arr_data", (7, 5)),
+    ]:
+        m = re.search(rf"{cname}\s*\[\d+\]\s*\[\d+\]\s*=\s*\{{", text)
+        if not m:
+            continue
+        block, _ = _balanced_braces(text, m.end() - 1)
+        arr = np.array(_parse_init(block), dtype=np.int32)
+        assert arr.shape == shape, (cname, arr.shape)
+        out[key] = arr
+    return out
+
+
 def main() -> None:
     tables: dict[str, np.ndarray] = {}
 
@@ -247,6 +264,9 @@ def main() -> None:
     ql = extract_qlookup(it)
     print(f"inv_transforms.c: {len(ql)} qlookup arrays")
     tables.update(ql)
+    trig = extract_trig(it)
+    print(f"inv_transforms.c: {len(trig)} trig arrays")
+    tables.update(trig)
 
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT_DIR / "av1_tables.npz", **tables)
