@@ -187,10 +187,17 @@ class TileWriter:
         # palette: screen content off
 
         # residual
-        if self.coeff_writer is not None:
-            self.coeff_writer.write_block(self, leaf, r, c, bsize, has_chroma)
+        if leaf.skip:
+            if self.coeff_writer is not None:
+                self.coeff_writer.reset_skip_ctx(r, c, bw4, bh4, has_chroma)
         else:
-            assert leaf.skip, "coefficients require a coeff writer"
+            assert self.coeff_writer is not None and leaf.coeffs is not None
+            for txb in leaf.coeffs:
+                self.coeff_writer.write_txb(
+                    txb["plane"], txb["plane_bsize"], txb["tx_size"], txb["tx_type"],
+                    txb["qcoeff"], txb["eob"], txb["ux"], txb["uy"],
+                    write_tx_type_fn=self._make_tx_type_writer(leaf),
+                )
 
         # ---- neighbor state updates ----
         r_end = min(r + bh4, self.mi_rows)
@@ -200,6 +207,33 @@ class TileWriter:
         pa, pl = partition_ctx_lookup(bsize)
         self.above_part[c:c_end] = pa
         self.left_part[r:r_end] = pl
+
+    def _make_tx_type_writer(self, leaf: LeafBlock):
+        """Returns a callback writing the luma tx_type symbol when the tx
+        set for (tx_size, intra) has more than one type (spec
+        transform_type(); reference av1_write_tx_type entropy_coding.c:437).
+        """
+
+        def write(tx_size: int, tx_type: int) -> None:
+            from ..codec.constants import tx_size_sqr, tx_size_sqr_up
+
+            if self.fr.base_q_idx == 0:
+                return
+            sqr_up = tx_size_sqr_up(tx_size)
+            if sqr_up > 3:  # TX_32X32: intra sets are DCT-only at >=32
+                return
+            if sqr_up == 3:
+                return  # intra 32x32: EXT_TX_SET_DCTONLY
+            sqr = tx_size_sqr(tx_size)
+            if self.fr.reduced_tx_set or sqr == 2:  # 16x16: DTT4_IDTX (5)
+                eset, nsym = 2, 5
+                ind = {9: 0, 0: 1, 3: 2, 1: 3, 2: 4}[tx_type]
+            else:  # 4x4/8x8: DTT4_IDTX_1DDCT (7)
+                eset, nsym = 1, 7
+                ind = {9: 0, 0: 1, 10: 2, 11: 3, 3: 4, 1: 5, 2: 6}[tx_type]
+            self._sym_at(ind, self.cdfs.intra_ext_tx, eset, sqr, leaf.y_mode)
+
+        return write
 
     def _has_chroma(self, r: int, c: int, bw4: int, bh4: int) -> bool:
         if self.seq.mono_chrome:

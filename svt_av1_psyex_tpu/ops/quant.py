@@ -1,0 +1,110 @@
+"""Quantization / dequantization — libaom-compatible quantize_b, batched.
+
+Mirrors the reference's svt_av1_build_quantizer (md_config_process.c:111)
+and svt_aom_quantize_b_c_ii (full_loop.c:29), without quant matrices.
+Dequant matches the decoder exactly: abs(level)*dqv >> log_scale, sign
+restored.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+
+from ..bitstream.tables import ac_q, dc_q
+
+AOM_QM_BITS = 5
+
+
+def _round_pow2(x: int, n: int) -> int:
+    return x if n == 0 else (x + (1 << (n - 1))) >> n
+
+
+def _invert_quant(d: int) -> tuple[int, int]:
+    t = d
+    l = 0
+    while t > 1:
+        t >>= 1
+        l += 1
+    m = 1 + (1 << (16 + l)) // d
+    return m - (1 << 16), 1 << (16 - l)
+
+
+def _qzbin_factor(q: int, bit_depth: int) -> int:
+    quant = dc_q(q, bit_depth)
+    thresh = {8: 148, 10: 592, 12: 2368}[bit_depth]
+    return 64 if q == 0 else (84 if quant < thresh else 80)
+
+
+@dataclass(frozen=True)
+class PlaneQuant:
+    zbin: tuple  # (dc, ac)
+    round: tuple
+    quant: tuple
+    quant_shift: tuple
+    dequant: tuple
+
+
+@lru_cache(maxsize=64)
+def build_plane_quant(qindex: int, dc_delta: int = 0, ac_delta: int = 0,
+                      bit_depth: int = 8, sharpness: int = 0,
+                      base_q_idx: int | None = None) -> PlaneQuant:
+    q = qindex
+    qzbin = _qzbin_factor(q, bit_depth)
+    qround = 64 if q == 0 else 48
+    if sharpness and base_q_idx is not None:
+        diff = q - base_q_idx
+        if (sharpness > 0 and diff < 0) or (sharpness < 0 and diff > 0):
+            off = max(sharpness << 1, abs(diff)) if sharpness > 0 else min(abs(sharpness) << 1, diff)
+            qzbin += -off if sharpness > 0 else off
+            qround += off if sharpness > 0 else -off
+            qzbin = int(np.clip(qzbin, 1, 256))
+            qround = int(np.clip(qround, 1, 256))
+
+    out = {k: [0, 0] for k in ("zbin", "round", "quant", "quant_shift", "dequant")}
+    for i in range(2):
+        delta = dc_delta if i == 0 else ac_delta
+        lookup = dc_q if i == 0 else ac_q
+        quant_qtx = lookup(int(np.clip(q + delta, 0, 255)), bit_depth)
+        qv, qs = _invert_quant(quant_qtx)
+        out["quant"][i] = qv
+        out["quant_shift"][i] = qs
+        out["zbin"][i] = _round_pow2(qzbin * quant_qtx, 7)
+        out["round"][i] = (qround * quant_qtx) >> 7
+        out["dequant"][i] = quant_qtx
+    return PlaneQuant(**{k: tuple(v) for k, v in out.items()})
+
+
+def quantize_b(coeffs: np.ndarray, scan: np.ndarray, pq: PlaneQuant,
+               log_scale: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched quantize_b (exact quantize_b_c_ii arithmetic, wt = 1<<5).
+
+    coeffs: (batch, n) int32, raster order. Returns (qcoeff raster,
+    dqcoeff raster, eob per batch in scan order).
+    """
+    b, n = coeffs.shape
+    is_dc = np.arange(n) == 0
+    zbin = np.where(is_dc, _round_pow2(pq.zbin[0], log_scale),
+                    _round_pow2(pq.zbin[1], log_scale)).astype(np.int64)
+    rnd = np.where(is_dc, _round_pow2(pq.round[0], log_scale),
+                   _round_pow2(pq.round[1], log_scale)).astype(np.int64)
+    quant = np.where(is_dc, pq.quant[0], pq.quant[1]).astype(np.int64)
+    qshift = np.where(is_dc, pq.quant_shift[0], pq.quant_shift[1]).astype(np.int64)
+    deq = np.where(is_dc, pq.dequant[0], pq.dequant[1]).astype(np.int64)
+
+    c = coeffs.astype(np.int64)
+    sign = np.where(c < 0, -1, 1).astype(np.int64)
+    abs_c = np.abs(c)
+    pass_zbin = abs_c >= zbin
+    tmp = np.clip(abs_c + rnd, -32768, 32767) << AOM_QM_BITS  # wt applied
+    tmp32 = (((tmp * quant) >> 16) + tmp) * qshift >> (16 - log_scale + AOM_QM_BITS)
+    tmp32 = np.where(pass_zbin, tmp32, 0)
+    qcoeff = (tmp32 * sign).astype(np.int32)
+    dqcoeff = (((tmp32 * deq) >> log_scale) * sign).astype(np.int32)
+
+    q_scan = tmp32[:, scan] != 0
+    idx = np.arange(n)[None, :]
+    eob = np.where(q_scan, idx + 1, 0).max(axis=1).astype(np.int32)
+    return qcoeff, dqcoeff, eob

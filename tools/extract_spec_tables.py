@@ -268,6 +268,16 @@ def main() -> None:
     print(f"inv_transforms.c: {len(trig)} trig arrays")
     tables.update(trig)
 
+    # smooth-prediction weights (spec Sm_Weights table)
+    ip = _strip_comments((REF / "intra_prediction.c").read_text())
+    m = re.search(r"sm_weight_arrays\[[^\]]*\]\s*=\s*\{", ip)
+    assert m
+    block, _ = _balanced_braces(ip, m.end() - 1)
+    arr = np.array(_parse_init(block), dtype=np.int32)
+    assert arr.size == 128, arr.size
+    tables["sm_weight_arrays"] = arr
+    print("intra_prediction.c: sm_weight_arrays")
+
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT_DIR / "av1_tables.npz", **tables)
     manifest = {k: list(v.shape) for k, v in sorted(tables.items())}
