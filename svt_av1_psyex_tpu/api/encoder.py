@@ -1,0 +1,193 @@
+"""Encoder handle & lifecycle — the EbSvtAv1Enc library surface.
+
+Mirrors the exported API set (EbSvtAv1Enc.h:1086-1202):
+svt_av1_enc_init_handle / set_parameter / parse_parameter / init /
+stream_header / send_picture / get_packet / release_out_buffer /
+get_recon / get_stream_info / deinit / deinit_handle, plus version
+queries. Pythonic object API (SvtAv1Encoder) with thin function wrappers
+for source compatibility of call shapes.
+
+Pipeline (current intra slice): send_picture enqueues; frames are
+encoded in display order (keyframes per intra_period); packets carry the
+TU bytes + pts + frame type, output-ordered like the reference's
+packetization reorder queue.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import SVT_VERSION
+from ..bitstream.headers import SequenceConfig, write_sequence_header
+from ..bitstream.obu import ObuType, wrap_obu
+from ..codec.encoder import Av1Encoder
+from .config import EncoderConfig
+from .params import parse_parameter as _parse_parameter
+
+
+class SvtAv1Error(Exception):
+    pass
+
+
+@dataclass
+class Packet:
+    data: bytes
+    pts: int
+    dts: int
+    frame_type: int  # 0 KEY, 1 INTER
+    is_eos: bool = False
+
+
+@dataclass
+class Recon:
+    planes: list
+    pts: int
+
+
+class SvtAv1Encoder:
+    """Handle object (EbComponentType equivalent)."""
+
+    def __init__(self) -> None:
+        self.config = EncoderConfig()
+        self._initialized = False
+        self._in_q: deque = deque()
+        self._out_q: deque = deque()
+        self._recon_q: deque = deque()
+        self._pts = 0
+        self._eos_sent = False
+        self._eos_emitted = False
+        self._enc: Av1Encoder | None = None
+        self._seq: SequenceConfig | None = None
+
+    # ---- configuration -------------------------------------------------------
+    def set_parameter(self, config: EncoderConfig) -> None:
+        errs = config.validate()
+        if errs:
+            raise SvtAv1Error("; ".join(errs))
+        self.config.copy_from(config)
+
+    def parse_parameter(self, name: str, value: str) -> None:
+        _parse_parameter(self.config, name, value)
+
+    # ---- init ------------------------------------------------------------------
+    def init(self) -> None:
+        cfg = self.config
+        errs = cfg.validate()
+        if errs:
+            raise SvtAv1Error("; ".join(errs))
+        self._seq = SequenceConfig(
+            width=cfg.source_width,
+            height=cfg.source_height,
+            bit_depth=cfg.encoder_bit_depth,
+            color_primaries=0 if cfg.color_primaries == 2 else cfg.color_primaries,
+            transfer_characteristics=0 if cfg.transfer_characteristics == 2 else cfg.transfer_characteristics,
+            matrix_coefficients=0 if cfg.matrix_coefficients == 2 else cfg.matrix_coefficients,
+            color_range=cfg.color_range,
+            chroma_sample_position=cfg.chroma_sample_position,
+        )
+        self._enc = Av1Encoder(self._seq)
+        self._initialized = True
+
+    def stream_header(self) -> bytes:
+        """svt_av1_enc_stream_header: TD + sequence header OBUs."""
+        if not self._initialized:
+            raise SvtAv1Error("not initialized")
+        return wrap_obu(ObuType.SEQUENCE_HEADER, write_sequence_header(self._seq))
+
+    # ---- frame push/pull -----------------------------------------------------------
+    def send_picture(self, planes: list | None, pts: int | None = None,
+                     force_key: bool = False) -> None:
+        """planes=None signals EOS (like a NULL/EOS buffer header)."""
+        if not self._initialized:
+            raise SvtAv1Error("not initialized")
+        if planes is None:
+            self._eos_sent = True
+        else:
+            if self._eos_sent:
+                raise SvtAv1Error("picture after EOS")
+            self._in_q.append((planes, self._pts if pts is None else pts, force_key))
+            self._pts += 1
+        self._drain()
+
+    def _keyframe_due(self, frame_idx: int) -> bool:
+        period = self.config.intra_period_length
+        if period == -1:
+            return frame_idx == 0
+        if period == -2:
+            period = 60  # auto placeholder (~2s at 30fps)
+        return frame_idx % (period + 1) == 0
+
+    def _drain(self) -> None:
+        # current intra slice: every frame encodes immediately (no lookahead)
+        while self._in_q:
+            planes, pts, force_key = self._in_q.popleft()
+            # inter path pending: all frames are keyframes for now
+            tu = self._enc.encode_keyframe(planes, self.config.qindex)
+            self._out_q.append(Packet(tu, pts, pts, frame_type=0))
+            if self.config.recon_enabled:
+                self._recon_q.append(Recon(self._enc.last_recon, pts))
+        if self._eos_sent and not self._eos_emitted:
+            self._out_q.append(Packet(b"", self._pts, self._pts, 0, is_eos=True))
+            self._eos_emitted = True
+
+    def get_packet(self, blocking: bool = False) -> Packet | None:
+        if self._out_q:
+            return self._out_q.popleft()
+        return None
+
+    def release_out_buffer(self, packet: Packet) -> None:
+        pass  # no pooled buffers in this implementation
+
+    def get_recon(self) -> Recon | None:
+        if not self.config.recon_enabled:
+            raise SvtAv1Error("recon not enabled")
+        return self._recon_q.popleft() if self._recon_q else None
+
+    def get_stream_info(self, info_id: int):
+        if info_id == 0:  # SVT_AV1_STREAM_INFO_FIRST_PASS_STATS_OUT
+            raise SvtAv1Error("two-pass stats pending")
+        raise SvtAv1Error(f"unknown stream info {info_id}")
+
+    # ---- teardown ----------------------------------------------------------------
+    def deinit(self) -> None:
+        self._initialized = False
+
+    def deinit_handle(self) -> None:
+        self._enc = None
+        self._in_q.clear()
+        self._out_q.clear()
+
+
+# ---- C-shaped convenience wrappers ------------------------------------------------
+
+
+def svt_av1_enc_init_handle() -> tuple[SvtAv1Encoder, EncoderConfig]:
+    h = SvtAv1Encoder()
+    return h, h.config
+
+
+def svt_av1_enc_set_parameter(handle: SvtAv1Encoder, config: EncoderConfig) -> None:
+    handle.set_parameter(config)
+
+
+def svt_av1_enc_init(handle: SvtAv1Encoder) -> None:
+    handle.init()
+
+
+def svt_av1_enc_send_picture(handle: SvtAv1Encoder, planes, pts=None) -> None:
+    handle.send_picture(planes, pts)
+
+
+def svt_av1_enc_get_packet(handle: SvtAv1Encoder, pic_send_done: bool = False):
+    return handle.get_packet(blocking=pic_send_done)
+
+
+def svt_av1_get_version() -> str:
+    return SVT_VERSION
+
+
+def svt_psy_get_version() -> str:
+    return "tpu-rebuild-r1"

@@ -1,0 +1,117 @@
+"""SvtAv1EncApp-shaped CLI: y4m/yuv in, IVF out.
+
+Token names follow the reference's CLI table (Source/App/app_config.c:1296)
+for the implemented set; --svtav1-params k=v:k=v passthrough supported.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..api.config import EncoderConfig
+from ..api.encoder import SvtAv1Encoder, svt_av1_get_version
+from ..api.params import parse_parameter, parse_svtav1_params
+from ..conformance.dav1d import psnr
+from ..utils.ivf import IvfWriter
+from ..utils.y4m import Y4MReader
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="SvtAv1EncApp",
+                                description="TPU-native SVT-AV1-PSYEX rebuild")
+    p.add_argument("-i", "--input", required=True, help="input y4m (or '-' stdin)")
+    p.add_argument("-b", "--output", required=True, help="output IVF")
+    p.add_argument("--preset", type=int, default=10)
+    p.add_argument("--crf", type=int, default=None)
+    p.add_argument("-q", "--qp", type=int, default=35)
+    p.add_argument("--keyint", type=int, default=-2)
+    p.add_argument("-n", "--frames", type=int, default=0, help="max frames (0=all)")
+    p.add_argument("--tune", type=int, default=1)
+    p.add_argument("--sharpness", type=int, default=0)
+    p.add_argument("--enable-variance-boost", type=int, default=1)
+    p.add_argument("--variance-boost-strength", type=int, default=2)
+    p.add_argument("--variance-octile", type=int, default=6)
+    p.add_argument("--enable-stat-report", type=int, default=0)
+    p.add_argument("--lp", type=int, default=0)
+    p.add_argument("--svtav1-params", default="")
+    p.add_argument("--version", action="version", version=svt_av1_get_version())
+    p.add_argument("--progress", type=int, default=1)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    fh = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    reader = Y4MReader(fh)
+    fmt = reader.fmt
+
+    handle = SvtAv1Encoder()
+    cfg = EncoderConfig()
+    cfg.source_width = fmt.width
+    cfg.source_height = fmt.height
+    cfg.encoder_bit_depth = fmt.bit_depth
+    cfg.frame_rate_numerator = fmt.fps.numerator
+    cfg.frame_rate_denominator = fmt.fps.denominator
+    cfg.enc_mode = args.preset
+    cfg.qp = args.qp
+    cfg.crf = args.crf
+    cfg.intra_period_length = args.keyint
+    cfg.tune = args.tune
+    cfg.sharpness = args.sharpness
+    cfg.enable_variance_boost = bool(args.enable_variance_boost)
+    cfg.variance_boost_strength = args.variance_boost_strength
+    cfg.variance_octile = args.variance_octile
+    cfg.stat_report = args.enable_stat_report
+    cfg.recon_enabled = bool(args.enable_stat_report)
+    if args.svtav1_params:
+        parse_svtav1_params(cfg, args.svtav1_params)
+
+    handle.set_parameter(cfg)
+    handle.init()
+
+    out = open(args.output, "wb")
+    ivf = IvfWriter(out, fmt.width, fmt.height,
+                    fmt.fps.denominator, fmt.fps.numerator)
+    n = 0
+    t0 = time.perf_counter()
+    sum_psnr = np.zeros(3)
+    for planes in reader.frames():
+        handle.send_picture(planes, n)
+        if cfg.stat_report:
+            rec = handle.get_recon()
+            if rec is not None:
+                for i in range(min(3, len(planes))):
+                    ph, pw = planes[i].shape
+                    sum_psnr[i] += psnr(rec.planes[i][:ph, :pw], planes[i],
+                                        fmt.bit_depth)
+        while (pkt := handle.get_packet()) is not None:
+            if not pkt.is_eos:
+                ivf.write_frame(pkt.data, pkt.pts)
+        n += 1
+        if args.progress:
+            print(f"\rEncoding frame {n}", end="", file=sys.stderr, flush=True)
+        if args.frames and n >= args.frames:
+            break
+    handle.send_picture(None)  # EOS
+    while (pkt := handle.get_packet()) is not None:
+        if not pkt.is_eos:
+            ivf.write_frame(pkt.data, pkt.pts)
+    ivf.close()
+    out.close()
+    dt = time.perf_counter() - t0
+    print(f"\n{n} frames in {dt:.2f}s ({n / dt:.2f} fps)", file=sys.stderr)
+    if cfg.stat_report and n:
+        print(f"PSNR Y {sum_psnr[0]/n:.2f}  U {sum_psnr[1]/n:.2f}  V {sum_psnr[2]/n:.2f}",
+              file=sys.stderr)
+    handle.deinit()
+    handle.deinit_handle()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -76,9 +76,10 @@ def clamp_value(x, bit: int):
 
 
 class _Net:
-    __slots__ = ("stages", "size")
+    __slots__ = ("stages", "size", "_wcache")
 
     def __init__(self, raw_stages):
+        self._wcache = {}
         self.stages = []
         for ops in raw_stages:
             n = len(ops)
@@ -105,21 +106,30 @@ class _Net:
                 out[i] = 0
         return out
 
+    def _compiled(self, cos_bit: int):
+        if cos_bit not in self._wcache:
+            comp = []
+            for src0, w0s, src1, w1s, kind in self.stages:
+                comp.append((
+                    src0,
+                    self._weights(w0s, cos_bit),
+                    src1,
+                    self._weights(w1s, cos_bit),
+                    np.array([k == "btf" for k in kind]),
+                    np.array([k == "raw" for k in kind]),
+                ))
+            self._wcache[cos_bit] = comp
+        return self._wcache[cos_bit]
+
     def run(self, x: np.ndarray, cos_bit: int, clamp_bit: int) -> np.ndarray:
         """x: (batch, N) int64 -> (batch, N) int64."""
-        for src0, w0s, src1, w1s, kind in self.stages:
-            w0 = self._weights(w0s, cos_bit)
-            w1 = self._weights(w1s, cos_bit)
+        rnd = 1 << (cos_bit - 1)
+        for src0, w0, src1, w1, is_btf, do_clamp in self._compiled(cos_bit):
             y = x[:, src0] * w0 + x[:, src1] * w1
-            is_btf = np.array([k == "btf" for k in kind])
             if is_btf.any():
-                rnd = 1 << (cos_bit - 1)
-                yb = (y + rnd) >> cos_bit
-                y = np.where(is_btf, yb, y)
-            if clamp_bit > 0:
-                do_clamp = np.array([k == "raw" for k in kind])
-                if do_clamp.any():
-                    y = np.where(do_clamp, clamp_value(y, clamp_bit), y)
+                y = np.where(is_btf, (y + rnd) >> cos_bit, y)
+            if clamp_bit > 0 and do_clamp.any():
+                y = np.where(do_clamp, clamp_value(y, clamp_bit), y)
             x = y
         return x
 
