@@ -41,11 +41,11 @@ def main() -> None:
     frames = [synth_frame(fmt, t, "blobs") for t in range(FRAMES)]
 
     seq = SequenceConfig(width=W, height=H)
-    enc = Av1Encoder(seq)
+    enc = Av1Encoder(seq, preset=12)  # matches the baseline's --preset 12
     # warmup (first-use table loads, jit warmup if device path is active)
     enc.encode_keyframe(frames[0], QINDEX)
 
-    enc = Av1Encoder(seq)
+    enc = Av1Encoder(seq, preset=12)
     tus = []
     t0 = time.perf_counter()
     for f in frames:

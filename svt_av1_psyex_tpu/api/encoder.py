@@ -88,7 +88,7 @@ class SvtAv1Encoder:
             color_range=cfg.color_range,
             chroma_sample_position=cfg.chroma_sample_position,
         )
-        self._enc = Av1Encoder(self._seq)
+        self._enc = Av1Encoder(self._seq, preset=cfg.enc_mode)
         self._initialized = True
 
     def stream_header(self) -> bytes:

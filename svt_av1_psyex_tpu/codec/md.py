@@ -1,0 +1,378 @@
+"""Mode decision: recursive partition RDO with exact-distortion,
+estimated-rate costs.
+
+Counterpart: the reference's MD stages (product_coding_loop.c
+md_encode_block / depth partitioning) collapsed to: candidate pruning by
+prediction SSE (its md_stage_0), full transform RD on survivors, and a
+NONE-vs-SPLIT recursive partition search with state save/restore.
+
+Rates come from frame-initial CDF snapshots (the reference's
+md_rate_estimation snapshot approach); distortion is exact recon SSE.
+All neighbor/context state is MD-local; the bitstream pass replays the
+chosen tree with its own clean state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.coeff_writer import CoeffWriter
+from ..bitstream.tables import FrameCdfs, scan_table, trim
+from ..bitstream.tile_writer import LeafBlock, PartitionNode, _gather_split_bool
+from ..ops import intra as intra_ops
+from ..ops.quant import build_plane_quant, quantize_b
+from ..ops.txfm import forward_txfm2d, inverse_txfm2d
+from .constants import (
+    BLOCK_H,
+    BLOCK_W,
+    INTRA_MODE_CONTEXT,
+    MAX_TX_SIZE_RECT,
+    TX_H,
+    TX_W,
+    IntraMode,
+    Partition,
+    TxType,
+    block_size_of,
+    partition_ctx_lookup,
+    subsize,
+)
+from .rd import CostTables, cdf_costs, rdcost
+
+
+class RateCounter:
+    """Duck-typed TileWriter for rate estimation: same _sym_at/enc/cdfs
+    interface, accumulates cost instead of coding. CDFs are static."""
+
+    class _Enc:
+        def __init__(self, outer):
+            self.outer = outer
+
+        def encode_literal(self, v, n):
+            self.outer.bits += n << 9
+
+    def __init__(self, cdfs: FrameCdfs):
+        self.cdfs = cdfs
+        self.adapt = False
+        self.bits = 0
+        self.enc = RateCounter._Enc(self)
+        self._cost_cache: dict = {}
+
+    def _sym_at(self, symbol: int, cdf_pair, *idx) -> None:
+        values, _ = cdf_pair
+        key = (id(values), idx)
+        costs = self._cost_cache.get(key)
+        if costs is None:
+            row = values[idx] if idx else values
+            costs = cdf_costs(row)
+            self._cost_cache[key] = costs
+        self.bits += int(costs[symbol])
+
+
+class ModeDecision:
+    MODES_FULL = [IntraMode.DC, IntraMode.V, IntraMode.H, IntraMode.SMOOTH,
+                  IntraMode.SMOOTH_V, IntraMode.SMOOTH_H, IntraMode.PAETH]
+
+    def __init__(self, seq, fr, pctx: list, mi_rows: int, mi_cols: int,
+                 rdmult: int, min_bsize: int, n_full_rd: int = 2):
+        self.seq = seq
+        self.fr = fr
+        self.pctx = pctx
+        self.mi_rows = mi_rows
+        self.mi_cols = mi_cols
+        self.rdmult = rdmult
+        self.min_bsize = min_bsize  # smallest square bsize searched
+        self.n_full_rd = n_full_rd
+        self.bd = seq.bit_depth
+
+        self.cdfs = FrameCdfs(fr.base_q_idx)  # static snapshot for rates
+        self.rc = RateCounter(self.cdfs)
+        self.cw = CoeffWriter(self.rc, mi_rows, mi_cols,
+                              seq.subsampling_x, seq.subsampling_y)
+        # MD-local neighbor state
+        self.y_modes = np.zeros((mi_rows, mi_cols), np.int8)
+        self.skips = np.zeros((mi_rows, mi_cols), np.int8)
+        self.above_part = np.zeros(mi_cols, np.uint8)
+        self.left_part = np.zeros(mi_rows, np.uint8)
+        # per-ctx partition cost tables
+        pvals, _ = self.cdfs.partition
+        self._part_costs = [cdf_costs(pvals[i]) for i in range(pvals.shape[0])]
+        kvals, _ = self.cdfs.kf_y_mode
+        self._kf_costs = [[cdf_costs(kvals[a, l]) for l in range(5)] for a in range(5)]
+        svals, _ = self.cdfs.skip
+        self._skip_costs = [cdf_costs(svals[i]) for i in range(3)]
+
+    # ---- state save/restore --------------------------------------------------------
+    def _save(self, r: int, c: int, bsize: int) -> dict:
+        bw4 = int(BLOCK_W[bsize]) >> 2
+        bh4 = int(BLOCK_H[bsize]) >> 2
+        r1 = min(r + bh4, self.mi_rows)
+        c1 = min(c + bw4, self.mi_cols)
+        st = {
+            "y_modes": self.y_modes[r:r1, c:c1].copy(),
+            "skips": self.skips[r:r1, c:c1].copy(),
+            "apart": self.above_part[c:c1].copy(),
+            "lpart": self.left_part[r:r1].copy(),
+            "coeff_a": [a[...].copy() for a in self.cw.above],
+            "coeff_l": [a[...].copy() for a in self.cw.left],
+            "recon": [],
+        }
+        for p, pc in enumerate(self.pctx):
+            ssx = pc.ss_x
+            ssy = pc.ss_y
+            x0, y0 = (c * 4) >> ssx, (r * 4) >> ssy
+            x1 = min(((c + bw4) * 4) >> ssx, pc.recon.shape[1])
+            y1 = min(((r + bh4) * 4) >> ssy, pc.recon.shape[0])
+            st["recon"].append(pc.recon[y0:y1, x0:x1].copy())
+        st["rc"] = (r, c, bsize)
+        return st
+
+    def _restore(self, st: dict) -> None:
+        r, c, bsize = st["rc"]
+        bw4 = int(BLOCK_W[bsize]) >> 2
+        bh4 = int(BLOCK_H[bsize]) >> 2
+        r1 = min(r + bh4, self.mi_rows)
+        c1 = min(c + bw4, self.mi_cols)
+        self.y_modes[r:r1, c:c1] = st["y_modes"]
+        self.skips[r:r1, c:c1] = st["skips"]
+        self.above_part[c:c1] = st["apart"]
+        self.left_part[r:r1] = st["lpart"]
+        for p in range(3):
+            self.cw.above[p][...] = st["coeff_a"][p]
+            self.cw.left[p][...] = st["coeff_l"][p]
+        for p, pc in enumerate(self.pctx):
+            blk = st["recon"][p]
+            ssx, ssy = pc.ss_x, pc.ss_y
+            x0, y0 = (c * 4) >> ssx, (r * 4) >> ssy
+            pc.recon[y0 : y0 + blk.shape[0], x0 : x0 + blk.shape[1]] = blk
+
+    # ---- partition search -------------------------------------------------------------
+    def pick_partition(self, r: int, c: int, bsize: int) -> tuple[int, PartitionNode]:
+        bw4 = int(BLOCK_W[bsize]) >> 2
+        bh4 = int(BLOCK_H[bsize]) >> 2
+        has_rows = (r + bh4 // 2) < self.mi_rows
+        has_cols = (c + bw4 // 2) < self.mi_cols
+        inside = (r + bh4 <= self.mi_rows) and (c + bw4 <= self.mi_cols)
+        can_split = bsize > self.min_bsize
+
+        part_rates = self._partition_rates(r, c, bsize, bw4, has_rows, has_cols)
+
+        best = None
+        if inside:
+            st = self._save(r, c, bsize)
+            j_none, leaf = self._encode_block_rd(r, c, bsize)
+            j_none += (part_rates.get(Partition.NONE, 0) * self.rdmult) >> 9
+            best = (j_none, PartitionNode(Partition.NONE, leaf=leaf),
+                    self._save(r, c, bsize))
+            self._restore(st)
+
+        if (not inside) or can_split:
+            st = self._save(r, c, bsize)
+            sub = subsize(Partition.SPLIT, bsize)
+            half = bw4 // 2
+            j_split = (part_rates.get(Partition.SPLIT, 0) * self.rdmult) >> 9
+            children = []
+            for rr, cc in ((r, c), (r, c + half), (r + half, c), (r + half, c + half)):
+                if rr >= self.mi_rows or cc >= self.mi_cols:
+                    children.append(PartitionNode(Partition.NONE, leaf=LeafBlock(sub)))
+                    continue
+                j, node = self.pick_partition(rr, cc, sub)
+                j_split += j
+                children.append(node)
+            if best is None or j_split < best[0]:
+                best = (j_split, PartitionNode(Partition.SPLIT, children=children),
+                        self._save(r, c, bsize))
+            self._restore(st)
+
+        assert best is not None, "no legal partition (block outside?)"
+        # leave the chosen alternative's state applied
+        jbest, node, state = best
+        self._restore(state)
+        return jbest, node
+
+    def _partition_rates(self, r, c, bsize, bw4, has_rows, has_cols) -> dict:
+        if bw4 <= 1:
+            return {}
+        avail_u = r > 0
+        avail_l = c > 0
+        bsl_ctx = bw4.bit_length() - 2
+        above_bit = (int(self.above_part[c]) >> bsl_ctx) & 1 if avail_u else 0
+        left_bit = (int(self.left_part[r]) >> bsl_ctx) & 1 if avail_l else 0
+        ctx = (left_bit * 2 + above_bit) + bsl_ctx * 4
+        if has_rows and has_cols:
+            costs = self._part_costs[ctx]
+            return {Partition.NONE: int(costs[0]), Partition.SPLIT: int(costs[3])}
+        pvals, _ = self.cdfs.partition
+        cdf = trim(pvals[ctx])
+        bcdf = _gather_split_bool(cdf, bsize, vert=not has_rows)
+        bc = cdf_costs(bcdf)
+        if not has_rows and not has_cols:
+            return {Partition.SPLIT: 0}
+        return {Partition.SPLIT: int(bc[1])}
+
+    # ---- block RD ------------------------------------------------------------------------
+    def _encode_block_rd(self, r: int, c: int, bsize: int) -> tuple[int, LeafBlock]:
+        bw4 = int(BLOCK_W[bsize]) >> 2
+        bh4 = int(BLOCK_H[bsize]) >> 2
+        x, y = c * 4, r * 4
+        pc = self.pctx[0]
+        tx_size = int(MAX_TX_SIZE_RECT[bsize])
+        tx_w, tx_h = int(TX_W[tx_size]), int(TX_H[tx_size])
+        have_above = r > 0
+        have_left = c > 0
+
+        # stage 0: prediction SSE over all candidates
+        cands = []
+        for mode in self.MODES_FULL:
+            pred = self._predict(pc, x, y, tx_w, tx_h, have_above, have_left, mode)
+            src = pc.src[y : y + tx_h, x : x + tx_w]
+            sse = int(((src - pred).astype(np.int64) ** 2).sum())
+            cands.append((sse, mode, pred))
+        cands.sort(key=lambda t: t[0])
+        survivors = cands[: self.n_full_rd]
+
+        # mode rate context
+        above_mode = int(self.y_modes[r - 1, c]) if have_above else IntraMode.DC
+        left_mode = int(self.y_modes[r, c - 1]) if have_left else IntraMode.DC
+        kf_costs = self._kf_costs[int(INTRA_MODE_CONTEXT[above_mode])][
+            int(INTRA_MODE_CONTEXT[left_mode])]
+        above_skip = int(self.skips[r - 1, c]) if have_above else 0
+        left_skip = int(self.skips[r, c - 1]) if have_left else 0
+        skip_costs = self._skip_costs[above_skip + left_skip]
+
+        has_chroma = self._has_chroma(r, c, bw4, bh4)
+
+        best = None
+        for _, mode, pred in survivors:
+            j, leaf, artifacts = self._try_mode(mode, pred, r, c, bsize, x, y,
+                                                tx_size, kf_costs, skip_costs,
+                                                has_chroma)
+            if best is None or j < best[0]:
+                best = (j, leaf, artifacts)
+        j, leaf, artifacts = best
+        self._commit_block(leaf, artifacts, r, c, bsize, x, y, has_chroma)
+        return j, leaf
+
+    def _try_mode(self, mode, pred, r, c, bsize, x, y, tx_size, kf_costs,
+                  skip_costs, has_chroma):
+        """RD one luma mode (+ DC chroma); returns (J, leaf, artifacts)
+        without mutating shared state beyond what _commit_block redoes."""
+        fr = self.fr
+        bd = self.bd
+        rate = int(kf_costs[mode])
+
+        txbs = []
+        dist = 0
+        # luma
+        qc, eob, rec, d = self._txb_rd(self.pctx[0], pred, x, y, tx_size,
+                                       TxType.DCT_DCT, 0)
+        txbs.append({"plane": 0, "plane_bsize": bsize, "tx_size": tx_size,
+                     "tx_type": int(TxType.DCT_DCT), "qcoeff": qc, "eob": eob,
+                     "ux": x >> 2, "uy": y >> 2, "_rec": rec})
+        dist += d
+        if has_chroma:
+            ssx, ssy = self.pctx[1].ss_x, self.pctx[1].ss_y
+            cw_px = max(int(BLOCK_W[bsize]) >> ssx, 4)
+            ch_px = max(int(BLOCK_H[bsize]) >> ssy, 4)
+            uv_bsize = block_size_of(cw_px, ch_px)
+            uv_tx = int(MAX_TX_SIZE_RECT[uv_bsize])
+            cx, cy = x >> ssx, y >> ssy
+            from .encoder import chroma_tx_type
+
+            uv_tt = chroma_tx_type(IntraMode.DC, uv_tx)
+            for p in (1, 2):
+                pcc = self.pctx[p]
+                predc = self._predict(pcc, cx, cy, int(TX_W[uv_tx]), int(TX_H[uv_tx]),
+                                      cy > 0, cx > 0, IntraMode.DC)
+                qc, eob, rec, d = self._txb_rd(pcc, predc, cx, cy, uv_tx, uv_tt, p)
+                txbs.append({"plane": p, "plane_bsize": uv_bsize, "tx_size": uv_tx,
+                             "tx_type": int(uv_tt), "qcoeff": qc, "eob": eob,
+                             "ux": cx >> 2, "uy": cy >> 2, "_rec": rec})
+                dist += d
+
+        skip = all(t["eob"] == 0 for t in txbs)
+        rate += int(skip_costs[1 if skip else 0])
+        if not skip:
+            # coefficient rate via the counting sink (uses current ctx state)
+            ca = [a.copy() for a in self.cw.above]
+            cl = [a.copy() for a in self.cw.left]
+            self.rc.bits = 0
+            for t in txbs:
+                self.cw.write_txb(t["plane"], t["plane_bsize"], t["tx_size"],
+                                  t["tx_type"], t["qcoeff"], t["eob"],
+                                  t["ux"], t["uy"])
+            rate += self.rc.bits
+            for p in range(3):
+                self.cw.above[p][...] = ca[p]
+                self.cw.left[p][...] = cl[p]
+
+        leaf = LeafBlock(bsize, y_mode=int(mode), uv_mode=int(IntraMode.DC),
+                         skip=skip, coeffs=None if skip else
+                         [{k: v for k, v in t.items() if k != "_rec"} for t in txbs])
+        return rdcost(self.rdmult, rate, dist), leaf, txbs
+
+    def _txb_rd(self, pc, pred, x, y, tx_size, tx_type, plane):
+        from .encoder import tx_log_scale
+
+        fr = self.fr
+        bd = self.bd
+        tx_w, tx_h = int(TX_W[tx_size]), int(TX_H[tx_size])
+        src = pc.src[y : y + tx_h, x : x + tx_w]
+        resid = (src - pred).astype(np.int32)
+        coeffs = forward_txfm2d(resid[None], tx_w, tx_h, tx_type, bd)[0]
+        ls = tx_log_scale(tx_size)
+        dc_delta = fr.delta_q_y_dc if plane == 0 else fr.delta_q_u_dc
+        ac_delta = 0 if plane == 0 else fr.delta_q_u_ac
+        pq = build_plane_quant(fr.base_q_idx, dc_delta, ac_delta, bd)
+        from ..bitstream.coeff_writer import _scan_kind
+
+        scan = scan_table(tx_size, _scan_kind(tx_type))
+        qcoeff, dqcoeff, eob = quantize_b(coeffs.reshape(1, -1), scan, pq, ls)
+        cw, ch = min(tx_w, 32), min(tx_h, 32)
+        eob = int(eob[0])
+        if eob:
+            rr = inverse_txfm2d(dqcoeff.reshape(1, ch, cw), tx_w, tx_h, tx_type, bd)[0]
+            rec = np.clip(pred + rr, 0, (1 << bd) - 1)
+        else:
+            rec = np.clip(pred, 0, (1 << bd) - 1)
+        dist = int(((src - rec).astype(np.int64) ** 2).sum())
+        return qcoeff.reshape(ch, cw), eob, rec, dist
+
+    def _commit_block(self, leaf: LeafBlock, txbs, r, c, bsize, x, y, has_chroma):
+        """Apply the winning mode's recon + neighbor/context state."""
+        bw4 = int(BLOCK_W[bsize]) >> 2
+        bh4 = int(BLOCK_H[bsize]) >> 2
+        for t in txbs:
+            pc = self.pctx[t["plane"]]
+            rec = t["_rec"]
+            px, py = t["ux"] * 4, t["uy"] * 4
+            pc.recon[py : py + rec.shape[0], px : px + rec.shape[1]] = rec
+        r1 = min(r + bh4, self.mi_rows)
+        c1 = min(c + bw4, self.mi_cols)
+        self.y_modes[r:r1, c:c1] = leaf.y_mode
+        self.skips[r:r1, c:c1] = 1 if leaf.skip else 0
+        pa, pl = partition_ctx_lookup(bsize)
+        self.above_part[c:c1] = pa
+        self.left_part[r:r1] = pl
+        if leaf.skip:
+            self.cw.reset_skip_ctx(r, c, bw4, bh4, has_chroma)
+        else:
+            for t in txbs:
+                self.cw.write_txb(t["plane"], t["plane_bsize"], t["tx_size"],
+                                  t["tx_type"], t["qcoeff"], t["eob"],
+                                  t["ux"], t["uy"])
+            self.rc.bits = 0
+
+    def _predict(self, pc, x, y, w, h, have_above, have_left, mode):
+        above, left, flat = intra_ops.fill_neighbors(
+            pc.recon, x, y, w, h, have_above, have_left, mode, self.bd)
+        if flat is not None:
+            return np.full((h, w), flat, np.int32)
+        return intra_ops.predict(int(mode), above[None], left[None], w, h,
+                                 have_above, have_left, self.bd)[0]
+
+    def _has_chroma(self, r, c, bw4, bh4) -> bool:
+        if self.seq.mono_chrome:
+            return False
+        ok_y = (r % 2 == 1) or (bh4 % 2 == 0) or (self.seq.subsampling_y == 0)
+        ok_x = (c % 2 == 1) or (bw4 % 2 == 0) or (self.seq.subsampling_x == 0)
+        return ok_y and ok_x
