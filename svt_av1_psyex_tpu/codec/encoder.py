@@ -159,7 +159,9 @@ class Av1Encoder:
 
         md = ModeDecision(seq, fr, pctx, self.mi_rows, self.mi_cols,
                           rdmult=compute_rdmult(base_q_idx, seq.bit_depth),
-                          min_bsize=self._min_partition_bsize)
+                          min_bsize=self._min_partition_bsize,
+                          n_full_rd=3 if self.preset <= 6 else 2,
+                          angle_deltas=self.preset <= 9)
         sb_plans = []
         for r in range(0, self.mi_rows, sb_mi):
             for c in range(0, self.mi_cols, sb_mi):

@@ -70,10 +70,14 @@ class RateCounter:
 
 class ModeDecision:
     MODES_FULL = [IntraMode.DC, IntraMode.V, IntraMode.H, IntraMode.SMOOTH,
-                  IntraMode.SMOOTH_V, IntraMode.SMOOTH_H, IntraMode.PAETH]
+                  IntraMode.SMOOTH_V, IntraMode.SMOOTH_H, IntraMode.PAETH,
+                  IntraMode.D45, IntraMode.D135, IntraMode.D113,
+                  IntraMode.D157, IntraMode.D203, IntraMode.D67]
 
     def __init__(self, seq, fr, pctx: list, mi_rows: int, mi_cols: int,
-                 rdmult: int, min_bsize: int, n_full_rd: int = 2):
+                 rdmult: int, min_bsize: int, n_full_rd: int = 2,
+                 angle_deltas: bool = False):
+        self.angle_deltas = angle_deltas
         self.seq = seq
         self.fr = fr
         self.pctx = pctx
@@ -100,6 +104,8 @@ class ModeDecision:
         self._kf_costs = [[cdf_costs(kvals[a, l]) for l in range(5)] for a in range(5)]
         svals, _ = self.cdfs.skip
         self._skip_costs = [cdf_costs(svals[i]) for i in range(3)]
+        avals, _ = self.cdfs.angle_delta
+        self._angle_costs = [cdf_costs(avals[i]) for i in range(avals.shape[0])]
 
     # ---- state save/restore --------------------------------------------------------
     def _save(self, r: int, c: int, bsize: int) -> dict:
@@ -221,9 +227,11 @@ class ModeDecision:
         have_left = c > 0
 
         # stage 0: prediction SSE over all candidates
+        dr_avail_y = self._dr_avail(r, c, bsize, tx_size, 0)
         cands = []
         for mode in self.MODES_FULL:
-            pred = self._predict(pc, x, y, tx_w, tx_h, have_above, have_left, mode)
+            pred = self._predict(pc, x, y, tx_w, tx_h, have_above, have_left,
+                                 mode, 0, dr_avail_y)
             src = pc.src[y : y + tx_h, x : x + tx_w]
             sse = int(((src - pred).astype(np.int64) ** 2).sum())
             cands.append((sse, mode, pred))
@@ -243,22 +251,35 @@ class ModeDecision:
 
         best = None
         for _, mode, pred in survivors:
-            j, leaf, artifacts = self._try_mode(mode, pred, r, c, bsize, x, y,
+            j, leaf, artifacts = self._try_mode(mode, 0, pred, r, c, bsize, x, y,
                                                 tx_size, kf_costs, skip_costs,
                                                 has_chroma)
             if best is None or j < best[0]:
                 best = (j, leaf, artifacts)
+        # angle-delta refinement on the winning directional mode
+        if self.angle_deltas and best[1].y_mode in intra_ops.MODE_TO_ANGLE:
+            mode = IntraMode(best[1].y_mode)
+            for delta in (-3, -2, -1, 1, 2, 3):
+                pred = self._predict(pc, x, y, tx_w, tx_h, have_above, have_left,
+                                     mode, delta, dr_avail_y)
+                j, leaf, artifacts = self._try_mode(mode, delta, pred, r, c, bsize,
+                                                    x, y, tx_size, kf_costs,
+                                                    skip_costs, has_chroma)
+                if j < best[0]:
+                    best = (j, leaf, artifacts)
         j, leaf, artifacts = best
         self._commit_block(leaf, artifacts, r, c, bsize, x, y, has_chroma)
         return j, leaf
 
-    def _try_mode(self, mode, pred, r, c, bsize, x, y, tx_size, kf_costs,
-                  skip_costs, has_chroma):
+    def _try_mode(self, mode, angle_delta, pred, r, c, bsize, x, y, tx_size,
+                  kf_costs, skip_costs, has_chroma):
         """RD one luma mode (+ DC chroma); returns (J, leaf, artifacts)
         without mutating shared state beyond what _commit_block redoes."""
         fr = self.fr
         bd = self.bd
         rate = int(kf_costs[mode])
+        if mode in intra_ops.MODE_TO_ANGLE:
+            rate += int(self._angle_costs[int(mode) - int(IntraMode.V)][angle_delta + 3])
 
         txbs = []
         dist = 0
@@ -306,7 +327,8 @@ class ModeDecision:
                 self.cw.left[p][...] = cl[p]
 
         leaf = LeafBlock(bsize, y_mode=int(mode), uv_mode=int(IntraMode.DC),
-                         skip=skip, coeffs=None if skip else
+                         angle_delta_y=angle_delta, skip=skip,
+                         coeffs=None if skip else
                          [{k: v for k, v in t.items() if k != "_rec"} for t in txbs])
         return rdcost(self.rdmult, rate, dist), leaf, txbs
 
@@ -362,13 +384,39 @@ class ModeDecision:
                                   t["ux"], t["uy"])
             self.rc.bits = 0
 
-    def _predict(self, pc, x, y, w, h, have_above, have_left, mode):
+    def _predict(self, pc, x, y, w, h, have_above, have_left, mode,
+                 angle_delta: int = 0, dr_avail=None):
+        if mode in intra_ops.MODE_TO_ANGLE:
+            p_angle = intra_ops.MODE_TO_ANGLE[IntraMode(mode)] \
+                + angle_delta * intra_ops.ANGLE_STEP
+            have_tr, have_bl = dr_avail if dr_avail else (False, False)
+            above, left, tl = intra_ops.fill_neighbors_dr(
+                pc.recon, x, y, w, h, have_above, have_left,
+                have_tr, have_bl, p_angle, self.bd)
+            if above is None:
+                return np.full((h, w), tl, np.int32)
+            return intra_ops.dr_predict(p_angle, above, left, tl, w, h, self.bd)
         above, left, flat = intra_ops.fill_neighbors(
             pc.recon, x, y, w, h, have_above, have_left, mode, self.bd)
         if flat is not None:
             return np.full((h, w), flat, np.int32)
         return intra_ops.predict(int(mode), above[None], left[None], w, h,
                                  have_above, have_left, self.bd)[0]
+
+    def _dr_avail(self, r, c, bsize, tx_size, plane) -> tuple[bool, bool]:
+        ss_x = self.pctx[plane].ss_x
+        ss_y = self.pctx[plane].ss_y
+        bw4 = int(BLOCK_W[bsize]) >> 2
+        bh4 = int(BLOCK_H[bsize]) >> 2
+        have_top = r > 0
+        have_left = c > 0
+        right_avail = c + bw4 < self.mi_cols
+        bottom_avail = r + bh4 < self.mi_rows
+        tr = intra_ops.intra_has_top_right(bsize, r, c, have_top, right_avail,
+                                           tx_size, ss_x, ss_y)
+        bl = intra_ops.intra_has_bottom_left(bsize, r, c, bottom_avail, have_left,
+                                             tx_size, ss_x, ss_y)
+        return tr, bl
 
     def _has_chroma(self, r, c, bw4, bh4) -> bool:
         if self.seq.mono_chrome:

@@ -104,6 +104,207 @@ _NEEDS = {
     IntraMode.PAETH: (True, True),
 }
 
+# spec Mode_To_Angle
+MODE_TO_ANGLE = {
+    IntraMode.V: 90, IntraMode.H: 180, IntraMode.D45: 45, IntraMode.D135: 135,
+    IntraMode.D113: 113, IntraMode.D157: 157, IntraMode.D203: 203, IntraMode.D67: 67,
+}
+ANGLE_STEP = 3
+
+
+def _dr_derivative(angle: int) -> int:
+    return int(get("dr_intra_derivative")[angle])
+
+
+def get_dx(angle: int) -> int:
+    if 0 < angle < 90:
+        return _dr_derivative(angle)
+    if 90 < angle < 180:
+        return _dr_derivative(180 - angle)
+    return 1
+
+
+def get_dy(angle: int) -> int:
+    if 90 < angle < 180:
+        return _dr_derivative(angle - 90)
+    if 180 < angle < 270:
+        return _dr_derivative(270 - angle)
+    return 1
+
+
+def dr_predict(p_angle: int, above_full: np.ndarray, left_full: np.ndarray,
+               top_left: int, w: int, h: int, bit_depth: int = 8) -> np.ndarray:
+    """Directional prediction (spec 7.11.2.4) for one block, upsample/edge
+    filter disabled (seq.enable_intra_edge_filter = 0 in the stream).
+
+    above_full: w+h entries (above row extended right);
+    left_full: w+h entries (left col extended down); top_left scalar.
+    """
+    assert 0 < p_angle < 270
+    if p_angle == 90:
+        return np.broadcast_to(above_full[None, :w], (h, w)).astype(np.int32)
+    if p_angle == 180:
+        return np.broadcast_to(left_full[:h, None], (h, w)).astype(np.int32)
+    maxv = (1 << bit_depth) - 1
+    rr = np.arange(h)[:, None]
+    cc = np.arange(w)[None, :]
+    if p_angle < 90:  # zone 1: above only
+        dx = get_dx(p_angle)
+        x = (rr + 1) * dx
+        base = (x >> 6) + cc
+        shift = (x & 0x3F) >> 1
+        max_base = w + h - 1
+        b = np.minimum(base, max_base)
+        b1 = np.minimum(base + 1, max_base)
+        val = (above_full[b] * (32 - shift) + above_full[b1] * shift + 16) >> 5
+        out = np.where(base >= max_base, above_full[max_base], val)
+        return np.clip(out, 0, maxv).astype(np.int32)
+    if p_angle > 180:  # zone 3: left only
+        dy = get_dy(p_angle)
+        y = (cc + 1) * dy
+        base = (y >> 6) + rr
+        shift = (y & 0x3F) >> 1
+        max_base = w + h - 1
+        b = np.minimum(base, max_base)
+        b1 = np.minimum(base + 1, max_base)
+        val = (left_full[b] * (32 - shift) + left_full[b1] * shift + 16) >> 5
+        out = np.where(base >= max_base, left_full[max_base], val)
+        return np.clip(out, 0, maxv).astype(np.int32)
+    # zone 2: 90 < angle < 180, both edges + top-left
+    dx = get_dx(p_angle)
+    dy = get_dy(p_angle)
+    # arrays indexed from -1: prepend top-left
+    above_m1 = np.concatenate([[top_left], above_full[:w]]).astype(np.int64)
+    left_m1 = np.concatenate([[top_left], left_full[:h]]).astype(np.int64)
+    x = -(rr + 1) * dx
+    base1 = (x >> 6) + cc  # >= -1 region uses above
+    shift1 = (x & 0x3F) >> 1
+    y = (rr << 6) - (cc + 1) * dy
+    base2 = y >> 6
+    shift2 = (y & 0x3F) >> 1
+    ab = np.clip(base1, -1, w - 1) + 1
+    ab1 = np.clip(base1 + 1, -1, w - 1) + 1
+    va = (above_m1[ab] * (32 - np.broadcast_to(shift1, ab.shape))
+          + above_m1[ab1] * np.broadcast_to(shift1, ab.shape) + 16) >> 5
+    lb = np.clip(base2, -1, h - 1) + 1
+    lb1 = np.clip(base2 + 1, -1, h - 1) + 1
+    vl = (left_m1[lb] * (32 - shift2) + left_m1[lb1] * shift2 + 16) >> 5
+    out = np.where(base1 >= -1, va, vl)
+    return np.clip(out, 0, maxv).astype(np.int32)
+
+
+def intra_has_top_right(bsize: int, mi_row: int, mi_col: int, have_top: bool,
+                        right_available: bool, tx_size: int,
+                        ss_x: int, ss_y: int, sb_mi: int = 16) -> bool:
+    """Block-level (row_off=col_off=0, partition NONE/SPLIT) top-right
+    availability — mirrors svt_aom_intra_has_top_right
+    (intra_prediction.c:695) for the 64x64-SB case."""
+    from ..codec.constants import BLOCK_H, BLOCK_W, TX_W
+
+    if not have_top or not right_available:
+        return False
+    plane_bw_unit = max((int(BLOCK_W[bsize]) >> 2) >> ss_x, 1)
+    tr_count = int(TX_W[tx_size]) >> 2
+    if tr_count < plane_bw_unit:
+        return True
+    bw_log2 = (int(BLOCK_W[bsize]) >> 2).bit_length() - 1
+    bh_log2 = (int(BLOCK_H[bsize]) >> 2).bit_length() - 1
+    blk_row = (mi_row & (sb_mi - 1)) >> bh_log2
+    blk_col = (mi_col & (sb_mi - 1)) >> bw_log2
+    if blk_row == 0:
+        return True
+    if ((blk_col + 1) << bw_log2) >= sb_mi:
+        return False
+    idx = (blk_row << (5 - bw_log2)) + blk_col  # MAX_MIB_SIZE_LOG2 = 5
+    t = get(f"has_tr_{int(BLOCK_W[bsize])}x{int(BLOCK_H[bsize])}")
+    return bool((int(t[idx // 8]) >> (idx % 8)) & 1)
+
+
+def intra_has_bottom_left(bsize: int, mi_row: int, mi_col: int,
+                          bottom_available: bool, have_left: bool, tx_size: int,
+                          ss_x: int, ss_y: int, sb_mi: int = 16) -> bool:
+    """Mirrors svt_aom_intra_has_bottom_left (intra_prediction.c:950)."""
+    from ..codec.constants import BLOCK_H, BLOCK_W, TX_H
+
+    if not bottom_available or not have_left:
+        return False
+    plane_bh_unit = max((int(BLOCK_H[bsize]) >> 2) >> ss_y, 1)
+    bl_count = int(TX_H[tx_size]) >> 2
+    if bl_count < plane_bh_unit:
+        return True
+    bw_log2 = (int(BLOCK_W[bsize]) >> 2).bit_length() - 1
+    bh_log2 = (int(BLOCK_H[bsize]) >> 2).bit_length() - 1
+    blk_row = (mi_row & (sb_mi - 1)) >> bh_log2
+    blk_col = (mi_col & (sb_mi - 1)) >> bw_log2
+    if blk_col == 0:
+        row_off_in_sb = (blk_row << bh_log2) >> ss_y
+        return row_off_in_sb + bl_count < (sb_mi >> ss_y)
+    if ((blk_row + 1) << bh_log2) >= sb_mi:
+        return False
+    idx = (blk_row << (5 - bw_log2)) + blk_col
+    t = get(f"has_bl_{int(BLOCK_W[bsize])}x{int(BLOCK_H[bsize])}")
+    return bool((int(t[idx // 8]) >> (idx % 8)) & 1)
+
+
+def fill_neighbors_dr(recon: np.ndarray, x: int, y: int, w: int, h: int,
+                      have_above: bool, have_left: bool, have_tr: bool,
+                      have_bl: bool, p_angle: int, bit_depth: int = 8):
+    """Extended neighbor fill for directional modes (build_intra_predictors
+    rules, edge filter/upsample off). Returns (above(w+h), left(w+h), tl)
+    or a flat fill value via the early-exit rule."""
+    base = 1 << (bit_depth - 1)
+    need_above = p_angle < 180
+    need_left = p_angle > 90
+    n_top = w if have_above else 0
+    n_left = h if have_left else 0
+    ph, pw = recon.shape
+    n_tr = min(w, max(pw - (x + w), 0)) if have_tr else 0
+    n_bl = min(h, max(ph - (y + h), 0)) if have_bl else 0
+
+    if (not need_above and n_left == 0) or (not need_left and n_top == 0):
+        if need_left:
+            val = int(recon[y - 1, x]) if n_top > 0 else base + 1
+        else:
+            val = int(recon[y, x - 1]) if n_left > 0 else base - 1
+        return None, None, val
+
+    need_bottom = p_angle > 180
+    need_right = p_angle < 90
+    left = np.empty(w + h, np.int64)
+    above = np.empty(w + h, np.int64)
+    num_left_needed = h + (w if need_bottom else 0)
+    num_top_needed = w + (h if need_right else 0)
+    if need_left:
+        if n_left > 0:
+            left[:h] = recon[y : y + h, x - 1]
+            i = h
+            if need_bottom and n_bl > 0:
+                left[h : h + n_bl] = recon[y + h : y + h + n_bl, x - 1]
+                i += n_bl
+            left[i:num_left_needed] = left[i - 1]
+        else:
+            left[:num_left_needed] = recon[y - 1, x] if n_top > 0 else base + 1
+    if need_above:
+        if n_top > 0:
+            above[:w] = recon[y - 1, x : x + w]
+            i = w
+            if need_right and n_tr > 0:
+                above[w : w + n_tr] = recon[y - 1, x + w : x + w + n_tr]
+                i += n_tr
+            above[i:num_top_needed] = above[i - 1]
+        else:
+            above[:num_top_needed] = recon[y, x - 1] if n_left > 0 else base - 1
+    # above-left (always needed for directional)
+    if n_top > 0 and n_left > 0:
+        tl = int(recon[y - 1, x - 1])
+    elif n_top > 0:
+        tl = int(recon[y - 1, x])
+    elif n_left > 0:
+        tl = int(recon[y, x - 1])
+    else:
+        tl = base
+    return above, left, tl
+
 
 def fill_neighbors(recon: np.ndarray, x: int, y: int, w: int, h: int,
                    have_above: bool, have_left: bool, mode: int,

@@ -278,6 +278,28 @@ def main() -> None:
     tables["sm_weight_arrays"] = arr
     print("intra_prediction.c: sm_weight_arrays")
 
+    # directional-prediction derivative table (spec Dr_Intra_Derivative)
+    m = re.search(r"eb_dr_intra_derivative\[90\]\s*=\s*\{", ip)
+    assert m
+    block, _ = _balanced_braces(ip, m.end() - 1)
+    arr = np.array(_parse_init(block), dtype=np.int32)
+    assert arr.size == 90
+    tables["dr_intra_derivative"] = arr
+    print("intra_prediction.c: dr_intra_derivative")
+
+    # has_top_right / has_bottom_left availability bitmaps (spec-derived
+    # z-order coding-precedence tables, per block size + vert-partition
+    # variants)
+    n_avail = 0
+    for m in re.finditer(r"static uint8_t (has_(?:tr|bl)(?:_vert)?_\d+x\d+)\[(\d+)\]\s*=\s*\{", ip):
+        name, size = m.group(1), int(m.group(2))
+        block, _ = _balanced_braces(ip, m.end() - 1)
+        arr = np.array(_parse_init(block), dtype=np.int32)
+        assert arr.size == size, (name, arr.size, size)
+        tables[name] = arr
+        n_avail += 1
+    print(f"intra_prediction.c: {n_avail} has_tr/has_bl tables")
+
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT_DIR / "av1_tables.npz", **tables)
     manifest = {k: list(v.shape) for k, v in sorted(tables.items())}
