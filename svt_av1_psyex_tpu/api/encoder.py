@@ -121,12 +121,12 @@ class SvtAv1Encoder:
         return frame_idx % (period + 1) == 0
 
     def _drain(self) -> None:
-        # current intra slice: every frame encodes immediately (no lookahead)
+        # low-delay IPPP (no lookahead/hierarchy yet): keyframes per keyint
         while self._in_q:
             planes, pts, force_key = self._in_q.popleft()
-            # inter path pending: all frames are keyframes for now
-            tu = self._enc.encode_keyframe(planes, self.config.qindex)
-            self._out_q.append(Packet(tu, pts, pts, frame_type=0))
+            key = force_key or self._keyframe_due(pts)
+            tu = self._enc.encode_frame(planes, self.config.qindex, force_key=key)
+            self._out_q.append(Packet(tu, pts, pts, frame_type=0 if key else 1))
             if self.config.recon_enabled:
                 self._recon_q.append(Recon(self._enc.last_recon, pts))
         if self._eos_sent and not self._eos_emitted:

@@ -299,9 +299,9 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig, w: BitWriter) -> No
             w.f(0, 1)
         for i in range(7):
             w.f(fr.ref_frame_idx[i], 3)
-        # frame_size_override==0: frame_size_with_refs -> found_ref loop
-        for _ in range(7):
-            w.f(0, 1)  # found_ref = 0 for each -> fall back to frame_size()
+        # frame_size_override_flag == 0: frame_size() + render_size()
+        # (frame_size_with_refs / found_ref bits are only coded when the
+        # override flag is set)
         _write_frame_size(w, seq)
         # allow_high_precision_mv (force_integer_mv==0)
         w.f(0, 1)

@@ -133,6 +133,26 @@ class FrameCdfs:
         self.intrabc = self._wrap(clone("default_intrabc_cdf")) if "default_intrabc_cdf" in t else None
         self.delta_q = self._wrap(clone("default_delta_q_cdf")) if "default_delta_q_cdf" in t else None
 
+        # inter
+        self.intra_inter = self._wrap(clone("default_intra_inter_cdf"))
+        self.single_ref = self._wrap(clone("default_single_ref_cdf"))
+        self.comp_inter = self._wrap(clone("default_comp_inter_cdf"))
+        self.newmv = self._wrap(clone("default_newmv_cdf"))
+        self.zeromv = self._wrap(clone("default_zeromv_cdf"))
+        self.refmv = self._wrap(clone("default_refmv_cdf"))
+        self.drl = self._wrap(clone("default_drl_cdf"))
+        self.skip_mode = self._wrap(clone("default_skip_mode_cdfs"))
+        self.nmv_joints = self._wrap(clone("nmv_joints_cdf"))
+        # per-component (0 vertical/row, 1 horizontal/col)
+        self.nmv_sign = self._wrap(clone("nmv_sign_cdf"))
+        self.nmv_classes = self._wrap(clone("nmv_classes_cdf"))
+        self.nmv_class0 = self._wrap(clone("nmv_class0_cdf"))
+        self.nmv_class0_fp = self._wrap(clone("nmv_class0_fp_cdf"))
+        self.nmv_fp = self._wrap(clone("nmv_fp_cdf"))
+        self.nmv_class0_hp = self._wrap(clone("nmv_class0_hp_cdf"))
+        self.nmv_hp = self._wrap(clone("nmv_hp_cdf"))
+        self.nmv_bits = self._wrap(clone("nmv_bits_cdf"))
+
         # coefficients (quality-context dependent)
         q = self.qctx
         self.txb_skip = self._wrap(clone("av1_default_txb_skip_cdfs")[q])

@@ -43,6 +43,12 @@ class LeafBlock:
     # per-plane coefficient payloads: list over tx blocks in coding order;
     # filled by the transform/quant stage. None => all-skip.
     coeffs: object = None
+    # inter fields (inter frames only)
+    is_inter: bool = False
+    ref_frame: int = 1  # LAST_FRAME
+    inter_mode: int = 16  # NEWMV
+    mv: tuple = (0, 0)  # (row, col) 1/8 pel
+    drl_index: int = 0
 
 
 @dataclass
@@ -71,10 +77,14 @@ class TileWriter:
         # neighbor state over the full mi grid (simple; tiles slice it)
         self.y_modes = np.zeros((mi_rows, mi_cols), dtype=np.int8)
         self.skips = np.zeros((mi_rows, mi_cols), dtype=np.int8)
-        self.above_part = np.zeros(mi_cols, dtype=np.uint8)
-        self.left_part = np.zeros(mi_rows, dtype=np.uint8)
+        self.inters = np.zeros((mi_rows, mi_cols), dtype=np.int8)
         # coefficient contexts are managed by the coeff writer (set later)
         self.coeff_writer = None
+        # inter frames: MVP mi-state (set by the encoder), replayed in
+        # lockstep with the decoder's derivation
+        self.mi_state = None
+        self.above_part = np.zeros(mi_cols, dtype=np.uint8)
+        self.left_part = np.zeros(mi_rows, dtype=np.uint8)
 
     # ---- symbol helper with adaptation --------------------------------------
     def _sym_at(self, symbol: int, cdf_pair, *idx) -> None:
@@ -157,31 +167,30 @@ class TileWriter:
         avail_u = r > self.r0
         avail_l = c > self.c0
 
-        # skip flag (intra_frame_mode_info order: skip first)
+        # skip flag (first in both intra/inter frame mode info)
         above_skip = int(self.skips[r - 1, c]) if avail_u else 0
         left_skip = int(self.skips[r, c - 1]) if avail_l else 0
         skip = 1 if leaf.skip else 0
         self._sym_at(skip, self.cdfs.skip, above_skip + left_skip)
 
-        # intra_frame_y_mode
-        above_mode = int(self.y_modes[r - 1, c]) if avail_u else IntraMode.DC
-        left_mode = int(self.y_modes[r, c - 1]) if avail_l else IntraMode.DC
-        actx = int(INTRA_MODE_CONTEXT[above_mode])
-        lctx = int(INTRA_MODE_CONTEXT[left_mode])
-        self._sym_at(leaf.y_mode, self.cdfs.kf_y_mode, actx, lctx)
         use_angle = bsize >= 3  # BLOCK_8X8
-        if use_angle and leaf.y_mode in DIRECTIONAL:
-            self._sym_at(leaf.angle_delta_y + MAX_ANGLE_DELTA,
-                         self.cdfs.angle_delta, leaf.y_mode - IntraMode.V)
-
         has_chroma = self._has_chroma(r, c, bw4, bh4)
-        if has_chroma:
-            cfl_allowed = 1 if (int(BLOCK_W[bsize]) <= 32 and int(BLOCK_H[bsize]) <= 32) else 0
-            self._sym_at(leaf.uv_mode, self.cdfs.uv_mode, cfl_allowed, leaf.y_mode)
-            assert leaf.uv_mode != 13, "CFL not implemented yet"
-            if use_angle and leaf.uv_mode in DIRECTIONAL:
-                self._sym_at(leaf.angle_delta_uv + MAX_ANGLE_DELTA,
-                             self.cdfs.angle_delta, leaf.uv_mode - IntraMode.V)
+
+        if self.fr.frame_is_intra:
+            # intra_frame_y_mode with kf neighbor context
+            above_mode = int(self.y_modes[r - 1, c]) if avail_u else IntraMode.DC
+            left_mode = int(self.y_modes[r, c - 1]) if avail_l else IntraMode.DC
+            actx = int(INTRA_MODE_CONTEXT[above_mode])
+            lctx = int(INTRA_MODE_CONTEXT[left_mode])
+            self._sym_at(leaf.y_mode, self.cdfs.kf_y_mode, actx, lctx)
+            if use_angle and leaf.y_mode in DIRECTIONAL:
+                self._sym_at(leaf.angle_delta_y + MAX_ANGLE_DELTA,
+                             self.cdfs.angle_delta, leaf.y_mode - IntraMode.V)
+            if has_chroma:
+                self._write_uv_mode(leaf, bsize, use_angle)
+        else:
+            self._write_inter_mode_info(leaf, r, c, bsize, avail_u, avail_l,
+                                        use_angle, has_chroma)
 
         # filter_intra: seq gate off
         # palette: screen content off
@@ -204,9 +213,170 @@ class TileWriter:
         c_end = min(c + bw4, self.mi_cols)
         self.y_modes[r:r_end, c:c_end] = leaf.y_mode
         self.skips[r:r_end, c:c_end] = skip
+        self.inters[r:r_end, c:c_end] = 1 if leaf.is_inter else 0
+        if self.mi_state is not None:
+            self.mi_state.set_block(r, c, bsize,
+                                    leaf.ref_frame if leaf.is_inter else -1,
+                                    leaf.mv if leaf.is_inter else (0, 0),
+                                    leaf.is_inter and leaf.inter_mode == 16)
         pa, pl = partition_ctx_lookup(bsize)
         self.above_part[c:c_end] = pa
         self.left_part[r:r_end] = pl
+
+    def _write_uv_mode(self, leaf: LeafBlock, bsize: int, use_angle: bool) -> None:
+        cfl_allowed = 1 if (int(BLOCK_W[bsize]) <= 32 and int(BLOCK_H[bsize]) <= 32) else 0
+        self._sym_at(leaf.uv_mode, self.cdfs.uv_mode, cfl_allowed, leaf.y_mode)
+        assert leaf.uv_mode != 13, "CFL not implemented yet"
+        if use_angle and leaf.uv_mode in DIRECTIONAL:
+            self._sym_at(leaf.angle_delta_uv + MAX_ANGLE_DELTA,
+                         self.cdfs.angle_delta, leaf.uv_mode - IntraMode.V)
+
+    def _write_inter_mode_info(self, leaf: LeafBlock, r: int, c: int, bsize: int,
+                               avail_u: bool, avail_l: bool, use_angle: bool,
+                               has_chroma: bool) -> None:
+        """mode_info() for inter frames (spec inter_frame_mode_info after
+        skip): is_inter, then intra modes or ref/mode/drl/mv."""
+        from ..codec.constants import SIZE_GROUP, InterMode
+        from ..codec.mvp import find_mv_stack
+
+        # intra/inter context (av1_get_intra_inter_context semantics)
+        a_int = int(self.inters[r - 1, c]) if avail_u else -1
+        l_int = int(self.inters[r, c - 1]) if avail_l else -1
+        if avail_u and avail_l:
+            ctx = 3 if (a_int == 0 and l_int == 0) else int(a_int == 0) + int(l_int == 0)
+        elif avail_u or avail_l:
+            ctx = 2 * int((a_int if avail_u else l_int) == 0)
+        else:
+            ctx = 0
+        self._sym_at(1 if leaf.is_inter else 0, self.cdfs.intra_inter, ctx)
+
+        if not leaf.is_inter:
+            self._sym_at(leaf.y_mode, self.cdfs.y_mode, int(SIZE_GROUP[bsize]))
+            if use_angle and leaf.y_mode in DIRECTIONAL:
+                self._sym_at(leaf.angle_delta_y + MAX_ANGLE_DELTA,
+                             self.cdfs.angle_delta, leaf.y_mode - IntraMode.V)
+            if has_chroma:
+                self._write_uv_mode(leaf, bsize, use_angle)
+            return
+
+        # ---- ref frames (single reference: LAST only for now) ----
+        self._write_ref_frames(leaf, r, c, avail_u, avail_l)
+
+        stack = find_mv_stack(self.mi_state, r, c, bsize, leaf.ref_frame)
+        mode_ctx = stack.mode_context
+        mode = InterMode(leaf.inter_mode)
+
+        # write_inter_mode
+        newmv_ctx = mode_ctx & 7
+        self._sym_at(0 if mode == InterMode.NEWMV else 1, self.cdfs.newmv, newmv_ctx)
+        if mode != InterMode.NEWMV:
+            zeromv_ctx = (mode_ctx >> 3) & 1
+            self._sym_at(0 if mode == InterMode.GLOBALMV else 1,
+                         self.cdfs.zeromv, zeromv_ctx)
+            if mode != InterMode.GLOBALMV:
+                refmv_ctx = (mode_ctx >> 4) & 15
+                self._sym_at(0 if mode == InterMode.NEARESTMV else 1,
+                             self.cdfs.refmv, refmv_ctx)
+
+        # write_drl_idx
+        if mode == InterMode.NEWMV:
+            for idx in range(2):
+                if stack.count > idx + 1:
+                    drl_ctx = stack.drl_ctx(idx)
+                    self._sym_at(1 if leaf.drl_index != idx else 0,
+                                 self.cdfs.drl, drl_ctx)
+                    if leaf.drl_index == idx:
+                        break
+        elif mode == InterMode.NEARMV:
+            for idx in range(1, 3):
+                if stack.count > idx + 1:
+                    drl_ctx = stack.drl_ctx(idx)
+                    self._sym_at(1 if leaf.drl_index != (idx - 1) else 0,
+                                 self.cdfs.drl, drl_ctx)
+                    if leaf.drl_index == idx - 1:
+                        break
+
+        # MV residual
+        if mode == InterMode.NEWMV:
+            ref_mv = stack.mvs[leaf.drl_index]
+            self._write_mv(leaf.mv, ref_mv)
+
+    def _write_ref_frames(self, leaf: LeafBlock, r: int, c: int,
+                          avail_u: bool, avail_l: bool) -> None:
+        """write_ref_frames single-ref path with neighbor-count contexts."""
+        counts = np.zeros(8, np.int32)
+        for rr, cc, av in ((r - 1, c, avail_u), (r, c - 1, avail_l)):
+            if av and self.inters[rr, cc]:
+                counts[int(self.mi_state.ref_frame[rr, cc])] += 1
+        fwd = int(counts[1:5].sum())
+        bwd = int(counts[5:8].sum())
+
+        def cmp_ctx(a, b):
+            return 1 if a == b else (0 if a < b else 2)
+
+        ref = leaf.ref_frame
+        bit0 = 1 if ref >= 5 else 0  # BWDREF group
+        self._sym_at(bit0, self.cdfs.single_ref, cmp_ctx(fwd, bwd), 0)
+        if bit0:
+            bit1 = 1 if ref == 7 else 0
+            ctx = cmp_ctx(int(counts[5] + counts[6]), int(counts[7]))
+            self._sym_at(bit1, self.cdfs.single_ref, ctx, 1)
+            if not bit1:
+                self._sym_at(1 if ref == 6 else 0, self.cdfs.single_ref,
+                             cmp_ctx(int(counts[5]), int(counts[6])), 5)
+        else:
+            bit2 = 1 if ref in (3, 4) else 0
+            ctx = cmp_ctx(int(counts[1] + counts[2]), int(counts[3] + counts[4]))
+            self._sym_at(bit2, self.cdfs.single_ref, ctx, 2)
+            if not bit2:
+                self._sym_at(1 if ref != 1 else 0, self.cdfs.single_ref,
+                             cmp_ctx(int(counts[1]), int(counts[2])), 3)
+            else:
+                self._sym_at(1 if ref != 3 else 0, self.cdfs.single_ref,
+                             cmp_ctx(int(counts[3]), int(counts[4])), 4)
+
+    def _write_mv(self, mv: tuple, ref_mv: tuple) -> None:
+        """svt_av1_encode_mv: joint + per-component, low precision (no hp)."""
+        diff = (mv[0] - ref_mv[0], mv[1] - ref_mv[1])
+        joint = (2 if diff[1] else 0) | (1 if diff[0] else 0)
+        # MV_JOINT: 0 zero, 1 HNZVZ (col!=0? no...) spec: 1 = hor zero,
+        # vert nonzero? av1_get_mv_joint_diff: diff[0]==0 ? (diff[1]==0 ?
+        # ZERO : HNZVZ) : (diff[1]==0 ? HZVNZ : HNZVNZ) with diff[0]=row
+        if diff[0] == 0:
+            joint = 0 if diff[1] == 0 else 1
+        else:
+            joint = 2 if diff[1] == 0 else 3
+        self._sym_at(joint, self.cdfs.nmv_joints)
+        if diff[0] != 0:  # vertical component (comp index 0)
+            self._write_mv_component(diff[0], 0)
+        if diff[1] != 0:
+            self._write_mv_component(diff[1], 1)
+
+    def _write_mv_component(self, comp: int, ci: int) -> None:
+        sign = 1 if comp < 0 else 0
+        mag = -comp if comp < 0 else comp
+        z = mag - 1
+        if z < 16:  # CLASS0_SIZE(2) << 3
+            mv_class = 0
+            offset = z
+        else:
+            mv_class = min(10, (z >> 3).bit_length() - 1)
+            offset = z - (2 << (mv_class + 2))
+        d = offset >> 3
+        fr_bits = (offset >> 1) & 3
+        self._sym_at(sign, self.cdfs.nmv_sign, ci)
+        self._sym_at(mv_class, self.cdfs.nmv_classes, ci)
+        if mv_class == 0:
+            self._sym_at(d, self.cdfs.nmv_class0, ci)
+        else:
+            n = mv_class  # mv_class + CLASS0_BITS(1) - 1 integer bits
+            for i in range(n):
+                self._sym_at((d >> i) & 1, self.cdfs.nmv_bits, ci, i)
+        # fractional (precision MV_SUBPEL_LOW_PRECISION: fr coded, hp not)
+        if mv_class == 0:
+            self._sym_at(fr_bits, self.cdfs.nmv_class0_fp, ci, d)
+        else:
+            self._sym_at(fr_bits, self.cdfs.nmv_fp, ci)
 
     def _make_tx_type_writer(self, leaf: LeafBlock):
         """Returns a callback writing the luma tx_type symbol when the tx
@@ -220,16 +390,33 @@ class TileWriter:
             if self.fr.base_q_idx == 0:
                 return
             sqr_up = tx_size_sqr_up(tx_size)
-            if sqr_up > 3:  # TX_32X32: intra sets are DCT-only at >=32
+            if sqr_up > 3:  # 64-class: DCT only, no signal
+                return
+            sqr = tx_size_sqr(tx_size)
+            if leaf.is_inter:
+                # ext_tx_set_index[inter]: DCT_IDTX->3, DTT9_IDTX_1DDCT->2,
+                # ALL16->1 (definitions.h:1808)
+                if self.fr.reduced_tx_set or sqr_up == 3:  # DCT_IDTX (2)
+                    eset = 3
+                    ind = {0: 1, 9: 0}[tx_type]
+                elif sqr == 2:  # 16x16: DTT9_IDTX_1DDCT (12)
+                    eset = 2
+                    ind = {9: 0, 10: 1, 11: 2, 0: 3, 1: 4, 2: 5, 4: 6, 5: 7,
+                           3: 8, 6: 9, 7: 10, 8: 11}[tx_type]
+                else:  # ALL16
+                    eset = 1
+                    ind = {9: 0, 10: 1, 11: 2, 12: 3, 13: 4, 14: 5, 15: 6,
+                           0: 7, 1: 8, 2: 9, 4: 10, 5: 11, 3: 12, 6: 13,
+                           7: 14, 8: 15}[tx_type]
+                self._sym_at(ind, self.cdfs.inter_ext_tx, eset, sqr)
                 return
             if sqr_up == 3:
                 return  # intra 32x32: EXT_TX_SET_DCTONLY
-            sqr = tx_size_sqr(tx_size)
             if self.fr.reduced_tx_set or sqr == 2:  # 16x16: DTT4_IDTX (5)
-                eset, nsym = 2, 5
+                eset = 2
                 ind = {9: 0, 0: 1, 3: 2, 1: 3, 2: 4}[tx_type]
             else:  # 4x4/8x8: DTT4_IDTX_1DDCT (7)
-                eset, nsym = 1, 7
+                eset = 1
                 ind = {9: 0, 0: 1, 10: 2, 11: 3, 3: 4, 1: 5, 2: 6}[tx_type]
             self._sym_at(ind, self.cdfs.intra_ext_tx, eset, sqr, leaf.y_mode)
 

@@ -216,6 +216,25 @@ def partition_ctx_lookup(bsize: int) -> tuple[int, int]:
     return above, left
 
 
+# inter prediction modes (spec PredictionMode tail)
+class InterMode(IntEnum):
+    NEARESTMV = 13
+    NEARMV = 14
+    GLOBALMV = 15
+    NEWMV = 16
+
+
+# reference frames (spec)
+NONE_FRAME = -1
+INTRA_FRAME = 0
+LAST_FRAME = 1
+LAST2_FRAME = 2
+LAST3_FRAME = 3
+GOLDEN_FRAME = 4
+BWDREF_FRAME = 5
+ALTREF2_FRAME = 6
+ALTREF_FRAME = 7
+
 # spec Size_Group[bsize] (for y_mode cdf context in inter frames)
 SIZE_GROUP = np.array([0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 1, 1, 2, 2, 3, 3])
 

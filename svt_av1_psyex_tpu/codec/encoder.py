@@ -122,8 +122,14 @@ class Av1Encoder:
     # ---- frame encode --------------------------------------------------------------
     def encode_keyframe(self, planes: list[np.ndarray] | None,
                         base_q_idx: int = 80) -> bytes:
+        return self.encode_frame(planes, base_q_idx, force_key=True)
+
+    def encode_frame(self, planes: list[np.ndarray] | None, base_q_idx: int = 80,
+                     force_key: bool = False) -> bytes:
         seq = self.seq
-        fr = FrameConfig(frame_type=0, show_frame=True, base_q_idx=base_q_idx,
+        is_key = force_key or getattr(self, "dpb", None) is None
+        fr = FrameConfig(frame_type=0 if is_key else 1, show_frame=True,
+                         base_q_idx=base_q_idx,
                          order_hint=self.frame_count & ((1 << seq.order_hint_bits) - 1))
         fr.tile = compute_tile_info(seq)
         assert fr.tile.tile_cols == 1 and fr.tile.tile_rows == 1, "multi-tile later"
@@ -132,6 +138,10 @@ class Av1Encoder:
         tw = TileWriter(seq, fr, cdfs, self.mi_rows, self.mi_cols)
         tw.coeff_writer = CoeffWriter(tw, self.mi_rows, self.mi_cols,
                                       seq.subsampling_x, seq.subsampling_y)
+        if not is_key:
+            from .mvp import MiState
+
+            tw.mi_state = MiState(self.mi_rows, self.mi_cols)
 
         sb_mi = 32 if seq.use_128x128_superblock else 16
         sb_bsize = BlockSize.B128X128 if seq.use_128x128_superblock else BlockSize.B64X64
@@ -161,7 +171,8 @@ class Av1Encoder:
                           rdmult=compute_rdmult(base_q_idx, seq.bit_depth),
                           min_bsize=self._min_partition_bsize,
                           n_full_rd=3 if self.preset <= 6 else 2,
-                          angle_deltas=self.preset <= 9)
+                          angle_deltas=self.preset <= 9,
+                          ref_planes=None if is_key else self.dpb)
         sb_plans = []
         for r in range(0, self.mi_rows, sb_mi):
             for c in range(0, self.mi_cols, sb_mi):
@@ -184,4 +195,7 @@ class Av1Encoder:
         maxv = (1 << seq.bit_depth) - 1
         dtype = np.uint8 if seq.bit_depth == 8 else np.uint16
         self.last_recon = [np.clip(p.recon, 0, maxv).astype(dtype) for p in pctx]
+        # DPB: refresh_frame_flags=0xFF puts this recon in every slot; the
+        # next frame references LAST = this frame
+        self.dpb = [p.recon.copy() for p in pctx]
         return tu

@@ -76,8 +76,13 @@ class ModeDecision:
 
     def __init__(self, seq, fr, pctx: list, mi_rows: int, mi_cols: int,
                  rdmult: int, min_bsize: int, n_full_rd: int = 2,
-                 angle_deltas: bool = False):
+                 angle_deltas: bool = False, ref_planes: list | None = None):
         self.angle_deltas = angle_deltas
+        # inter: padded reference planes (LAST) + MVP mi-state
+        self.ref_planes = ref_planes
+        from .mvp import MiState
+
+        self.mi_state = MiState(mi_rows, mi_cols) if not fr.frame_is_intra else None
         self.seq = seq
         self.fr = fr
         self.pctx = pctx
@@ -106,6 +111,26 @@ class ModeDecision:
         self._skip_costs = [cdf_costs(svals[i]) for i in range(3)]
         avals, _ = self.cdfs.angle_delta
         self._angle_costs = [cdf_costs(avals[i]) for i in range(avals.shape[0])]
+        if not fr.frame_is_intra:
+            yv, _ = self.cdfs.y_mode
+            self._ify_costs = [cdf_costs(yv[i]) for i in range(4)]
+            iiv, _ = self.cdfs.intra_inter
+            self._ii_costs = [cdf_costs(iiv[i]) for i in range(4)]
+            self._newmv_costs = [cdf_costs(self.cdfs.newmv[0][i]) for i in range(6)]
+            self._zeromv_costs = [cdf_costs(self.cdfs.zeromv[0][i]) for i in range(2)]
+            self._refmv_costs = [cdf_costs(self.cdfs.refmv[0][i]) for i in range(6)]
+            self._drl_costs = [cdf_costs(self.cdfs.drl[0][i]) for i in range(3)]
+            self._mv_joint_costs = cdf_costs(self.cdfs.nmv_joints[0])
+            self._mv_comp_costs = []
+            for ci in range(2):
+                self._mv_comp_costs.append({
+                    "sign": cdf_costs(self.cdfs.nmv_sign[0][ci]),
+                    "classes": cdf_costs(self.cdfs.nmv_classes[0][ci]),
+                    "class0": cdf_costs(self.cdfs.nmv_class0[0][ci]),
+                    "class0_fp": [cdf_costs(self.cdfs.nmv_class0_fp[0][ci][d]) for d in range(2)],
+                    "fp": cdf_costs(self.cdfs.nmv_fp[0][ci]),
+                    "bits": [cdf_costs(self.cdfs.nmv_bits[0][ci][i]) for i in range(10)],
+                })
 
     # ---- state save/restore --------------------------------------------------------
     def _save(self, r: int, c: int, bsize: int) -> dict:
@@ -129,6 +154,8 @@ class ModeDecision:
             x1 = min(((c + bw4) * 4) >> ssx, pc.recon.shape[1])
             y1 = min(((r + bh4) * 4) >> ssy, pc.recon.shape[0])
             st["recon"].append(pc.recon[y0:y1, x0:x1].copy())
+        if self.mi_state is not None:
+            st["mi"] = self.mi_state.save(r, c, bsize)
         st["rc"] = (r, c, bsize)
         return st
 
@@ -150,6 +177,8 @@ class ModeDecision:
             ssx, ssy = pc.ss_x, pc.ss_y
             x0, y0 = (c * 4) >> ssx, (r * 4) >> ssy
             pc.recon[y0 : y0 + blk.shape[0], x0 : x0 + blk.shape[1]] = blk
+        if self.mi_state is not None:
+            self.mi_state.restore(r, c, bsize, st["mi"])
 
     # ---- partition search -------------------------------------------------------------
     def pick_partition(self, r: int, c: int, bsize: int) -> tuple[int, PartitionNode]:
@@ -225,8 +254,9 @@ class ModeDecision:
         tx_w, tx_h = int(TX_W[tx_size]), int(TX_H[tx_size])
         have_above = r > 0
         have_left = c > 0
+        is_inter_frame = not self.fr.frame_is_intra
 
-        # stage 0: prediction SSE over all candidates
+        # stage 0: prediction SSE over all intra candidates
         dr_avail_y = self._dr_avail(r, c, bsize, tx_size, 0)
         cands = []
         for mode in self.MODES_FULL:
@@ -238,22 +268,31 @@ class ModeDecision:
         cands.sort(key=lambda t: t[0])
         survivors = cands[: self.n_full_rd]
 
-        # mode rate context
-        above_mode = int(self.y_modes[r - 1, c]) if have_above else IntraMode.DC
-        left_mode = int(self.y_modes[r, c - 1]) if have_left else IntraMode.DC
-        kf_costs = self._kf_costs[int(INTRA_MODE_CONTEXT[above_mode])][
-            int(INTRA_MODE_CONTEXT[left_mode])]
+        # mode-rate contexts
         above_skip = int(self.skips[r - 1, c]) if have_above else 0
         left_skip = int(self.skips[r, c - 1]) if have_left else 0
         skip_costs = self._skip_costs[above_skip + left_skip]
+        if is_inter_frame:
+            ii_ctx = self._intra_inter_ctx(r, c, have_above, have_left)
+            from .constants import SIZE_GROUP
+
+            intra_mode_costs = self._ify_costs[int(SIZE_GROUP[bsize])].copy()
+            intra_base = int(self._ii_costs[ii_ctx][0])
+            inter_base = int(self._ii_costs[ii_ctx][1])
+        else:
+            above_mode = int(self.y_modes[r - 1, c]) if have_above else IntraMode.DC
+            left_mode = int(self.y_modes[r, c - 1]) if have_left else IntraMode.DC
+            intra_mode_costs = self._kf_costs[int(INTRA_MODE_CONTEXT[above_mode])][
+                int(INTRA_MODE_CONTEXT[left_mode])]
+            intra_base = 0
 
         has_chroma = self._has_chroma(r, c, bw4, bh4)
 
         best = None
         for _, mode, pred in survivors:
             j, leaf, artifacts = self._try_mode(mode, 0, pred, r, c, bsize, x, y,
-                                                tx_size, kf_costs, skip_costs,
-                                                has_chroma)
+                                                tx_size, intra_mode_costs, intra_base,
+                                                skip_costs, has_chroma)
             if best is None or j < best[0]:
                 best = (j, leaf, artifacts)
         # angle-delta refinement on the winning directional mode
@@ -263,21 +302,245 @@ class ModeDecision:
                 pred = self._predict(pc, x, y, tx_w, tx_h, have_above, have_left,
                                      mode, delta, dr_avail_y)
                 j, leaf, artifacts = self._try_mode(mode, delta, pred, r, c, bsize,
-                                                    x, y, tx_size, kf_costs,
-                                                    skip_costs, has_chroma)
+                                                    x, y, tx_size, intra_mode_costs,
+                                                    intra_base, skip_costs, has_chroma)
                 if j < best[0]:
                     best = (j, leaf, artifacts)
+
+        if is_inter_frame:
+            for j, leaf, artifacts in self._inter_candidates(
+                    r, c, bsize, x, y, tx_size, inter_base, skip_costs, has_chroma):
+                if j < best[0]:
+                    best = (j, leaf, artifacts)
+
         j, leaf, artifacts = best
         self._commit_block(leaf, artifacts, r, c, bsize, x, y, has_chroma)
         return j, leaf
 
+    def _intra_inter_ctx(self, r, c, have_above, have_left) -> int:
+        a_inter = int(self.mi_state.ref_frame[r - 1, c] >= 0) if have_above else -1
+        l_inter = int(self.mi_state.ref_frame[r, c - 1] >= 0) if have_left else -1
+        if have_above and have_left:
+            if a_inter == 0 and l_inter == 0:
+                return 3
+            return int(a_inter == 0) + int(l_inter == 0)
+        if have_above or have_left:
+            return 2 * int((a_inter if have_above else l_inter) == 0)
+        return 0
+
+    # ---- inter search ----------------------------------------------------------------------
+    def _mv_cost(self, diff: tuple[int, int]) -> int:
+        dr, dc = diff
+        joint = (0 if dc == 0 else 1) if dr == 0 else (2 if dc == 0 else 3)
+        cost = int(self._mv_joint_costs[joint])
+        for ci, d in ((0, dr), (1, dc)):
+            if d == 0:
+                continue
+            t = self._mv_comp_costs[ci]
+            mag = abs(d)
+            z = mag - 1
+            cost += int(t["sign"][1 if d < 0 else 0])
+            if z < 16:
+                mv_class, offset = 0, z
+            else:
+                mv_class = min(10, (z >> 3).bit_length() - 1)
+                offset = z - (2 << (mv_class + 2))
+            cost += int(t["classes"][mv_class])
+            di = offset >> 3
+            fr_bits = (offset >> 1) & 3
+            if mv_class == 0:
+                cost += int(t["class0"][di]) + int(t["class0_fp"][di][fr_bits])
+            else:
+                for i in range(mv_class):
+                    cost += int(t["bits"][i][(di >> i) & 1])
+                cost += int(t["fp"][fr_bits])
+        return cost
+
+    def _motion_search(self, x: int, y: int, w: int, h: int,
+                       start_mv: tuple[int, int]) -> tuple[int, int]:
+        """Full-pel raster search (+-8) around start, then quarter-pel
+        refinement; returns an MV in 1/8-pel units with even components."""
+        from ..ops.mc import _patch, mc_block
+
+        src = self.pctx[0].src[y : y + h, x : x + w].astype(np.int32)
+        ref = self.ref_planes[0]
+        # full-pel center from the predictor
+        cy = int(np.clip(round(start_mv[0] / 8), -48, 48))
+        cx = int(np.clip(round(start_mv[1] / 8), -48, 48))
+        rng = 8
+        best = None
+        for dy in range(-rng, rng + 1):
+            strip = _patch(ref, x + cx - rng, y + cy + dy, w + 2 * rng, h)
+            for dx in range(-rng, rng + 1):
+                cand = strip[:, dx + rng : dx + rng + w]
+                sad = int(np.abs(src - cand).sum())
+                if best is None or sad < best[0]:
+                    best = (sad, cy + dy, cx + dx)
+        _, fy, fx = best
+        mv = (fy * 8, fx * 8)
+        # quarter-pel refinement (two rounds of +-1 quarter step = 2/8)
+        best_sse = None
+        best_mv = mv
+        for _ in range(2):
+            improved = False
+            for dmv in ((0, 0), (-2, 0), (2, 0), (0, -2), (0, 2)):
+                cand_mv = (best_mv[0] + dmv[0], best_mv[1] + dmv[1])
+                pred = mc_block(ref, x, y, w, h, cand_mv[0], cand_mv[1], 0, 0)
+                sse = int(((src - pred).astype(np.int64) ** 2).sum())
+                if best_sse is None or sse < best_sse:
+                    best_sse = sse
+                    new_mv = cand_mv
+                    improved = dmv != (0, 0)
+            if not improved:
+                break
+            best_mv = new_mv
+        return best_mv
+
+    def _inter_candidates(self, r, c, bsize, x, y, tx_size, inter_base,
+                          skip_costs, has_chroma):
+        from .constants import InterMode
+        from .mvp import find_mv_stack
+
+        tx_w, tx_h = int(TX_W[tx_size]), int(TX_H[tx_size])
+        stack = find_mv_stack(self.mi_state, r, c, bsize, 1)
+        mode_ctx = stack.mode_context
+        newmv_c = self._newmv_costs[mode_ctx & 7]
+        zeromv_c = self._zeromv_costs[(mode_ctx >> 3) & 1]
+        refmv_c = self._refmv_costs[(mode_ctx >> 4) & 15]
+        ref_rate = self._single_ref_rate(r, c, bsize)
+
+        def drl_rate(mode, drl_index):
+            rate = 0
+            if mode == InterMode.NEWMV:
+                for idx in range(2):
+                    if stack.count > idx + 1:
+                        rate += int(self._drl_costs[stack.drl_ctx(idx)][
+                            1 if drl_index != idx else 0])
+                        if drl_index == idx:
+                            break
+            elif mode == InterMode.NEARMV:
+                for idx in range(1, 3):
+                    if stack.count > idx + 1:
+                        rate += int(self._drl_costs[stack.drl_ctx(idx)][
+                            1 if drl_index != (idx - 1) else 0])
+                        if drl_index == idx - 1:
+                            break
+            return rate
+
+        cands = []
+        # NEARESTMV / NEARMV / GLOBALMV
+        cands.append((InterMode.NEARESTMV, stack.mvs[0], 0,
+                      int(newmv_c[1]) + int(zeromv_c[1]) + int(refmv_c[0])))
+        if stack.count >= 2:
+            cands.append((InterMode.NEARMV, stack.mvs[1], 0,
+                          int(newmv_c[1]) + int(zeromv_c[1]) + int(refmv_c[1])
+                          + drl_rate(InterMode.NEARMV, 0)))
+        cands.append((InterMode.GLOBALMV, (0, 0), 0,
+                      int(newmv_c[1]) + int(zeromv_c[0])))
+        # NEWMV via motion search (predictor = DRL 0)
+        mv = self._motion_search(x, y, tx_w, tx_h, stack.mvs[0])
+        nm_rate = (int(newmv_c[0]) + drl_rate(InterMode.NEWMV, 0)
+                   + self._mv_cost((mv[0] - stack.mvs[0][0], mv[1] - stack.mvs[0][1])))
+        cands.append((InterMode.NEWMV, mv, 0, nm_rate))
+
+        out = []
+        seen = set()
+        for mode, mv, drl_index, mode_rate in cands:
+            key = (mode != InterMode.NEWMV, mv)
+            if mode != InterMode.NEWMV and key in seen:
+                continue
+            seen.add(key)
+            j, leaf, arts = self._try_inter(mode, mv, drl_index,
+                                            inter_base + ref_rate + mode_rate,
+                                            r, c, bsize, x, y, tx_size,
+                                            skip_costs, has_chroma)
+            out.append((j, leaf, arts))
+        return out
+
+    def _single_ref_rate(self, r, c, bsize) -> int:
+        """Rate of coding ref_frame = LAST (single_ref p1=0, p3=0, p4=0)."""
+        counts = np.zeros(8, np.int32)
+        for rr, cc, av in ((r - 1, c, r > 0), (r, c - 1, c > 0)):
+            if av and self.mi_state.ref_frame[rr, cc] >= 0:
+                counts[int(self.mi_state.ref_frame[rr, cc])] += 1
+        fwd = int(counts[1:5].sum())
+        bwd = int(counts[5:8].sum())
+
+        def cmp_ctx(a, b):
+            return 1 if a == b else (0 if a < b else 2)
+
+        srv = self.cdfs.single_ref[0]
+        rate = int(cdf_costs(srv[cmp_ctx(fwd, bwd)][0])[0])
+        rate += int(cdf_costs(srv[cmp_ctx(int(counts[1] + counts[2]),
+                                          int(counts[3] + counts[4]))][2])[0])
+        rate += int(cdf_costs(srv[cmp_ctx(int(counts[1]), int(counts[2]))][3])[0])
+        return rate
+
+    def _try_inter(self, mode, mv, drl_index, mode_rate, r, c, bsize, x, y,
+                   tx_size, skip_costs, has_chroma):
+        from ..ops.mc import mc_block
+        from .constants import InterMode
+
+        rate = mode_rate
+        tx_w, tx_h = int(TX_W[tx_size]), int(TX_H[tx_size])
+        pred = mc_block(self.ref_planes[0], x, y, tx_w, tx_h, mv[0], mv[1], 0, 0)
+        txbs = []
+        dist = 0
+        qc, eob, rec, d = self._txb_rd_pred(self.pctx[0], pred, x, y, tx_size,
+                                            TxType.DCT_DCT, 0)
+        txbs.append({"plane": 0, "plane_bsize": bsize, "tx_size": tx_size,
+                     "tx_type": int(TxType.DCT_DCT), "qcoeff": qc, "eob": eob,
+                     "ux": x >> 2, "uy": y >> 2, "_rec": rec})
+        dist += d
+        if has_chroma:
+            ssx, ssy = self.pctx[1].ss_x, self.pctx[1].ss_y
+            cw_px = max(int(BLOCK_W[bsize]) >> ssx, 4)
+            ch_px = max(int(BLOCK_H[bsize]) >> ssy, 4)
+            uv_bsize = block_size_of(cw_px, ch_px)
+            uv_tx = int(MAX_TX_SIZE_RECT[uv_bsize])
+            cx, cy = x >> ssx, y >> ssy
+            for p in (1, 2):
+                predc = mc_block(self.ref_planes[p], cx, cy,
+                                 int(TX_W[uv_tx]), int(TX_H[uv_tx]),
+                                 mv[0], mv[1], ssx, ssy)
+                qc, eob, rec, d = self._txb_rd_pred(self.pctx[p], predc, cx, cy,
+                                                    uv_tx, TxType.DCT_DCT, p)
+                txbs.append({"plane": p, "plane_bsize": uv_bsize, "tx_size": uv_tx,
+                             "tx_type": int(TxType.DCT_DCT), "qcoeff": qc,
+                             "eob": eob, "ux": cx >> 2, "uy": cy >> 2, "_rec": rec})
+                dist += d
+
+        skip = all(t["eob"] == 0 for t in txbs)
+        rate += int(skip_costs[1 if skip else 0])
+        if not skip:
+            ca = [a.copy() for a in self.cw.above]
+            cl = [a.copy() for a in self.cw.left]
+            self.rc.bits = 0
+            for t in txbs:
+                self.cw.write_txb(t["plane"], t["plane_bsize"], t["tx_size"],
+                                  t["tx_type"], t["qcoeff"], t["eob"],
+                                  t["ux"], t["uy"])
+            rate += self.rc.bits
+            for p in range(3):
+                self.cw.above[p][...] = ca[p]
+                self.cw.left[p][...] = cl[p]
+
+        leaf = LeafBlock(bsize, skip=skip, is_inter=True, ref_frame=1,
+                         inter_mode=int(mode), mv=tuple(mv), drl_index=drl_index,
+                         coeffs=None if skip else
+                         [{k: v for k, v in t.items() if k != "_rec"} for t in txbs])
+        return rdcost(self.rdmult, rate, dist), leaf, txbs
+
+    def _txb_rd_pred(self, pc, pred, x, y, tx_size, tx_type, plane):
+        return self._txb_rd(pc, pred, x, y, tx_size, tx_type, plane)
+
     def _try_mode(self, mode, angle_delta, pred, r, c, bsize, x, y, tx_size,
-                  kf_costs, skip_costs, has_chroma):
-        """RD one luma mode (+ DC chroma); returns (J, leaf, artifacts)
+                  mode_costs, base_rate, skip_costs, has_chroma):
+        """RD one intra luma mode (+ DC chroma); returns (J, leaf, artifacts)
         without mutating shared state beyond what _commit_block redoes."""
         fr = self.fr
         bd = self.bd
-        rate = int(kf_costs[mode])
+        rate = base_rate + int(mode_costs[mode])
         if mode in intra_ops.MODE_TO_ANGLE:
             rate += int(self._angle_costs[int(mode) - int(IntraMode.V)][angle_delta + 3])
 
@@ -372,6 +635,11 @@ class ModeDecision:
         c1 = min(c + bw4, self.mi_cols)
         self.y_modes[r:r1, c:c1] = leaf.y_mode
         self.skips[r:r1, c:c1] = 1 if leaf.skip else 0
+        if self.mi_state is not None:
+            self.mi_state.set_block(r, c, bsize,
+                                    leaf.ref_frame if leaf.is_inter else -1,
+                                    leaf.mv if leaf.is_inter else (0, 0),
+                                    leaf.is_inter and leaf.inter_mode == 16)
         pa, pl = partition_ctx_lookup(bsize)
         self.above_part[c:c1] = pa
         self.left_part[r:r1] = pl

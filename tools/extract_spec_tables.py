@@ -244,6 +244,21 @@ def extract_trig(text: str) -> dict[str, np.ndarray]:
     return out
 
 
+def extract_subpel_filters(text: str) -> dict[str, np.ndarray]:
+    """Normative sub-pel interpolation kernels (spec 7.11.3.5 Subpel_Filters)."""
+    out = {}
+    for name in ("sub_pel_filters_8", "sub_pel_filters_8smooth", "sub_pel_filters_8sharp",
+                 "bilinear_filters", "sub_pel_filters_4", "sub_pel_filters_4smooth"):
+        m = re.search(rf"InterpKernel,\s*{name}\[SUBPEL_SHIFTS\]\)\s*=\s*\{{", text)
+        if not m:
+            continue
+        block, _ = _balanced_braces(text, m.end() - 1)
+        arr = np.array(_parse_init(block), dtype=np.int32)
+        assert arr.shape == (16, 8), (name, arr.shape)
+        out[name] = arr
+    return out
+
+
 def main() -> None:
     tables: dict[str, np.ndarray] = {}
 
@@ -299,6 +314,11 @@ def main() -> None:
         tables[name] = arr
         n_avail += 1
     print(f"intra_prediction.c: {n_avail} has_tr/has_bl tables")
+
+    inter = _strip_comments((REF / "inter_prediction.c").read_text())
+    sp = extract_subpel_filters(inter)
+    print(f"inter_prediction.c: {len(sp)} subpel filter tables")
+    tables.update(sp)
 
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT_DIR / "av1_tables.npz", **tables)
