@@ -172,7 +172,8 @@ class Av1Encoder:
                           min_bsize=self._min_partition_bsize,
                           n_full_rd=3 if self.preset <= 6 else 2,
                           angle_deltas=self.preset <= 9,
-                          ref_planes=None if is_key else self.dpb)
+                          ref_planes=None if is_key else self.dpb,
+                          try_rect=self.preset <= 8)
         sb_plans = []
         for r in range(0, self.mi_rows, sb_mi):
             for c in range(0, self.mi_cols, sb_mi):

@@ -76,8 +76,10 @@ class ModeDecision:
 
     def __init__(self, seq, fr, pctx: list, mi_rows: int, mi_cols: int,
                  rdmult: int, min_bsize: int, n_full_rd: int = 2,
-                 angle_deltas: bool = False, ref_planes: list | None = None):
+                 angle_deltas: bool = False, ref_planes: list | None = None,
+                 try_rect: bool = False):
         self.angle_deltas = angle_deltas
+        self.try_rect = try_rect
         # inter: padded reference planes (LAST) + MVP mi-state
         self.ref_planes = ref_planes
         from .mvp import MiState
@@ -200,6 +202,17 @@ class ModeDecision:
                     self._save(r, c, bsize))
             self._restore(st)
 
+        # HORZ / VERT (rectangular) — blocks >= 16x16; at the bottom/right
+        # edge these code only the inside child (legal partition choice)
+        if bsize >= 6 and self.try_rect:  # B16X16
+            h4, w4 = bh4 // 2, bw4 // 2
+            if c + bw4 <= self.mi_cols and r + h4 <= self.mi_rows:
+                best = self._try_rect(Partition.HORZ, r, c, bsize, part_rates,
+                                      ((r, c), (r + h4, c)), best)
+            if r + bh4 <= self.mi_rows and c + w4 <= self.mi_cols:
+                best = self._try_rect(Partition.VERT, r, c, bsize, part_rates,
+                                      ((r, c), (r, c + w4)), best)
+
         if (not inside) or can_split:
             st = self._save(r, c, bsize)
             sub = subsize(Partition.SPLIT, bsize)
@@ -224,6 +237,26 @@ class ModeDecision:
         self._restore(state)
         return jbest, node
 
+    def _try_rect(self, part, r, c, bsize, part_rates, coords, best):
+        if part not in part_rates:
+            return best
+        st = self._save(r, c, bsize)
+        sub = subsize(part, bsize)
+        j = (part_rates[part] * self.rdmult) >> 9
+        children = []
+        for rr, cc in coords:
+            if rr >= self.mi_rows or cc >= self.mi_cols:
+                children.append(PartitionNode(Partition.NONE, leaf=LeafBlock(sub)))
+                continue
+            jj, leaf = self._encode_block_rd(rr, cc, sub)
+            j += jj
+            children.append(PartitionNode(Partition.NONE, leaf=leaf))
+        if best is None or j < best[0]:
+            best = (j, PartitionNode(part, children=children),
+                    self._save(r, c, bsize))
+        self._restore(st)
+        return best
+
     def _partition_rates(self, r, c, bsize, bw4, has_rows, has_cols) -> dict:
         if bw4 <= 1:
             return {}
@@ -235,14 +268,17 @@ class ModeDecision:
         ctx = (left_bit * 2 + above_bit) + bsl_ctx * 4
         if has_rows and has_cols:
             costs = self._part_costs[ctx]
-            return {Partition.NONE: int(costs[0]), Partition.SPLIT: int(costs[3])}
+            return {Partition.NONE: int(costs[0]), Partition.HORZ: int(costs[1]),
+                    Partition.VERT: int(costs[2]), Partition.SPLIT: int(costs[3])}
+        if not has_rows and not has_cols:
+            return {Partition.SPLIT: 0}
         pvals, _ = self.cdfs.partition
         cdf = trim(pvals[ctx])
         bcdf = _gather_split_bool(cdf, bsize, vert=not has_rows)
         bc = cdf_costs(bcdf)
-        if not has_rows and not has_cols:
-            return {Partition.SPLIT: 0}
-        return {Partition.SPLIT: int(bc[1])}
+        if not has_rows:  # bottom edge: HORZ(bit 0) or SPLIT(bit 1)
+            return {Partition.SPLIT: int(bc[1]), Partition.HORZ: int(bc[0])}
+        return {Partition.SPLIT: int(bc[1]), Partition.VERT: int(bc[0])}
 
     # ---- block RD ------------------------------------------------------------------------
     def _encode_block_rd(self, r: int, c: int, bsize: int) -> tuple[int, LeafBlock]:

@@ -99,7 +99,18 @@ def _mvp_has_top_right(mi_row: int, mi_col: int, bs: int, n8_w: int, n8_h: int,
     """MVP-specific has_top_right (adaptive_mv_pred.c:266)."""
     if bs > 16:  # mi_size_wide[BLOCK_64X64]
         return False
-    # square blocks only in the current search (n8_w == n8_h)
+    # is_sec_rect: the later-coded rect of a HORZ/VERT pair (libaom rule:
+    # derived from position within the enclosing square)
+    if n8_w != n8_h:
+        is_sec_rect = False
+        if n8_w < n8_h and (mi_col & (n8_h - 1)):
+            is_sec_rect = True
+        if n8_w > n8_h and (mi_row & (n8_w - 1)):
+            is_sec_rect = True
+        if n8_w > n8_h and is_sec_rect:
+            return False  # bottom of two horizontal rects: no TR
+        if n8_w < n8_h and not is_sec_rect:
+            return True  # left of two vertical rects: always TR
     mask_row = mi_row & (sb_mi - 1)
     mask_col = mi_col & (sb_mi - 1)
     has_tr = not ((mask_row & bs) and (mask_col & bs))

@@ -279,9 +279,11 @@ def fill_neighbors_dr(recon: np.ndarray, x: int, y: int, w: int, h: int,
             left[:h] = recon[y : y + h, x - 1]
             i = h
             if need_bottom and n_bl > 0:
-                left[h : h + n_bl] = recon[y + h : y + h + n_bl, x - 1]
-                i += n_bl
-            left[i:num_left_needed] = left[i - 1]
+                k = min(n_bl, w)  # only h+w entries are ever read
+                left[h : h + k] = recon[y + h : y + h + k, x - 1]
+                i += k
+            if i < num_left_needed:
+                left[i:num_left_needed] = left[i - 1]
         else:
             left[:num_left_needed] = recon[y - 1, x] if n_top > 0 else base + 1
     if need_above:
@@ -289,9 +291,11 @@ def fill_neighbors_dr(recon: np.ndarray, x: int, y: int, w: int, h: int,
             above[:w] = recon[y - 1, x : x + w]
             i = w
             if need_right and n_tr > 0:
-                above[w : w + n_tr] = recon[y - 1, x + w : x + w + n_tr]
-                i += n_tr
-            above[i:num_top_needed] = above[i - 1]
+                k = min(n_tr, h)  # only w+h entries are ever read
+                above[w : w + k] = recon[y - 1, x + w : x + w + k]
+                i += k
+            if i < num_top_needed:
+                above[i:num_top_needed] = above[i - 1]
         else:
             above[:num_top_needed] = recon[y, x - 1] if n_left > 0 else base - 1
     # above-left (always needed for directional)
