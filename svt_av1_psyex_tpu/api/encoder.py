@@ -88,7 +88,12 @@ class SvtAv1Encoder:
             color_range=cfg.color_range,
             chroma_sample_position=cfg.chroma_sample_position,
         )
-        self._enc = Av1Encoder(self._seq, preset=cfg.enc_mode)
+        self._enc = Av1Encoder(
+            self._seq, preset=cfg.enc_mode,
+            enable_variance_boost=cfg.enable_variance_boost,
+            variance_boost_strength=cfg.variance_boost_strength,
+            variance_octile=cfg.variance_octile,
+            variance_boost_curve=cfg.variance_boost_curve)
         self._initialized = True
 
     def stream_header(self) -> bytes:

@@ -233,6 +233,9 @@ class FrameConfig:
     delta_q_y_dc: int = 0
     delta_q_u_dc: int = 0
     delta_q_u_ac: int = 0
+    # per-SB delta q (variance boost / TPL)
+    delta_q_present: bool = False
+    delta_q_res: int = 1
     # refs (inter path)
     primary_ref_frame: int = 7  # PRIMARY_REF_NONE
     refresh_frame_flags: int = 0xFF
@@ -320,8 +323,13 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig, w: BitWriter) -> No
     w.f(0, 1)  # segmentation_enabled
     # delta_q_params
     if fr.base_q_idx > 0:
-        w.f(0, 1)  # delta_q_present
-    # delta_lf_params: nothing (delta_q_present == 0)
+        w.f(1 if fr.delta_q_present else 0, 1)
+        if fr.delta_q_present:
+            w.f(fr.delta_q_res.bit_length() - 1, 2)  # log2(delta_q_res)
+    # delta_lf_params
+    if fr.delta_q_present:
+        assert not fr.allow_intrabc
+        w.f(0, 1)  # delta_lf_present
     _write_loop_filter_params(w, seq, fr)
     _write_cdef_params(w, seq, fr)
     # lr_params: enable_restoration off => nothing

@@ -131,7 +131,7 @@ class FrameCdfs:
         self.inter_ext_tx = self._wrap(clone("default_inter_ext_tx_cdf"))
         self.y_mode = self._wrap(clone("default_if_y_mode_cdf"))
         self.intrabc = self._wrap(clone("default_intrabc_cdf")) if "default_intrabc_cdf" in t else None
-        self.delta_q = self._wrap(clone("default_delta_q_cdf")) if "default_delta_q_cdf" in t else None
+        self.delta_q = self._wrap(clone("default_delta_q_cdf"))
 
         # inter
         self.intra_inter = self._wrap(clone("default_intra_inter_cdf"))

@@ -85,6 +85,10 @@ class TileWriter:
         self.mi_state = None
         self.above_part = np.zeros(mi_cols, dtype=np.uint8)
         self.left_part = np.zeros(mi_rows, dtype=np.uint8)
+        # per-SB delta q (variance boost): map set by the encoder
+        self.sb_qindex_map = None
+        self.prev_qindex = fr.base_q_idx
+        self._cur_sb = (0, 0)
 
     # ---- symbol helper with adaptation --------------------------------------
     def _sym_at(self, symbol: int, cdf_pair, *idx) -> None:
@@ -98,7 +102,34 @@ class TileWriter:
     # ---- superblock entry -----------------------------------------------------
     def write_superblock(self, node: PartitionNode, mi_row: int, mi_col: int) -> None:
         sb_bsize = 15 if self.seq.use_128x128_superblock else 12  # B128X128 / B64X64
+        self._cur_sb = (mi_row, mi_col)
         self._write_partition_tree(node, mi_row, mi_col, sb_bsize)
+
+    def _write_delta_q(self, leaf: LeafBlock, r: int, c: int, bsize: int,
+                       skip: int) -> None:
+        """read_delta_qindex mirror: coded once per SB at the upper-left
+        block unless the SB is a single all-skip block."""
+        if not self.fr.delta_q_present or self.sb_qindex_map is None:
+            return
+        sb_mi = 32 if self.seq.use_128x128_superblock else 16
+        if (r, c) != self._cur_sb:
+            return  # not superblock upper-left
+        sb_bsize = 15 if self.seq.use_128x128_superblock else 12
+        if bsize == sb_bsize and skip:
+            return
+        qindex = int(self.sb_qindex_map[r // sb_mi, c // sb_mi])
+        reduced = (qindex - self.prev_qindex) // self.fr.delta_q_res
+        self.prev_qindex = qindex
+        sign = 1 if reduced < 0 else 0
+        av = -reduced if sign else reduced
+        self._sym_at(min(av, 3), self.cdfs.delta_q)
+        if av >= 3:
+            rem_bits = (av - 1).bit_length() - 1  # OD_ILOG_NZ(abs-1)-1
+            thr = (1 << rem_bits) + 1
+            self.enc.encode_literal(rem_bits - 1, 3)
+            self.enc.encode_literal(av - thr, rem_bits)
+        if av > 0:
+            self.enc.encode_literal(sign, 1)
 
     def _write_partition_tree(self, node: PartitionNode, r: int, c: int, bsize: int) -> None:
         if r >= self.r1 or c >= self.c1 or r >= self.mi_rows or c >= self.mi_cols:
@@ -172,6 +203,7 @@ class TileWriter:
         left_skip = int(self.skips[r, c - 1]) if avail_l else 0
         skip = 1 if leaf.skip else 0
         self._sym_at(skip, self.cdfs.skip, above_skip + left_skip)
+        self._write_delta_q(leaf, r, c, bsize, skip)
 
         use_angle = bsize >= 3  # BLOCK_8X8
         has_chroma = self._has_chroma(r, c, bw4, bh4)

@@ -88,9 +88,16 @@ class Av1Encoder:
     CANDIDATE_MODES = [IntraMode.DC, IntraMode.V, IntraMode.H,
                        IntraMode.SMOOTH, IntraMode.PAETH]
 
-    def __init__(self, seq: SequenceConfig, preset: int = 10):
+    def __init__(self, seq: SequenceConfig, preset: int = 10,
+                 enable_variance_boost: bool = False,
+                 variance_boost_strength: int = 2, variance_octile: int = 6,
+                 variance_boost_curve: int = 0):
         self.seq = seq
         self.preset = preset
+        self.enable_variance_boost = enable_variance_boost
+        self.vb_strength = variance_boost_strength
+        self.vb_octile = variance_octile
+        self.vb_curve = variance_boost_curve
         self.mi_cols = 2 * ((seq.width + 7) >> 3)
         self.mi_rows = 2 * ((seq.height + 7) >> 3)
         self.aligned_w = self.mi_cols * 4
@@ -131,11 +138,28 @@ class Av1Encoder:
         fr = FrameConfig(frame_type=0 if is_key else 1, show_frame=True,
                          base_q_idx=base_q_idx,
                          order_hint=self.frame_count & ((1 << seq.order_hint_bits) - 1))
+
+        sb_qmap = None
+        if self.enable_variance_boost and planes is not None and base_q_idx > 0:
+            from .psy import variance_adjust_qp
+
+            luma = self._pad_plane(np.asarray(planes[0]), self.aligned_w,
+                                   self.aligned_h).astype(np.int64)
+            new_base, sb_qmap, res = variance_adjust_qp(
+                luma, base_q_idx, self.vb_strength, self.vb_octile,
+                self.vb_curve, seq.bit_depth)
+            fr.base_q_idx = new_base
+            if np.any(sb_qmap != new_base):
+                fr.delta_q_present = True
+                fr.delta_q_res = res
+            else:
+                sb_qmap = None
         fr.tile = compute_tile_info(seq)
         assert fr.tile.tile_cols == 1 and fr.tile.tile_rows == 1, "multi-tile later"
 
-        cdfs = FrameCdfs(base_q_idx)
+        cdfs = FrameCdfs(fr.base_q_idx)
         tw = TileWriter(seq, fr, cdfs, self.mi_rows, self.mi_cols)
+        tw.sb_qindex_map = sb_qmap
         tw.coeff_writer = CoeffWriter(tw, self.mi_rows, self.mi_cols,
                                       seq.subsampling_x, seq.subsampling_y)
         if not is_key:
@@ -168,7 +192,7 @@ class Av1Encoder:
         from .rd import compute_rdmult
 
         md = ModeDecision(seq, fr, pctx, self.mi_rows, self.mi_cols,
-                          rdmult=compute_rdmult(base_q_idx, seq.bit_depth),
+                          rdmult=compute_rdmult(fr.base_q_idx, seq.bit_depth),
                           min_bsize=self._min_partition_bsize,
                           n_full_rd=3 if self.preset <= 6 else 2,
                           angle_deltas=self.preset <= 9,
@@ -177,6 +201,9 @@ class Av1Encoder:
         sb_plans = []
         for r in range(0, self.mi_rows, sb_mi):
             for c in range(0, self.mi_cols, sb_mi):
+                if sb_qmap is not None:
+                    md.cur_qindex = int(sb_qmap[r // sb_mi, c // sb_mi])
+                    md.rdmult = compute_rdmult(md.cur_qindex, seq.bit_depth)
                 _, node = md.pick_partition(r, c, sb_bsize)
                 sb_plans.append((node, r, c))
         for node, r, c in sb_plans:

@@ -95,6 +95,7 @@ class ModeDecision:
         self.n_full_rd = n_full_rd
         self.bd = seq.bit_depth
 
+        self.cur_qindex = fr.base_q_idx  # per-SB qindex (variance boost)
         self.cdfs = FrameCdfs(fr.base_q_idx)  # static snapshot for rates
         self.rc = RateCounter(self.cdfs)
         self.cw = CoeffWriter(self.rc, mi_rows, mi_cols,
@@ -643,7 +644,7 @@ class ModeDecision:
         ls = tx_log_scale(tx_size)
         dc_delta = fr.delta_q_y_dc if plane == 0 else fr.delta_q_u_dc
         ac_delta = 0 if plane == 0 else fr.delta_q_u_ac
-        pq = build_plane_quant(fr.base_q_idx, dc_delta, ac_delta, bd)
+        pq = build_plane_quant(self.cur_qindex, dc_delta, ac_delta, bd)
         from ..bitstream.coeff_writer import _scan_kind
 
         scan = scan_table(tx_size, _scan_kind(tx_type))

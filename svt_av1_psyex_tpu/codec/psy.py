@@ -1,0 +1,129 @@
+"""PSY quality tools: variance-boost adaptive quantization.
+
+Mirrors the fork's flagship feature (rc_process.c:1393-1700,
+Docs/Appendix-Variance-Boost.md): per-superblock 8x8 source variances ->
+octile-weighted representative variance -> qstep-ratio boost curve ->
+per-SB delta qindex, frame qindex renormalization, and delta_q_res
+selection/snapping. Device-friendly: the variance map is produced by
+ops.jax_kernels.frame_intra_analysis on TPU; the tiny per-SB scalar pass
+stays host-side.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..bitstream.tables import ac_q
+
+VAR_BOOST_MAX_DELTAQ_RANGE = 80
+VAR_BOOST_MAX_QSTEP_RATIO_BOOST = 8
+_STRENGTHS = [0, 0.65, 1.1, 1.6, 2.5]
+
+
+def qindex_to_q_fp8(qindex: int, bit_depth: int) -> int:
+    shift = {8: 6, 10: 4, 12: 3}[bit_depth]
+    return ac_q(qindex, bit_depth) << shift
+
+
+def compute_qdelta_fp(qstart_fp8: int, qtarget_fp8: int, bit_depth: int) -> int:
+    start_index = 255
+    for i in range(256):
+        start_index = i
+        if qindex_to_q_fp8(i, bit_depth) >= qstart_fp8:
+            break
+    target_index = 255
+    for i in range(256):
+        target_index = i
+        if qindex_to_q_fp8(i, bit_depth) >= qtarget_fp8:
+            break
+    return target_index - start_index
+
+
+def sb_variances_8x8(luma: np.ndarray, sb_x: int, sb_y: int) -> np.ndarray:
+    """64 integer variances of the 8x8 sub-blocks of one 64x64 SB
+    (edge SBs use the aligned/padded plane)."""
+    blk = luma[sb_y : sb_y + 64, sb_x : sb_x + 64].astype(np.int64)
+    t = blk.reshape(8, 8, 8, 8).transpose(0, 2, 1, 3).reshape(64, 64)
+    s = t.sum(axis=1)
+    s2 = (t * t).sum(axis=1)
+    # integer variance: E[x^2] - E[x]^2 (floor semantics like the reference)
+    return (s2 // 64 - (s // 64) ** 2).astype(np.int64)
+
+
+def variance_boost(base_q_idx: int, variances: np.ndarray, strength: int,
+                   bit_depth: int, octile: int, curve: int) -> int:
+    """av1_get_deltaq_sb_variance_boost equivalent."""
+    ordered = np.sort(variances)
+    mid_idx = octile * 8 - 1
+    low_idx = max(7, mid_idx - 8)
+    upp_idx = min(63, mid_idx + 8)
+    variance = (int(ordered[low_idx]) + 2 * int(ordered[mid_idx])
+                + int(ordered[upp_idx]) + 2) // 4
+    if variance == 0:
+        variance = 1
+    if curve == 1:
+        qstep_ratio = 0.25 * strength * (-math.log2(variance) + 8) + 1
+    elif curve == 2:
+        qstep_ratio = 0.15 * strength * (-math.log2(variance) + 10) + 1
+    else:
+        qstep_ratio = math.pow(1.018, _STRENGTHS[strength] * (-10 * math.log2(variance) + 80))
+    qstep_ratio = min(max(qstep_ratio, 1.0), VAR_BOOST_MAX_QSTEP_RATIO_BOOST)
+    base_q = qindex_to_q_fp8(base_q_idx, bit_depth)
+    target_q = int(base_q / qstep_ratio)
+    if curve == 2:
+        boost = (base_q_idx + 496) * -compute_qdelta_fp(base_q, target_q, bit_depth) // (255 + 1024)
+    else:
+        boost = (base_q_idx + 40) * -compute_qdelta_fp(base_q, target_q, bit_depth) // (255 + 40)
+    return min(VAR_BOOST_MAX_DELTAQ_RANGE, boost)
+
+
+def variance_adjust_qp(luma_aligned: np.ndarray, base_q_idx: int, strength: int,
+                       octile: int, curve: int, bit_depth: int,
+                       sb_size: int = 64) -> tuple[int, np.ndarray, int]:
+    """svt_variance_adjust_qp + normalize_sb_delta_q equivalent.
+
+    Returns (new_base_q_idx, per-SB qindex map (rows, cols), delta_q_res).
+    """
+    h, w = luma_aligned.shape
+    rows = (h + sb_size - 1) // sb_size
+    cols = (w + sb_size - 1) // sb_size
+    qmap = np.zeros((rows, cols), np.int32)
+    for r in range(rows):
+        for c in range(cols):
+            variances = sb_variances_8x8(luma_aligned, c * sb_size, r * sb_size)
+            boost = variance_boost(base_q_idx, variances, strength, bit_depth,
+                                   octile, curve)
+            qmap[r, c] = np.clip(base_q_idx - boost, 1, 255)
+
+    min_q = int(qmap.min())
+    max_q = int(qmap.max())
+    rng = min(max_q - min_q, VAR_BOOST_MAX_DELTAQ_RANGE)
+    new_base = min_q + (rng >> 1)
+    offset = np.clip(qmap - new_base, -(VAR_BOOST_MAX_DELTAQ_RANGE >> 1),
+                     VAR_BOOST_MAX_DELTAQ_RANGE >> 1)
+    qmap = np.clip(new_base + offset, 1, 255)
+
+    # delta_q_res selection + snapping (normalize_sb_delta_q)
+    if new_base >= 160:
+        res = 8
+    elif new_base >= 120:
+        res = 4
+    elif new_base >= 80:
+        res = 2
+    else:
+        res = 1
+    if res > 1:
+        rem = new_base & (res - 1)
+        snapped = ((qmap - rem) // res) * res + rem
+        qmap = np.clip(snapped, 1, 255)
+        # clipping may break res alignment at the extremes; realign toward
+        # the valid range (the delta chain requires qindex = base (mod res))
+        mis = (qmap - rem) % res
+        qmap = np.where(mis != 0,
+                        np.where(qmap + (res - mis) <= 255,
+                                 qmap + (res - mis), qmap - mis),
+                        qmap)
+        qmap = np.clip(qmap, 1, 255)
+    return new_base, qmap.astype(np.int32), res
