@@ -91,9 +91,10 @@ class Av1Encoder:
     def __init__(self, seq: SequenceConfig, preset: int = 10,
                  enable_variance_boost: bool = False,
                  variance_boost_strength: int = 2, variance_octile: int = 6,
-                 variance_boost_curve: int = 0):
+                 variance_boost_curve: int = 0, enable_dlf: bool = True):
         self.seq = seq
         self.preset = preset
+        self.enable_dlf = enable_dlf
         self.enable_variance_boost = enable_variance_boost
         self.vb_strength = variance_boost_strength
         self.vb_octile = variance_octile
@@ -191,12 +192,23 @@ class Av1Encoder:
         from .md import ModeDecision
         from .rd import compute_rdmult
 
+        # spec 7.11.3.3: MC sample clamping is to the reference's DISPLAY
+        # dims (RefUpscaledWidth), not the coded/aligned area — crop the DPB
+        # views so the clipped gathers in ops.mc clamp at the right bound
+        ref_planes = None
+        if not is_key:
+            ref_planes = []
+            for i, p in enumerate(self.dpb):
+                sx = 0 if i == 0 else seq.subsampling_x
+                sy = 0 if i == 0 else seq.subsampling_y
+                ref_planes.append(p[: (seq.height + sy) >> sy,
+                                    : (seq.width + sx) >> sx])
         md = ModeDecision(seq, fr, pctx, self.mi_rows, self.mi_cols,
                           rdmult=compute_rdmult(fr.base_q_idx, seq.bit_depth),
                           min_bsize=self._min_partition_bsize,
                           n_full_rd=3 if self.preset <= 6 else 2,
                           angle_deltas=self.preset <= 9,
-                          ref_planes=None if is_key else self.dpb,
+                          ref_planes=ref_planes,
                           try_rect=self.preset <= 8)
         sb_plans = []
         for r in range(0, self.mi_rows, sb_mi):
@@ -206,6 +218,29 @@ class Av1Encoder:
                     md.rdmult = compute_rdmult(md.cur_qindex, seq.bit_depth)
                 _, node = md.pick_partition(r, c, sb_bsize)
                 sb_plans.append((node, r, c))
+
+        # deblocking loop filter: pick levels from qindex, filter the final
+        # recon in place (spec 7.14); intra prediction above already used the
+        # unfiltered recon, references/output use the filtered one.
+        if self.enable_dlf and seq.bit_depth == 8:
+            from ..ops.dlf import (
+                collect_lf_grids,
+                loop_filter_frame,
+                pick_filter_level_by_q,
+            )
+
+            levels = pick_filter_level_by_q(fr.base_q_idx, is_key,
+                                            seq.bit_depth,
+                                            seq.width * seq.height)
+            if any(levels):
+                fr.lf_level = tuple(levels)
+                bsize_g, skip_g = collect_lf_grids(sb_plans, self.mi_rows,
+                                                   self.mi_cols, sb_mi)
+                loop_filter_frame([p.recon for p in pctx], seq.width,
+                                  seq.height, levels, fr.lf_sharpness,
+                                  bsize_g, skip_g, seq.subsampling_x,
+                                  seq.subsampling_y)
+
         for node, r, c in sb_plans:
             tw.write_superblock(node, r, c)
         tile_payload = tw.finish()

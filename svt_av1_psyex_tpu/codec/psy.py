@@ -89,6 +89,12 @@ def variance_adjust_qp(luma_aligned: np.ndarray, base_q_idx: int, strength: int,
     h, w = luma_aligned.shape
     rows = (h + sb_size - 1) // sb_size
     cols = (w + sb_size - 1) // sb_size
+    # edge-replicate up to whole SBs so partial edge superblocks (aligned
+    # dims are 8-multiples, not 64) still yield 64 8x8 sub-variances
+    if h % sb_size or w % sb_size:
+        luma_aligned = np.pad(luma_aligned,
+                              ((0, rows * sb_size - h), (0, cols * sb_size - w)),
+                              mode="edge")
     qmap = np.zeros((rows, cols), np.int32)
     for r in range(rows):
         for c in range(cols):

@@ -22,6 +22,7 @@ SO = BUILD / "liboracle.so"
 _SOURCES = [
     "Lib/Codec/inv_transforms.c",
     "Lib/Codec/transforms.c",
+    "Lib/Codec/deblocking_common.c",
 ]
 _INCLUDES = ["Lib/Codec", "API", "Lib/Globals", "Lib/C_DEFAULT"]
 
@@ -132,3 +133,27 @@ def fwd_txfm2d(residual: np.ndarray, tx_w: int, tx_h: int, tx_type: int,
     out = np.zeros(tx_w * tx_h, dtype=np.int32)
     fn(res.ravel(), out, tx_w, tx_type, bd)
     return out
+
+_U8P = np.ctypeslib.ndpointer(np.uint8, flags="C")
+
+
+def lpf_edge(buf: np.ndarray, direction: int, length: int, lim: int,
+             mblim: int, hev_t: int) -> np.ndarray:
+    """Reference svt_aom_lpf_{vertical,horizontal}_L_c on one 4px edge.
+
+    buf: 2D uint8 patch; the edge runs through its center (between columns
+    W/2-1 and W/2 for vertical, rows for horizontal). Returns filtered copy.
+    """
+    lib = get_lib()
+    name = f"svt_aom_lpf_{'vertical' if direction == 0 else 'horizontal'}_{length}_c"
+    fn = getattr(lib, name)
+    fn.argtypes = [_U8P, ctypes.c_int32, _U8P, _U8P, _U8P]
+    out = np.ascontiguousarray(buf, dtype=np.uint8).copy()
+    h, w = out.shape
+    off = (h // 2) * w + (w // 2) if direction == 1 else (w // 2)
+    blimit = np.full(16, mblim, np.uint8)
+    limit = np.full(16, lim, np.uint8)
+    thresh = np.full(16, hev_t, np.uint8)
+    ptr = out.ravel()
+    fn(np.ascontiguousarray(ptr[off:]), w, blimit, limit, thresh)
+    return ptr.reshape(h, w)
