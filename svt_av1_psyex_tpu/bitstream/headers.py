@@ -38,7 +38,7 @@ class SequenceConfig:
     enable_ref_frame_mvs: bool = False
     order_hint_bits: int = 7
     enable_superres: bool = False
-    enable_cdef: bool = False
+    enable_cdef: bool = True
     enable_restoration: bool = False
     film_grain_params_present: bool = False
     timing_info_present: bool = False

@@ -89,6 +89,9 @@ class TileWriter:
         self.sb_qindex_map = None
         self.prev_qindex = fr.base_q_idx
         self._cur_sb = (0, 0)
+        # per-64x64 cdef strength indices (set by the encoder after search)
+        self.cdef_fb_map = None
+        self._cdef_coded = False
 
     # ---- symbol helper with adaptation --------------------------------------
     def _sym_at(self, symbol: int, cdf_pair, *idx) -> None:
@@ -103,7 +106,22 @@ class TileWriter:
     def write_superblock(self, node: PartitionNode, mi_row: int, mi_col: int) -> None:
         sb_bsize = 15 if self.seq.use_128x128_superblock else 12  # B128X128 / B64X64
         self._cur_sb = (mi_row, mi_col)
+        self._cdef_coded = False  # clear_cdef: one cdef_idx per 64x64 unit
         self._write_partition_tree(node, mi_row, mi_col, sb_bsize)
+
+    def _write_cdef(self, r: int, c: int, skip: int) -> None:
+        """read_cdef mirror (entropy_coding.c:3884 write_cdef): emit the
+        64x64 unit's strength index as a literal at its first non-skip
+        block. 64x64 superblocks only (unit == SB)."""
+        if self.cdef_fb_map is None or skip or self._cdef_coded:
+            return
+        if self.fr.allow_intrabc:
+            return
+        gi = int(self.cdef_fb_map[r >> 4, c >> 4])
+        assert gi >= 0, "non-skip block in an fb the cdef search skipped"
+        if self.fr.cdef_bits:
+            self.enc.encode_literal(gi, self.fr.cdef_bits)
+        self._cdef_coded = True
 
     def _write_delta_q(self, leaf: LeafBlock, r: int, c: int, bsize: int,
                        skip: int) -> None:
@@ -203,6 +221,7 @@ class TileWriter:
         left_skip = int(self.skips[r, c - 1]) if avail_l else 0
         skip = 1 if leaf.skip else 0
         self._sym_at(skip, self.cdfs.skip, above_skip + left_skip)
+        self._write_cdef(r, c, skip)
         self._write_delta_q(leaf, r, c, bsize, skip)
 
         use_angle = bsize >= 3  # BLOCK_8X8

@@ -106,6 +106,17 @@ class Av1Encoder:
         self.frame_count = 0
 
     @property
+    def _cdef_search_level(self) -> int:
+        """Preset -> CDEF candidate set (enc_mode_config.c search levels)."""
+        if self.preset <= 4:
+            return 1
+        if self.preset <= 8:
+            return 2
+        if self.preset <= 10:
+            return 3
+        return 4
+
+    @property
     def _min_partition_bsize(self) -> int:
         """Preset -> smallest searched square bsize (depth ladder)."""
         if self.preset >= 12:
@@ -219,27 +230,49 @@ class Av1Encoder:
                 _, node = md.pick_partition(r, c, sb_bsize)
                 sb_plans.append((node, r, c))
 
-        # deblocking loop filter: pick levels from qindex, filter the final
-        # recon in place (spec 7.14); intra prediction above already used the
-        # unfiltered recon, references/output use the filtered one.
-        if self.enable_dlf and seq.bit_depth == 8:
+        # in-loop filters on the final recon: DLF (spec 7.14) then CDEF
+        # (spec 7.15); intra prediction above already used the unfiltered
+        # recon, references/output use the filtered one.
+        if seq.bit_depth == 8 and (self.enable_dlf or seq.enable_cdef):
             from ..ops.dlf import (
                 collect_lf_grids,
                 loop_filter_frame,
                 pick_filter_level_by_q,
             )
 
-            levels = pick_filter_level_by_q(fr.base_q_idx, is_key,
-                                            seq.bit_depth,
-                                            seq.width * seq.height)
-            if any(levels):
-                fr.lf_level = tuple(levels)
-                bsize_g, skip_g = collect_lf_grids(sb_plans, self.mi_rows,
-                                                   self.mi_cols, sb_mi)
-                loop_filter_frame([p.recon for p in pctx], seq.width,
-                                  seq.height, levels, fr.lf_sharpness,
-                                  bsize_g, skip_g, seq.subsampling_x,
-                                  seq.subsampling_y)
+            bsize_g, skip_inter_g, skip_g = collect_lf_grids(
+                sb_plans, self.mi_rows, self.mi_cols, sb_mi)
+            if self.enable_dlf:
+                levels = pick_filter_level_by_q(fr.base_q_idx, is_key,
+                                                seq.bit_depth,
+                                                seq.width * seq.height)
+                if any(levels):
+                    fr.lf_level = tuple(levels)
+                    loop_filter_frame([p.recon for p in pctx], seq.width,
+                                      seq.height, levels, fr.lf_sharpness,
+                                      bsize_g, skip_inter_g,
+                                      seq.subsampling_x, seq.subsampling_y)
+            if seq.enable_cdef:
+                from ..ops.cdef import cdef_search_frame
+                from .rd import rdcost
+
+                rdm = compute_rdmult(fr.base_q_idx, seq.bit_depth)
+                res = cdef_search_frame(
+                    [p.recon for p in pctx], [p.src for p in pctx], skip_g,
+                    self.mi_rows, self.mi_cols, fr.base_q_idx,
+                    lambda rate, dist: rdcost(rdm, rate, dist),
+                    level=self._cdef_search_level)
+                fr.cdef_damping = 3 + (fr.base_q_idx >> 6)
+                if res is not None:
+                    bits, y_str, uv_str, fb_gi, _ = res
+                    fr.cdef_bits = bits
+                    fr.cdef_y_strengths = tuple(y_str)
+                    fr.cdef_uv_strengths = tuple(uv_str)
+                    tw.cdef_fb_map = fb_gi
+                else:
+                    fr.cdef_bits = 0
+                    fr.cdef_y_strengths = (0,)
+                    fr.cdef_uv_strengths = (0,)
 
         for node, r, c in sb_plans:
             tw.write_superblock(node, r, c)

@@ -327,11 +327,12 @@ def loop_filter_frame(planes, disp_w: int, disp_h: int, levels, sharpness: int,
 
 
 def collect_lf_grids(sb_plans, mi_rows: int, mi_cols: int, sb_mi: int):
-    """Walk the per-SB partition trees and fill per-mi bsize / skip&&inter
-    grids for the loop filter (the reference reads these from mi_grid_base;
-    we rebuild them from the MD output)."""
+    """Walk the per-SB partition trees and fill per-mi bsize / skip&&inter /
+    coded-skip grids for the in-loop filters (the reference reads these from
+    mi_grid_base; we rebuild them from the MD output)."""
     bsize_g = np.zeros((mi_rows, mi_cols), np.int32)
     skip_inter_g = np.zeros((mi_rows, mi_cols), bool)
+    skip_g = np.zeros((mi_rows, mi_cols), bool)
 
     def walk(node, r, c, bsize):
         if node.partition == Partition.NONE:
@@ -341,6 +342,7 @@ def collect_lf_grids(sb_plans, mi_rows: int, mi_cols: int, sb_mi: int):
             r1, c1 = min(r + h4, mi_rows), min(c + w4, mi_cols)
             bsize_g[r:r1, c:c1] = bsize
             skip_inter_g[r:r1, c:c1] = bool(leaf.skip) and leaf.is_inter
+            skip_g[r:r1, c:c1] = bool(leaf.skip)
             return
         half = max(BLOCK_W[bsize] >> 3, 1)
         sub = subsize_of(node.partition, bsize)
@@ -362,4 +364,4 @@ def collect_lf_grids(sb_plans, mi_rows: int, mi_cols: int, sb_mi: int):
 
     for node, r, c in sb_plans:
         walk(node, r, c, 12)  # B64X64 superblocks
-    return bsize_g, skip_inter_g
+    return bsize_g, skip_inter_g, skip_g

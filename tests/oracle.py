@@ -23,6 +23,7 @@ _SOURCES = [
     "Lib/Codec/inv_transforms.c",
     "Lib/Codec/transforms.c",
     "Lib/Codec/deblocking_common.c",
+    "Lib/Codec/cdef.c",
 ]
 _INCLUDES = ["Lib/Codec", "API", "Lib/Globals", "Lib/C_DEFAULT"]
 
@@ -48,6 +49,9 @@ def _build() -> None:
         "svt_memcpy_c": "#include <string.h>\n"
         "void svt_memcpy_c(void *d, const void *s, unsigned long n) { memcpy(d, s, n); }",
         "svt_av1_is_lossless_segment": "int svt_av1_is_lossless_segment(void *a, int b) { (void)a; (void)b; return 0; }",
+        "get_msb": "int get_msb(unsigned int n) { return 31 ^ __builtin_clz(n); }",
+        "svt_memset": "#include <string.h>\n"
+        "void *svt_memset(void *d, int c, unsigned long n) { return memset(d, c, n); }",
     }
     stubs = []
     for line in nm.stdout.splitlines():
@@ -157,3 +161,38 @@ def lpf_edge(buf: np.ndarray, direction: int, length: int, lim: int,
     ptr = out.ravel()
     fn(np.ascontiguousarray(ptr[off:]), w, blimit, limit, thresh)
     return ptr.reshape(h, w)
+
+
+def cdef_filter_block(in16: np.ndarray, pri: int, sec: int, dir: int,
+                      pri_damping: int, sec_damping: int, bsize8: bool = True) -> np.ndarray:
+    """svt_cdef_filter_block_c on one block. in16: padded (h+4, w+4) uint16
+    patch; the block starts at (2, 2). Returns the (h, w) filtered uint8."""
+    lib = get_lib()
+    fn = lib.svt_cdef_filter_block_c
+    fn.argtypes = [_U8P, ctypes.c_void_p, ctypes.c_int32, _U16P, ctypes.c_int32,
+                   ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                   ctypes.c_int32, ctypes.c_int32, ctypes.c_uint8]
+    CDEF_BSTRIDE = 272  # 1 << 4 + ... actual: CDEF_BSTRIDE = ((1<<6) + 2*8) = wrong; use define
+    # CDEF_BSTRIDE = (1 << MAX_SB_SIZE_LOG2) + 2*CDEF_HBORDER = 128 + 16 = 144
+    S = 144
+    h, w = in16.shape[0] - 4, in16.shape[1] - 4
+    buf = np.full((h + 4) * S, 30000, np.uint16)
+    for r in range(h + 4):
+        buf[r * S : r * S + w + 4] = in16[r].astype(np.uint16)
+    dst = np.zeros(h * w, np.uint8)
+    # BLOCK_8X8 = 3, BLOCK_4X4 = 0 in av1 BlockSize enum
+    bsize = 3 if bsize8 else 0
+    fn(dst, None, w, np.ascontiguousarray(buf[2 * S + 2 :]), pri, sec, dir,
+       pri_damping, sec_damping, bsize, 0, 1)
+    return dst.reshape(h, w)
+
+
+def cdef_find_dir(img: np.ndarray) -> tuple[int, int]:
+    """svt_aom_cdef_find_dir_c on one 8x8 block (uint16)."""
+    lib = get_lib()
+    fn = lib.svt_aom_cdef_find_dir_c
+    fn.restype = ctypes.c_uint8
+    fn.argtypes = [_U16P, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+    var = ctypes.c_int32(0)
+    d = fn(np.ascontiguousarray(img, np.uint16).ravel(), 8, ctypes.byref(var), 0)
+    return int(d), int(var.value)
