@@ -189,41 +189,58 @@ class CoeffWriter:
         coeff_ctx = self._nz_map_contexts(levels, scan, eob, cw, ch, full_w, full_h, tx_class)
 
         bwl = int(np.log2(cw))
-        for c in range(eob - 1, -1, -1):
-            pos = int(scan[c])
-            level = int(abs(flat[pos]))
-            ctx = int(coeff_ctx[c])
-            if c == eob - 1:
-                tw._sym_at(min(level, 3) - 1, tw.cdfs.coeff_base_eob, ts_ctx, ptype, ctx)
-            else:
-                tw._sym_at(min(level, 3), tw.cdfs.coeff_base, ts_ctx, ptype, ctx)
-            if level > NUM_BASE_LEVELS:
-                base_range = level - 1 - NUM_BASE_LEVELS
-                br_ctx = _get_br_ctx(levels, pos, bwl, tx_class)
-                idx = 0
-                while idx < COEFF_BASE_RANGE:
-                    k = min(base_range - idx, BR_CDF_SIZE - 1)
-                    tw._sym_at(k, tw.cdfs.coeff_br, min(ts_ctx, 3), ptype, br_ctx)
-                    if k < BR_CDF_SIZE - 1:
-                        break
-                    idx += BR_CDF_SIZE - 1
-
-        # signs + golomb
-        cul_level = 0
-        for c in range(eob):
-            pos = int(scan[c])
-            v = int(flat[pos])
-            level = abs(v)
-            cul_level += level
-            if level:
-                if c == 0:
-                    tw._sym_at(1 if v < 0 else 0, tw.cdfs.dc_sign, ptype, dc_sign_ctx)
+        if hasattr(tw.enc, "coeffs"):
+            # native backend: one C call emits base/br symbols, signs,
+            # golomb escapes (native/ecenc.c svt_ec_coeffs)
+            base = tw.cdfs.coeff_base
+            beob = tw.cdfs.coeff_base_eob
+            br = tw.cdfs.coeff_br
+            dcs = tw.cdfs.dc_sign
+            flat32 = np.ascontiguousarray(flat, np.int32)
+            scan32 = np.ascontiguousarray(scan[:eob], np.int32)
+            ctx32 = np.ascontiguousarray(coeff_ctx, np.int32)
+            cul_level = tw.enc.coeffs(
+                scan32, flat32, ctx32, eob, levels, bwl, tx_class,
+                base[0][ts_ctx, ptype], base[1][ts_ctx, ptype],
+                beob[0][ts_ctx, ptype], beob[1][ts_ctx, ptype],
+                br[0][min(ts_ctx, 3), ptype], br[1][min(ts_ctx, 3), ptype],
+                dcs[0][ptype], dcs[1][ptype], dc_sign_ctx, tw.adapt)
+        else:
+            for c in range(eob - 1, -1, -1):
+                pos = int(scan[c])
+                level = int(abs(flat[pos]))
+                ctx = int(coeff_ctx[c])
+                if c == eob - 1:
+                    tw._sym_at(min(level, 3) - 1, tw.cdfs.coeff_base_eob, ts_ctx, ptype, ctx)
                 else:
-                    tw.enc.encode_literal(1 if v < 0 else 0, 1)
-                if level > COEFF_BASE_RANGE + NUM_BASE_LEVELS:
-                    _write_golomb(tw.enc, level - COEFF_BASE_RANGE - 1 - NUM_BASE_LEVELS)
+                    tw._sym_at(min(level, 3), tw.cdfs.coeff_base, ts_ctx, ptype, ctx)
+                if level > NUM_BASE_LEVELS:
+                    base_range = level - 1 - NUM_BASE_LEVELS
+                    br_ctx = _get_br_ctx(levels, pos, bwl, tx_class)
+                    idx = 0
+                    while idx < COEFF_BASE_RANGE:
+                        k = min(base_range - idx, BR_CDF_SIZE - 1)
+                        tw._sym_at(k, tw.cdfs.coeff_br, min(ts_ctx, 3), ptype, br_ctx)
+                        if k < BR_CDF_SIZE - 1:
+                            break
+                        idx += BR_CDF_SIZE - 1
 
-        cul_level = min(COEFF_CONTEXT_MASK, cul_level)
+            # signs + golomb
+            cul_level = 0
+            for c in range(eob):
+                pos = int(scan[c])
+                v = int(flat[pos])
+                level = abs(v)
+                cul_level += level
+                if level:
+                    if c == 0:
+                        tw._sym_at(1 if v < 0 else 0, tw.cdfs.dc_sign, ptype, dc_sign_ctx)
+                    else:
+                        tw.enc.encode_literal(1 if v < 0 else 0, 1)
+                    if level > COEFF_BASE_RANGE + NUM_BASE_LEVELS:
+                        _write_golomb(tw.enc, level - COEFF_BASE_RANGE - 1 - NUM_BASE_LEVELS)
+
+            cul_level = min(COEFF_CONTEXT_MASK, cul_level)
         dc = int(flat[0])
         if dc < 0:
             cul_level |= 1 << COEFF_CONTEXT_BITS

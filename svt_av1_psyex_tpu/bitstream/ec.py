@@ -122,6 +122,15 @@ class EntropyEncoder:
     def encode_bool(self, bit: int, p_cdf: np.ndarray) -> None:
         self.encode_symbol(int(bit), p_cdf)
 
+    def symbol_adapt(self, symbol: int, values_row: np.ndarray,
+                     counter_row, n: int, adapt: bool) -> None:
+        """Encode from a (possibly padded) CDF row of alphabet size n,
+        adapting in place. Interface shared with the native backend."""
+        row = values_row[:n]
+        self.encode_symbol(symbol, row)
+        if adapt:
+            update_cdf(row, symbol, counter_row)
+
     def encode_literal(self, value: int, n: int) -> None:
         """n equiprobable bits, MSB first (spec L(n))."""
         for i in range(n - 1, -1, -1):

@@ -184,7 +184,11 @@ class FrameCdfs:
 
     @staticmethod
     def _wrap(arr: np.ndarray):
-        """Attach per-row counters: returns (values, counters) pair where
-        counters has the same leading shape with last dim 1."""
+        """Attach per-row counters and trimmed symbol counts: returns
+        [values, counters, nsyms] where counters has the same leading shape
+        with last dim 1 and nsyms holds each row's alphabet size (CDF rows
+        may be -1 padded past the 32768 terminator)."""
+        arr = np.ascontiguousarray(arr, np.int32)
         cnt = np.zeros(arr.shape[:-1] + (1,), dtype=np.int32)
-        return [arr, cnt]
+        nsyms = (np.argmax(arr == (1 << 15), axis=-1) + 1).astype(np.int32)
+        return [arr, cnt, nsyms]

@@ -65,7 +65,9 @@ class TileWriter:
         self.seq = seq
         self.fr = fr
         self.cdfs = cdfs
-        self.enc = EntropyEncoder()
+        from ..native.ecenc import make_entropy_encoder
+
+        self.enc = make_entropy_encoder()
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
         self.r0 = tile_mi_row_start
@@ -95,12 +97,15 @@ class TileWriter:
 
     # ---- symbol helper with adaptation --------------------------------------
     def _sym_at(self, symbol: int, cdf_pair, *idx) -> None:
-        values, counters = cdf_pair
-        cdf = trim(values[idx]) if idx else trim(values)
-        self.enc.encode_symbol(symbol, cdf)
-        if self.adapt:
-            # trim() returns a view: adaptation mutates the stored CDF
-            update_cdf(cdf, symbol, counters[idx] if idx else counters)
+        values, counters, nsyms = cdf_pair
+        if idx:
+            row = values[idx]
+            cnt = counters[idx]
+            n = int(nsyms[idx])
+        else:
+            row, cnt, n = values, counters, int(nsyms)
+        # adaptation mutates the stored CDF row in place
+        self.enc.symbol_adapt(symbol, row, cnt, n, self.adapt)
 
     # ---- superblock entry -----------------------------------------------------
     def write_superblock(self, node: PartitionNode, mi_row: int, mi_col: int) -> None:
@@ -190,16 +195,13 @@ class TileWriter:
         left_bit = (int(self.left_part[r]) >> bsl_ctx) & 1 if avail_l else 0
         ctx = (left_bit * 2 + above_bit) + bsl_ctx * 4
 
-        values, counters = self.cdfs.partition
+        values = self.cdfs.partition[0]
         cdf = trim(values[ctx])
         if not has_rows and not has_cols:
             assert p == Partition.SPLIT
             return
         if has_rows and has_cols:
-            self.enc.encode_symbol(p, cdf)
-            if self.adapt:
-                update_cdf(cdf, p, counters[ctx])
-                values[ctx][: len(cdf)] = cdf
+            self._sym_at(p, self.cdfs.partition, ctx)
         elif has_cols:  # bottom edge: split_or_horz, gathered "vert alike"
             assert p in (Partition.SPLIT, Partition.HORZ)
             bcdf = _gather_split_bool(cdf, bsize, vert=True)

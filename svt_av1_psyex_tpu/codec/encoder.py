@@ -107,14 +107,14 @@ class Av1Encoder:
 
     @property
     def _cdef_search_level(self) -> int:
-        """Preset -> CDEF candidate set (enc_mode_config.c search levels)."""
-        if self.preset <= 4:
+        """Preset -> CDEF candidate set (enc_mode_config.c:1736-1750)."""
+        if self.preset <= 1:
             return 1
-        if self.preset <= 8:
+        if self.preset <= 2:
             return 2
-        if self.preset <= 10:
-            return 3
-        return 4
+        if self.preset <= 8:
+            return 5
+        return 7
 
     @property
     def _min_partition_bsize(self) -> int:

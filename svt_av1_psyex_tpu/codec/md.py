@@ -58,7 +58,7 @@ class RateCounter:
         self._cost_cache: dict = {}
 
     def _sym_at(self, symbol: int, cdf_pair, *idx) -> None:
-        values, _ = cdf_pair
+        values = cdf_pair[0]
         key = (id(values), idx)
         costs = self._cost_cache.get(key)
         if costs is None:
@@ -106,18 +106,18 @@ class ModeDecision:
         self.above_part = np.zeros(mi_cols, np.uint8)
         self.left_part = np.zeros(mi_rows, np.uint8)
         # per-ctx partition cost tables
-        pvals, _ = self.cdfs.partition
+        pvals = self.cdfs.partition[0]
         self._part_costs = [cdf_costs(pvals[i]) for i in range(pvals.shape[0])]
-        kvals, _ = self.cdfs.kf_y_mode
+        kvals = self.cdfs.kf_y_mode[0]
         self._kf_costs = [[cdf_costs(kvals[a, l]) for l in range(5)] for a in range(5)]
-        svals, _ = self.cdfs.skip
+        svals = self.cdfs.skip[0]
         self._skip_costs = [cdf_costs(svals[i]) for i in range(3)]
-        avals, _ = self.cdfs.angle_delta
+        avals = self.cdfs.angle_delta[0]
         self._angle_costs = [cdf_costs(avals[i]) for i in range(avals.shape[0])]
         if not fr.frame_is_intra:
-            yv, _ = self.cdfs.y_mode
+            yv = self.cdfs.y_mode[0]
             self._ify_costs = [cdf_costs(yv[i]) for i in range(4)]
-            iiv, _ = self.cdfs.intra_inter
+            iiv = self.cdfs.intra_inter[0]
             self._ii_costs = [cdf_costs(iiv[i]) for i in range(4)]
             self._newmv_costs = [cdf_costs(self.cdfs.newmv[0][i]) for i in range(6)]
             self._zeromv_costs = [cdf_costs(self.cdfs.zeromv[0][i]) for i in range(2)]
@@ -273,7 +273,7 @@ class ModeDecision:
                     Partition.VERT: int(costs[2]), Partition.SPLIT: int(costs[3])}
         if not has_rows and not has_cols:
             return {Partition.SPLIT: 0}
-        pvals, _ = self.cdfs.partition
+        pvals = self.cdfs.partition[0]
         cdf = trim(pvals[ctx])
         bcdf = _gather_split_bool(cdf, bsize, vert=not has_rows)
         bc = cdf_costs(bcdf)

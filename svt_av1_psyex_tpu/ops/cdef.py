@@ -121,31 +121,34 @@ def adjust_strength(strength: int, var: np.ndarray) -> np.ndarray:
     return np.where(var != 0, (strength * (4 + i) + 8) >> 4, 0)
 
 
+def _tap(padded, ri, ci, x, dy, dx):
+    p = padded[ri + dy[:, None, None], ci + dx[:, None, None]].astype(np.int64)
+    d = p - x
+    return {"p": p, "ad": np.abs(d), "sg": np.sign(d)}
+
+
 def gather_taps(padded: np.ndarray, ys: np.ndarray, xs: np.ndarray,
                 bh: int, bw: int, dirs: np.ndarray):
-    """Gather the center + 4 primary + 8 secondary tap samples for N blocks
-    once; strength candidates then reuse them (filter_from_taps)."""
+    """Gather the center + 4 primary + 8 secondary tap samples (with
+    precomputed |diff| and sign) for N blocks once; strength candidates
+    then reuse them (filter_from_taps / *_tap_sum)."""
     ri = ys[:, None, None] + np.arange(bh)[None, :, None]
     ci = xs[:, None, None] + np.arange(bw)[None, None, :]
     x = padded[ri, ci].astype(np.int64)
-    pri_s = []  # [k][sgn] -> (N, bh, bw)
-    sec_s = []  # [k][dd, sgn]
+    pri_s = []  # [k][sgn] -> tap dict
+    sec_s = []  # [k][dd*2+sgn]
     d = dirs
     for k in range(2):
         row_p = []
         for sgn in (1, -1):
-            dy = sgn * _DIR_DY[d, k]
-            dx = sgn * _DIR_DX[d, k]
-            row_p.append(padded[ri + dy[:, None, None],
-                                ci + dx[:, None, None]].astype(np.int64))
+            row_p.append(_tap(padded, ri, ci, x, sgn * _DIR_DY[d, k],
+                              sgn * _DIR_DX[d, k]))
         pri_s.append(row_p)
         row_s = []
         for dd in ((d + 2) & 7, (d - 2) & 7):
             for sgn in (1, -1):
-                dy = sgn * _DIR_DY[dd, k]
-                dx = sgn * _DIR_DX[dd, k]
-                row_s.append(padded[ri + dy[:, None, None],
-                                    ci + dx[:, None, None]].astype(np.int64))
+                row_s.append(_tap(padded, ri, ci, x, sgn * _DIR_DY[dd, k],
+                                  sgn * _DIR_DX[dd, k]))
         sec_s.append(row_s)
     return x, pri_s, sec_s
 
@@ -156,10 +159,17 @@ def tap_minmax(taps):
     mx = x.copy()
     mn = x.copy()
     for k in range(2):
-        for p in pri_s[k] + sec_s[k]:
+        for t in pri_s[k] + sec_s[k]:
+            p = t["p"]
             mx = np.maximum(mx, np.where(p == CDEF_VERY_LARGE, mx, p))
             mn = np.minimum(mn, p)
     return mn, mx
+
+
+def _constrain_tap(t, strength, shift):
+    """constrain() on a pre-gathered tap: sign/abs already cached."""
+    ad = t["ad"]
+    return t["sg"] * np.minimum(ad, np.maximum(0, strength - (ad >> shift)))
 
 
 def pri_tap_sum(taps, pri_strength, pri_damping: int, coeff_shift: int = 0):
@@ -171,23 +181,29 @@ def pri_tap_sum(taps, pri_strength, pri_damping: int, coeff_shift: int = 0):
         return np.zeros_like(x)
     tap_sel = (pri >> coeff_shift) & 1
     prib = pri[:, None, None]
+    msb = np.floor(np.log2(np.maximum(prib, 1))).astype(np.int64)
+    shift = np.maximum(0, pri_damping - msb)
+    zero = prib == 0
     sum_ = np.zeros_like(x)
     for k in range(2):
         ptap = _PRI_TAPS[tap_sel, k][:, None, None]
-        for p in pri_s[k]:
-            sum_ += ptap * _constrain(p - x, prib, pri_damping)
+        for t in pri_s[k]:
+            c = _constrain_tap(t, prib, shift)
+            sum_ += ptap * (np.where(zero, 0, c) if np.any(zero) else c)
     return sum_
 
 
 def sec_tap_sum(taps, sec_strength, sec_damping: int):
-    """Secondary-tap constrained sum for one strength."""
+    """Secondary-tap constrained sum for one strength (scalar)."""
     x, _, sec_s = taps
     sum_ = np.zeros_like(x)
-    if not np.any(np.asarray(sec_strength)):
+    s = int(sec_strength)
+    if s == 0:
         return sum_
+    shift = max(0, sec_damping - (s.bit_length() - 1))
     for k in range(2):
-        for s in sec_s[k]:
-            sum_ += _SEC_TAPS[k] * _constrain(s - x, sec_strength, sec_damping)
+        for t in sec_s[k]:
+            sum_ += _SEC_TAPS[k] * _constrain_tap(t, s, shift)
     return sum_
 
 
@@ -210,18 +226,13 @@ def filter_from_taps(taps, pri_strength, sec_strength, pri_damping: int,
     prib = pri[:, None, None]
     secb = sec[:, None, None]
     sum_ = np.zeros_like(x)
-    mx = x.copy()
-    mn = x.copy()
+    mn, mx = tap_minmax(taps)
     for k in range(2):
         ptap = _PRI_TAPS[tap_sel, k][:, None, None]
-        for p in pri_s[k]:
-            sum_ += ptap * _constrain(p - x, prib, pri_damping)
-            mx = np.maximum(mx, np.where(p == CDEF_VERY_LARGE, mx, p))
-            mn = np.minimum(mn, p)
-        for s in sec_s[k]:
-            sum_ += _SEC_TAPS[k] * _constrain(s - x, secb, sec_damping)
-            mx = np.maximum(mx, np.where(s == CDEF_VERY_LARGE, mx, s))
-            mn = np.minimum(mn, s)
+        for t in pri_s[k]:
+            sum_ += ptap * _constrain(t["p"] - x, prib, pri_damping)
+        for t in sec_s[k]:
+            sum_ += _SEC_TAPS[k] * _constrain(t["p"] - x, secb, sec_damping)
     y = x + ((8 + sum_ - (sum_ < 0)) >> 4)
     return np.clip(y, mn, mx)
 
@@ -281,21 +292,22 @@ def dist_8x8_luma(src: np.ndarray, dst: np.ndarray, coeff_shift: int = 0) -> np.
     return np.floor(0.5 + num / den).astype(np.int64)
 
 
-# candidate strength sets per search level (enc_mode_config.c pf sets;
-# gi = pri*4, second pass adds sec 1..3)
+# candidate strength sets per search level (enc_mode_config.c pf/sf sets;
+# gi = pri*4 + sec)
 _PF_SETS = {
-    1: list(range(16)),
-    2: [0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14],
-    3: [0, 4, 8, 12, 15],
-    4: [0, 7, 15],
+    1: (list(range(16)), (1, 2, 3)),
+    2: ([0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14], (1, 2, 3)),
+    3: ([0, 4, 8, 12, 15], (1, 2, 3)),
+    4: ([0, 7, 15], (1, 2, 3)),
+    5: ([0, 7, 15], (2,)),
+    7: ([0, 15], (2,)),
 }
 
 
-def candidate_strengths(level: int, with_sec: bool = True) -> list[int]:
-    pris = _PF_SETS.get(level, _PF_SETS[3])
+def candidate_strengths(level: int) -> list[int]:
+    pris, secs = _PF_SETS.get(level, _PF_SETS[5])
     gis = [p * 4 for p in pris]
-    if with_sec:
-        gis = gis + [p * 4 + s for p in pris for s in (1, 2, 3)]
+    gis += [p * 4 + s for p in pris for s in secs]
     return sorted(set(gis))
 
 
