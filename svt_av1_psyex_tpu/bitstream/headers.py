@@ -238,6 +238,9 @@ class FrameConfig:
     delta_q_res: int = 1
     # refs (inter path)
     primary_ref_frame: int = 7  # PRIMARY_REF_NONE
+    # 0 => saved frame context is the post-tile adapted state (CDF
+    # forwarding via primary_ref_frame); 1 => frame-initial state
+    disable_frame_end_update_cdf: bool = False
     refresh_frame_flags: int = 0xFF
     ref_frame_idx: tuple = (0, 1, 2, 3, 4, 5, 6)
     ref_order_hints: tuple = (0,) * 8
@@ -316,7 +319,7 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig, w: BitWriter) -> No
             w.f(1 if fr.use_ref_frame_mvs else 0, 1)
 
     if not fr.disable_cdf_update:
-        w.f(1, 1)  # disable_frame_end_update_cdf = 1 (backward update off)
+        w.f(1 if fr.disable_frame_end_update_cdf else 0, 1)
 
     _write_tile_info(w, seq, fr)
     _write_quantization_params(w, seq, fr)

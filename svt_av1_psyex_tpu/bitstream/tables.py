@@ -182,6 +182,35 @@ class FrameCdfs:
             return 2
         return 3
 
+    def reset_counters(self) -> None:
+        """Zero every CDF's visit counter — the frame-context save process
+        resets counts (spec: symbol counters are not carried across frames;
+        dav1d cdf_thread_update zeroes the count element on save)."""
+        for val in self.__dict__.values():
+            if isinstance(val, list) and len(val) == 3 and isinstance(val[1], np.ndarray):
+                val[1][...] = 0
+            elif isinstance(val, dict):
+                for v in val.values():
+                    if isinstance(v, list) and len(v) == 3:
+                        v[1][...] = 0
+
+    def clone(self) -> "FrameCdfs":
+        """Deep copy of the adaptive state (CDF forwarding: load_cdfs from
+        the primary reference, spec 7.20)."""
+        import copy
+
+        out = object.__new__(FrameCdfs)
+        for name, val in self.__dict__.items():
+            if isinstance(val, list) and val and isinstance(val[0], np.ndarray):
+                out.__dict__[name] = [v.copy() for v in val]
+            elif isinstance(val, dict):
+                out.__dict__[name] = {
+                    k: [x.copy() for x in v] if isinstance(v, list) else copy.deepcopy(v)
+                    for k, v in val.items()}
+            else:
+                out.__dict__[name] = val
+        return out
+
     @staticmethod
     def _wrap(arr: np.ndarray):
         """Attach per-row counters and trimmed symbol counts: returns

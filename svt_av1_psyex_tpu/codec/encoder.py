@@ -169,7 +169,13 @@ class Av1Encoder:
         fr.tile = compute_tile_info(seq)
         assert fr.tile.tile_cols == 1 and fr.tile.tile_rows == 1, "multi-tile later"
 
-        cdfs = FrameCdfs(fr.base_q_idx)
+        # CDF forwarding (spec 7.20 load_cdfs): inter frames start from the
+        # primary reference's end-of-tile adapted state
+        if not is_key and getattr(self, "saved_cdfs", None) is not None:
+            cdfs = self.saved_cdfs.clone()
+            fr.primary_ref_frame = 0  # LAST
+        else:
+            cdfs = FrameCdfs(fr.base_q_idx)
         tw = TileWriter(seq, fr, cdfs, self.mi_rows, self.mi_cols)
         tw.sb_qindex_map = sb_qmap
         tw.coeff_writer = CoeffWriter(tw, self.mi_rows, self.mi_cols,
@@ -220,7 +226,8 @@ class Av1Encoder:
                           n_full_rd=3 if self.preset <= 6 else 2,
                           angle_deltas=self.preset <= 9,
                           ref_planes=ref_planes,
-                          try_rect=self.preset <= 8)
+                          try_rect=self.preset <= 8,
+                          cdfs=cdfs.clone())
         sb_plans = []
         for r in range(0, self.mi_rows, sb_mi):
             for c in range(0, self.mi_cols, sb_mi):
@@ -277,6 +284,10 @@ class Av1Encoder:
         for node, r, c in sb_plans:
             tw.write_superblock(node, r, c)
         tile_payload = tw.finish()
+        if not fr.disable_frame_end_update_cdf:
+            # frame-context save: keep adapted values, reset visit counters
+            cdfs.reset_counters()
+            self.saved_cdfs = cdfs
 
         w = BitWriter()
         write_frame_header(seq, fr, w)

@@ -77,7 +77,7 @@ class ModeDecision:
     def __init__(self, seq, fr, pctx: list, mi_rows: int, mi_cols: int,
                  rdmult: int, min_bsize: int, n_full_rd: int = 2,
                  angle_deltas: bool = False, ref_planes: list | None = None,
-                 try_rect: bool = False):
+                 try_rect: bool = False, cdfs: FrameCdfs | None = None):
         self.angle_deltas = angle_deltas
         self.try_rect = try_rect
         # inter: padded reference planes (LAST) + MVP mi-state
@@ -96,7 +96,9 @@ class ModeDecision:
         self.bd = seq.bit_depth
 
         self.cur_qindex = fr.base_q_idx  # per-SB qindex (variance boost)
-        self.cdfs = FrameCdfs(fr.base_q_idx)  # static snapshot for rates
+        # static snapshot of the frame-start CDFs (forwarded or default)
+        # for rate estimation
+        self.cdfs = cdfs if cdfs is not None else FrameCdfs(fr.base_q_idx)
         self.rc = RateCounter(self.cdfs)
         self.cw = CoeffWriter(self.rc, mi_rows, mi_cols,
                               seq.subsampling_x, seq.subsampling_y)
