@@ -125,18 +125,79 @@ class SvtAv1Encoder:
             period = 60  # auto placeholder (~2s at 30fps)
         return frame_idx % (period + 1) == 0
 
+    def _gap_to_next_key(self, disp: int) -> int:
+        period = self.config.intra_period_length
+        if period == -1:
+            return 1 << 30
+        if period == -2:
+            period = 60
+        return (period + 1) - (disp % (period + 1))
+
     def _drain(self) -> None:
-        # low-delay IPPP (no lookahead/hierarchy yet): keyframes per keyint
-        while self._in_q:
-            planes, pts, force_key = self._in_q.popleft()
-            key = force_key or self._keyframe_due(pts)
-            tu = self._enc.encode_frame(planes, self.config.qindex, force_key=key)
-            self._out_q.append(Packet(tu, pts, pts, frame_type=0 if key else 1))
-            if self.config.recon_enabled:
-                self._recon_q.append(Recon(self._enc.last_recon, pts))
-        if self._eos_sent and not self._eos_emitted:
+        if self.config.pred_structure == 1:
+            # low-delay IPPP: keyframes per keyint, no reordering
+            while self._in_q:
+                planes, pts, force_key = self._in_q.popleft()
+                key = force_key or self._keyframe_due(pts)
+                tu = self._enc.encode_frame(planes, self.config.qindex,
+                                            force_key=key)
+                self._out_q.append(Packet(tu, pts, pts, frame_type=0 if key else 1))
+                if self.config.recon_enabled:
+                    self._recon_q.append(Recon(self._enc.last_recon, pts))
+        else:
+            self._drain_ra()
+        if self._eos_sent and not self._eos_emitted and not self._in_q:
             self._out_q.append(Packet(b"", self._pts, self._pts, 0, is_eos=True))
             self._eos_emitted = True
+
+    def _drain_ra(self) -> None:
+        """Random access: dyadic mini-GOPs with backward refs
+        (picture-decision counterpart; the in-queue is the lookahead)."""
+        from ..codec.gop import plan_key, plan_minigop
+
+        if not hasattr(self, "_anchor_slot"):
+            self._anchor_slot = 0
+            self._dts = 0
+        while self._in_q:
+            disp0 = self._in_q[0][1]
+            if self._in_q[0][2] or self._keyframe_due(disp0):
+                planes, pts, _ = self._in_q.popleft()
+                tu = self._enc.encode_frame(planes, self.config.qindex,
+                                            plan=plan_key(pts))
+                self._emit(tu, pts, 0, shown=True)
+                self._anchor_slot = 0
+                continue
+            gap = self._gap_to_next_key(disp0)
+            avail = len(self._in_q)
+            if avail < min(4, gap) and not self._eos_sent:
+                return  # wait for more lookahead
+            length = min(4, gap, avail)
+            if length == 3:
+                length = 2  # dyadic lengths only; the leftover follows
+            if length == 0:
+                return
+            future = 1 - self._anchor_slot
+            plans = plan_minigop(self._anchor_slot, disp0, length,
+                                 future_slot=future, mid_slot=2)
+            srcs = {}
+            for _ in range(length):
+                planes, pts, _fk = self._in_q.popleft()
+                srcs[pts] = planes
+            for pl in plans:
+                src = srcs.get(pl.disp_idx)
+                tu = self._enc.encode_frame(
+                    None if pl.show_existing_slot is not None else src,
+                    self.config.qindex, plan=pl)
+                shown = pl.show_frame or pl.show_existing_slot is not None
+                self._emit(tu, pl.disp_idx, 1, shown=shown)
+            if length > 1:
+                self._anchor_slot = future
+
+    def _emit(self, tu: bytes, pts: int, ftype: int, shown: bool) -> None:
+        self._out_q.append(Packet(tu, pts, self._dts, frame_type=ftype))
+        self._dts += 1
+        if shown and self.config.recon_enabled:
+            self._recon_q.append(Recon(self._enc.last_recon, pts))
 
     def get_packet(self, blocking: bool = False) -> Packet | None:
         if self._out_q:

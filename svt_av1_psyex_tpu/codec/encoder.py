@@ -144,12 +144,39 @@ class Av1Encoder:
         return self.encode_frame(planes, base_q_idx, force_key=True)
 
     def encode_frame(self, planes: list[np.ndarray] | None, base_q_idx: int = 80,
-                     force_key: bool = False) -> bytes:
+                     force_key: bool = False, plan=None) -> bytes:
+        """Encode one frame. `plan` (codec.gop.FramePlan) selects refs/
+        refresh/show semantics; None = legacy low-delay IPPP (LAST in every
+        slot, refresh all)."""
         seq = self.seq
-        is_key = force_key or getattr(self, "dpb", None) is None
-        fr = FrameConfig(frame_type=0 if is_key else 1, show_frame=True,
+        if not hasattr(self, "slots"):
+            self.slots = [None] * 8
+        if plan is None:
+            from .gop import FramePlan, LAST, ALTREF
+
+            is_key = force_key or self.slots[0] is None
+            if is_key:
+                plan = FramePlan(self.frame_count, 0, True,
+                                 refresh_flags=0xFF)
+            else:
+                plan = FramePlan(self.frame_count, 1, True,
+                                 refs={LAST: 0}, refresh_flags=0xFF,
+                                 primary_ref_name=LAST)
+        if plan.show_existing_slot is not None:
+            return self._show_existing_tu(plan.show_existing_slot)
+        is_key = plan.frame_type == 0
+        base_q_idx = int(np.clip(base_q_idx + plan.q_offset, 1, 255))
+        fr = FrameConfig(frame_type=plan.frame_type,
+                         show_frame=plan.show_frame,
                          base_q_idx=base_q_idx,
-                         order_hint=self.frame_count & ((1 << seq.order_hint_bits) - 1))
+                         order_hint=plan.disp_idx & ((1 << seq.order_hint_bits) - 1))
+        fr.refresh_frame_flags = plan.refresh_flags
+        if not is_key:
+            # map each named ref (LAST..ALTREF = 1..7) to a DPB slot;
+            # unspecified names alias the first specified slot
+            default_slot = next(iter(plan.refs.values()))
+            fr.ref_frame_idx = tuple(plan.refs.get(name, default_slot)
+                                     for name in range(1, 8))
 
         sb_qmap = None
         if self.enable_variance_boost and planes is not None and base_q_idx > 0:
@@ -170,20 +197,40 @@ class Av1Encoder:
         assert fr.tile.tile_cols == 1 and fr.tile.tile_rows == 1, "multi-tile later"
 
         # CDF forwarding (spec 7.20 load_cdfs): inter frames start from the
-        # primary reference's end-of-tile adapted state
-        if not is_key and getattr(self, "saved_cdfs", None) is not None:
-            cdfs = self.saved_cdfs.clone()
-            fr.primary_ref_frame = 0  # LAST
-        else:
+        # primary reference slot's end-of-tile adapted state
+        cdfs = None
+        if not is_key and plan.primary_ref_name is not None:
+            pr_idx = plan.primary_ref_name - 1  # index into ref_frame_idx
+            slot = self.slots[fr.ref_frame_idx[pr_idx]]
+            if slot is not None and slot.get("cdfs") is not None:
+                cdfs = slot["cdfs"].clone()
+                fr.primary_ref_frame = pr_idx
+        if cdfs is None:
             cdfs = FrameCdfs(fr.base_q_idx)
         tw = TileWriter(seq, fr, cdfs, self.mi_rows, self.mi_cols)
         tw.sb_qindex_map = sb_qmap
         tw.coeff_writer = CoeffWriter(tw, self.mi_rows, self.mi_cols,
                                       seq.subsampling_x, seq.subsampling_y)
+        sign_bias = np.zeros(8, bool)
         if not is_key:
             from .mvp import MiState
 
             tw.mi_state = MiState(self.mi_rows, self.mi_cols)
+            # RefFrameSignBias: ref displays after the current frame
+            # (get_relative_dist with order-hint wraparound, spec 7.8)
+            bits = seq.order_hint_bits
+            half = 1 << (bits - 1)
+
+            def rel_dist(a, b):
+                diff = (a - b) & ((1 << bits) - 1)
+                return (diff & (half - 1)) - (diff & half)
+
+            for name in range(1, 8):
+                slot = self.slots[fr.ref_frame_idx[name - 1]]
+                if slot is not None:
+                    sign_bias[name] = rel_dist(slot["order_hint"],
+                                               fr.order_hint) > 0
+            tw.mi_state.sign_bias = sign_bias
 
         sb_mi = 32 if seq.use_128x128_superblock else 16
         sb_bsize = BlockSize.B128X128 if seq.use_128x128_superblock else BlockSize.B64X64
@@ -214,12 +261,20 @@ class Av1Encoder:
         # views so the clipped gathers in ops.mc clamp at the right bound
         ref_planes = None
         if not is_key:
-            ref_planes = []
-            for i, p in enumerate(self.dpb):
-                sx = 0 if i == 0 else seq.subsampling_x
-                sy = 0 if i == 0 else seq.subsampling_y
-                ref_planes.append(p[: (seq.height + sy) >> sy,
-                                    : (seq.width + sx) >> sx])
+            def crop(planes_full):
+                out = []
+                for i, p in enumerate(planes_full):
+                    sx = 0 if i == 0 else seq.subsampling_x
+                    sy = 0 if i == 0 else seq.subsampling_y
+                    out.append(p[: (seq.height + sy) >> sy,
+                                 : (seq.width + sx) >> sx])
+                return out
+
+            ref_planes = {}
+            for name, slot_idx in plan.refs.items():
+                slot = self.slots[slot_idx]
+                assert slot is not None, f"ref {name} slot {slot_idx} empty"
+                ref_planes[name] = crop(slot["recon"])
         md = ModeDecision(seq, fr, pctx, self.mi_rows, self.mi_cols,
                           rdmult=compute_rdmult(fr.base_q_idx, seq.bit_depth),
                           min_bsize=self._min_partition_bsize,
@@ -228,6 +283,8 @@ class Av1Encoder:
                           ref_planes=ref_planes,
                           try_rect=self.preset <= 8,
                           cdfs=cdfs.clone())
+        if md.mi_state is not None:
+            md.mi_state.sign_bias = sign_bias
         sb_plans = []
         for r in range(0, self.mi_rows, sb_mi):
             for c in range(0, self.mi_cols, sb_mi):
@@ -284,10 +341,9 @@ class Av1Encoder:
         for node, r, c in sb_plans:
             tw.write_superblock(node, r, c)
         tile_payload = tw.finish()
+        # frame-context save: keep adapted values, reset visit counters
         if not fr.disable_frame_end_update_cdf:
-            # frame-context save: keep adapted values, reset visit counters
             cdfs.reset_counters()
-            self.saved_cdfs = cdfs
 
         w = BitWriter()
         write_frame_header(seq, fr, w)
@@ -302,7 +358,27 @@ class Av1Encoder:
         maxv = (1 << seq.bit_depth) - 1
         dtype = np.uint8 if seq.bit_depth == 8 else np.uint16
         self.last_recon = [np.clip(p.recon, 0, maxv).astype(dtype) for p in pctx]
-        # DPB: refresh_frame_flags=0xFF puts this recon in every slot; the
-        # next frame references LAST = this frame
-        self.dpb = [p.recon.copy() for p in pctx]
+        # reference update: the recon + saved frame context land in every
+        # slot selected by refresh_frame_flags
+        entry = {"recon": [p.recon.copy() for p in pctx],
+                 "order_hint": fr.order_hint,
+                 "cdfs": cdfs if not fr.disable_frame_end_update_cdf else None}
+        for i in range(8):
+            if fr.refresh_frame_flags & (1 << i):
+                self.slots[i] = entry
+        return tu
+
+    def _show_existing_tu(self, slot: int) -> bytes:
+        """show_existing_frame TU (spec 5.9.2 first branch)."""
+        w = BitWriter()
+        w.f(1, 1)  # show_existing_frame
+        w.f(slot, 3)  # frame_to_show_map_idx
+        w.trailing_bits()
+        tu = temporal_delimiter()
+        tu += wrap_obu(ObuType.FRAME_HEADER, w.data())
+        entry = self.slots[slot]
+        maxv = (1 << self.seq.bit_depth) - 1
+        dtype = np.uint8 if self.seq.bit_depth == 8 else np.uint16
+        self.last_recon = [np.clip(p, 0, maxv).astype(dtype)
+                           for p in entry["recon"]]
         return tu

@@ -396,25 +396,37 @@ class ModeDecision:
         return cost
 
     def _motion_search(self, x: int, y: int, w: int, h: int,
-                       start_mv: tuple[int, int]) -> tuple[int, int]:
+                       start_mv: tuple[int, int],
+                       ref_id: int = 1) -> tuple[int, int]:
         """Full-pel raster search (+-8) around start, then quarter-pel
         refinement; returns an MV in 1/8-pel units with even components."""
         from ..ops.mc import _patch, mc_block
 
         src = self.pctx[0].src[y : y + h, x : x + w].astype(np.int32)
-        ref = self.ref_planes[0]
+        ref = self.ref_planes[ref_id][0]
         # full-pel center from the predictor
         cy = int(np.clip(round(start_mv[0] / 8), -48, 48))
         cx = int(np.clip(round(start_mv[1] / 8), -48, 48))
-        rng = 8
-        best = None
-        for dy in range(-rng, rng + 1):
-            strip = _patch(ref, x + cx - rng, y + cy + dy, w + 2 * rng, h)
-            for dx in range(-rng, rng + 1):
-                cand = strip[:, dx + rng : dx + rng + w]
-                sad = int(np.abs(src - cand).sum())
-                if best is None or sad < best[0]:
-                    best = (sad, cy + dy, cx + dx)
+
+        def raster(cy0, cx0, rng, step):
+            best = None
+            for dy in range(-rng, rng + 1, step):
+                strip = _patch(ref, x + cx0 - rng, y + cy0 + dy, w + 2 * rng, h)
+                for dx in range(-rng, rng + 1, step):
+                    cand = strip[:, dx + rng : dx + rng + w]
+                    sad = int(np.abs(src - cand).sum())
+                    if best is None or sad < best[0]:
+                        best = (sad, cy0 + dy, cx0 + dx)
+            return best
+
+        # coarse wide sweep (distant refs need reach), then fine raster
+        _, gy, gx = raster(cy, cx, 24, 4)
+        best = raster(gy, gx, 4, 1)
+        # also keep the predictor-centered fine result (cheap insurance)
+        if abs(gy - cy) > 4 or abs(gx - cx) > 4:
+            b2 = raster(cy, cx, 4, 1)
+            if b2[0] < best[0]:
+                best = b2
         _, fy, fx = best
         mv = (fy * 8, fx * 8)
         # quarter-pel refinement (two rounds of +-1 quarter step = 2/8)
@@ -441,12 +453,24 @@ class ModeDecision:
         from .mvp import find_mv_stack
 
         tx_w, tx_h = int(TX_W[tx_size]), int(TX_H[tx_size])
-        stack = find_mv_stack(self.mi_state, r, c, bsize, 1)
+        out = []
+        for ref_id in self.ref_planes:
+            out.extend(self._inter_candidates_ref(
+                r, c, bsize, x, y, tx_size, inter_base, skip_costs,
+                has_chroma, ref_id, tx_w, tx_h))
+        return out
+
+    def _inter_candidates_ref(self, r, c, bsize, x, y, tx_size, inter_base,
+                              skip_costs, has_chroma, ref_id, tx_w, tx_h):
+        from .constants import InterMode
+        from .mvp import find_mv_stack
+
+        stack = find_mv_stack(self.mi_state, r, c, bsize, ref_id)
         mode_ctx = stack.mode_context
         newmv_c = self._newmv_costs[mode_ctx & 7]
         zeromv_c = self._zeromv_costs[(mode_ctx >> 3) & 1]
         refmv_c = self._refmv_costs[(mode_ctx >> 4) & 15]
-        ref_rate = self._single_ref_rate(r, c, bsize)
+        ref_rate = self._single_ref_rate(r, c, bsize, ref_id)
 
         def drl_rate(mode, drl_index):
             rate = 0
@@ -477,7 +501,7 @@ class ModeDecision:
         cands.append((InterMode.GLOBALMV, (0, 0), 0,
                       int(newmv_c[1]) + int(zeromv_c[0])))
         # NEWMV via motion search (predictor = DRL 0)
-        mv = self._motion_search(x, y, tx_w, tx_h, stack.mvs[0])
+        mv = self._motion_search(x, y, tx_w, tx_h, stack.mvs[0], ref_id)
         nm_rate = (int(newmv_c[0]) + drl_rate(InterMode.NEWMV, 0)
                    + self._mv_cost((mv[0] - stack.mvs[0][0], mv[1] - stack.mvs[0][1])))
         cands.append((InterMode.NEWMV, mv, 0, nm_rate))
@@ -492,12 +516,12 @@ class ModeDecision:
             j, leaf, arts = self._try_inter(mode, mv, drl_index,
                                             inter_base + ref_rate + mode_rate,
                                             r, c, bsize, x, y, tx_size,
-                                            skip_costs, has_chroma)
+                                            skip_costs, has_chroma, ref_id)
             out.append((j, leaf, arts))
         return out
 
-    def _single_ref_rate(self, r, c, bsize) -> int:
-        """Rate of coding ref_frame = LAST (single_ref p1=0, p3=0, p4=0)."""
+    def _single_ref_rate(self, r, c, bsize, ref: int = 1) -> int:
+        """Rate of coding single ref_frame = `ref` (write_ref_frames tree)."""
         counts = np.zeros(8, np.int32)
         for rr, cc, av in ((r - 1, c, r > 0), (r, c - 1, c > 0)):
             if av and self.mi_state.ref_frame[rr, cc] >= 0:
@@ -509,20 +533,40 @@ class ModeDecision:
             return 1 if a == b else (0 if a < b else 2)
 
         srv = self.cdfs.single_ref[0]
-        rate = int(cdf_costs(srv[cmp_ctx(fwd, bwd)][0])[0])
-        rate += int(cdf_costs(srv[cmp_ctx(int(counts[1] + counts[2]),
-                                          int(counts[3] + counts[4]))][2])[0])
-        rate += int(cdf_costs(srv[cmp_ctx(int(counts[1]), int(counts[2]))][3])[0])
+
+        def bit_rate(sym, ctx, p):
+            return int(cdf_costs(srv[ctx][p])[sym])
+
+        bit0 = 1 if ref >= 5 else 0
+        rate = bit_rate(bit0, cmp_ctx(fwd, bwd), 0)
+        if bit0:
+            bit1 = 1 if ref == 7 else 0
+            rate += bit_rate(bit1, cmp_ctx(int(counts[5] + counts[6]),
+                                           int(counts[7])), 1)
+            if not bit1:
+                rate += bit_rate(1 if ref == 6 else 0,
+                                 cmp_ctx(int(counts[5]), int(counts[6])), 5)
+        else:
+            bit2 = 1 if ref in (3, 4) else 0
+            rate += bit_rate(bit2, cmp_ctx(int(counts[1] + counts[2]),
+                                           int(counts[3] + counts[4])), 2)
+            if not bit2:
+                rate += bit_rate(1 if ref != 1 else 0,
+                                 cmp_ctx(int(counts[1]), int(counts[2])), 3)
+            else:
+                rate += bit_rate(1 if ref != 3 else 0,
+                                 cmp_ctx(int(counts[3]), int(counts[4])), 4)
         return rate
 
     def _try_inter(self, mode, mv, drl_index, mode_rate, r, c, bsize, x, y,
-                   tx_size, skip_costs, has_chroma):
+                   tx_size, skip_costs, has_chroma, ref_id: int = 1):
         from ..ops.mc import mc_block
         from .constants import InterMode
 
         rate = mode_rate
         tx_w, tx_h = int(TX_W[tx_size]), int(TX_H[tx_size])
-        pred = mc_block(self.ref_planes[0], x, y, tx_w, tx_h, mv[0], mv[1], 0, 0)
+        ref_pl = self.ref_planes[ref_id]
+        pred = mc_block(ref_pl[0], x, y, tx_w, tx_h, mv[0], mv[1], 0, 0)
         txbs = []
         dist = 0
         qc, eob, rec, d = self._txb_rd_pred(self.pctx[0], pred, x, y, tx_size,
@@ -539,7 +583,7 @@ class ModeDecision:
             uv_tx = int(MAX_TX_SIZE_RECT[uv_bsize])
             cx, cy = x >> ssx, y >> ssy
             for p in (1, 2):
-                predc = mc_block(self.ref_planes[p], cx, cy,
+                predc = mc_block(ref_pl[p], cx, cy,
                                  int(TX_W[uv_tx]), int(TX_H[uv_tx]),
                                  mv[0], mv[1], ssx, ssy)
                 qc, eob, rec, d = self._txb_rd_pred(self.pctx[p], predc, cx, cy,
@@ -564,7 +608,7 @@ class ModeDecision:
                 self.cw.above[p][...] = ca[p]
                 self.cw.left[p][...] = cl[p]
 
-        leaf = LeafBlock(bsize, skip=skip, is_inter=True, ref_frame=1,
+        leaf = LeafBlock(bsize, skip=skip, is_inter=True, ref_frame=ref_id,
                          inter_mode=int(mode), mv=tuple(mv), drl_index=drl_index,
                          coeffs=None if skip else
                          [{k: v for k, v in t.items() if k != "_rec"} for t in txbs])

@@ -64,6 +64,10 @@ class MiState:
         self.mv_col = np.zeros((mi_rows, mi_cols), np.int16)
         self.is_newmv = np.zeros((mi_rows, mi_cols), np.int8)
         self.bsize = np.zeros((mi_rows, mi_cols), np.int8)
+        # RefFrameSignBias per named ref (spec 5.9.2 set_frame_refs /
+        # 7.8: bias = ref order hint after the current frame); used by the
+        # relaxed rescan to flip opposite-direction candidate MVs
+        self.sign_bias = np.zeros(8, bool)
 
     def set_block(self, r: int, c: int, bsize: int, ref_frame: int,
                   mv: tuple[int, int], is_newmv: bool) -> None:
@@ -287,12 +291,16 @@ def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
         mi_width = min(16, n8_w, mi.mi_cols - mi_col)
         mi_height = min(16, n8_h, mi.mi_rows - mi_row)
         mi_size = min(mi_width, mi_height)
+        bias_us = bool(mi.sign_bias[ref_frame])
         if abs(max_row_offset) >= 1:
             i = 0
             while i < mi_size and len(stack_mvs) < MAX_MV_REF_CANDIDATES:
                 rr, cc = mi_row - 1, mi_col + i
-                if mi.ref_frame[rr, cc] >= 0:
+                cand_ref = int(mi.ref_frame[rr, cc])
+                if cand_ref >= 1:
                     this_mv = (int(mi.mv_row[rr, cc]), int(mi.mv_col[rr, cc]))
+                    if bool(mi.sign_bias[cand_ref]) != bias_us:
+                        this_mv = (-this_mv[0], -this_mv[1])
                     if this_mv not in stack_mvs:
                         stack_mvs.append(this_mv)
                         weights.append(2)
@@ -301,8 +309,11 @@ def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
             i = 0
             while i < mi_size and len(stack_mvs) < MAX_MV_REF_CANDIDATES:
                 rr, cc = mi_row + i, mi_col - 1
-                if mi.ref_frame[rr, cc] >= 0:
+                cand_ref = int(mi.ref_frame[rr, cc])
+                if cand_ref >= 1:
                     this_mv = (int(mi.mv_row[rr, cc]), int(mi.mv_col[rr, cc]))
+                    if bool(mi.sign_bias[cand_ref]) != bias_us:
+                        this_mv = (-this_mv[0], -this_mv[1])
                     if this_mv not in stack_mvs:
                         stack_mvs.append(this_mv)
                         weights.append(2)
