@@ -238,6 +238,8 @@ class FrameConfig:
     delta_q_res: int = 1
     # refs (inter path)
     primary_ref_frame: int = 7  # PRIMARY_REF_NONE
+    reference_select: bool = False  # compound prediction enabled
+    ref_order_hints: tuple = (0,) * 7  # order hints of the 7 named refs
     # 0 => saved frame context is the post-tile adapted state (CDF
     # forwarding via primary_ref_frame); 1 => frame-initial state
     disable_frame_end_update_cdf: bool = False
@@ -341,8 +343,12 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig, w: BitWriter) -> No
     w.f(1 if fr.tx_mode_select else 0, 1)
     # frame_reference_mode
     if not fr.frame_is_intra:
-        w.f(0, 1)  # reference_select = 0 (single reference mode)
-    # skip_mode_params: skipModeAllowed=0 (intra or !reference_select)
+        w.f(1 if fr.reference_select else 0, 1)
+    # skip_mode_params (spec 5.9.22): when compound is possible with both
+    # a past and a future reference, skip_mode_present must be coded (0:
+    # this encoder does not use skip mode yet)
+    if _skip_mode_allowed(seq, fr):
+        w.f(0, 1)  # skip_mode_present
     if not (fr.frame_is_intra or fr.error_resilient_mode) and seq.enable_warped_motion:
         w.f(0, 1)  # allow_warped_motion
     w.f(1 if fr.reduced_tx_set else 0, 1)
@@ -352,6 +358,42 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig, w: BitWriter) -> No
             w.f(0, 1)  # is_global[ref] = 0
     # film grain: not present
     assert not seq.film_grain_params_present
+
+
+def _skip_mode_allowed(seq: SequenceConfig, fr: FrameConfig) -> bool:
+    """spec 5.9.22 skipModeAllowed derivation (single forward+backward)."""
+    if fr.frame_is_intra or not fr.reference_select or not seq.enable_order_hint:
+        return False
+    bits = seq.order_hint_bits
+    half = 1 << (bits - 1)
+
+    def rel(a, b):
+        diff = (a - b) & ((1 << bits) - 1)
+        return (diff & (half - 1)) - (diff & half)
+
+    fwd_idx, fwd_hint = -1, 0
+    bwd_idx, bwd_hint = -1, 0
+    for i in range(7):
+        hint = fr.ref_order_hints[i]
+        if rel(hint, fr.order_hint) < 0:
+            if fwd_idx < 0 or rel(hint, fwd_hint) > 0:
+                fwd_idx, fwd_hint = i, hint
+        elif rel(hint, fr.order_hint) > 0:
+            if bwd_idx < 0 or rel(hint, bwd_hint) < 0:
+                bwd_idx, bwd_hint = i, hint
+    if fwd_idx < 0:
+        return False
+    if bwd_idx >= 0:
+        return True
+    # second-closest forward
+    snd_idx = -1
+    snd_hint = 0
+    for i in range(7):
+        hint = fr.ref_order_hints[i]
+        if rel(hint, fwd_hint) < 0:
+            if snd_idx < 0 or rel(hint, snd_hint) > 0:
+                snd_idx, snd_hint = i, hint
+    return snd_idx >= 0
 
 
 def _write_frame_size(w: BitWriter, seq: SequenceConfig) -> None:

@@ -137,6 +137,10 @@ class FrameCdfs:
         self.intra_inter = self._wrap(clone("default_intra_inter_cdf"))
         self.single_ref = self._wrap(clone("default_single_ref_cdf"))
         self.comp_inter = self._wrap(clone("default_comp_inter_cdf"))
+        self.comp_ref_type = self._wrap(clone("default_comp_ref_type_cdf"))
+        self.comp_ref = self._wrap(clone("default_comp_ref_cdf"))
+        self.comp_bwdref = self._wrap(clone("default_comp_bwdref_cdf"))
+        self.inter_compound_mode = self._wrap(clone("default_inter_compound_mode_cdf"))
         self.newmv = self._wrap(clone("default_newmv_cdf"))
         self.zeromv = self._wrap(clone("default_zeromv_cdf"))
         self.refmv = self._wrap(clone("default_refmv_cdf"))

@@ -18,6 +18,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..codec.constants import (
+    COMPOUND_MODE_CTX_MAP as _COMPOUND_MODE_CTX_MAP,
+    mode_has_newmv,
     BLOCK_H,
     BLOCK_W,
     DIRECTIONAL,
@@ -46,8 +48,10 @@ class LeafBlock:
     # inter fields (inter frames only)
     is_inter: bool = False
     ref_frame: int = 1  # LAST_FRAME
+    ref_frame1: int = -1  # second ref (compound) or -1
     inter_mode: int = 16  # NEWMV
     mv: tuple = (0, 0)  # (row, col) 1/8 pel
+    mv1: tuple = (0, 0)  # second-ref MV (compound)
     drl_index: int = 0
 
 
@@ -268,10 +272,13 @@ class TileWriter:
         self.skips[r:r_end, c:c_end] = skip
         self.inters[r:r_end, c:c_end] = 1 if leaf.is_inter else 0
         if self.mi_state is not None:
-            self.mi_state.set_block(r, c, bsize,
-                                    leaf.ref_frame if leaf.is_inter else -1,
-                                    leaf.mv if leaf.is_inter else (0, 0),
-                                    leaf.is_inter and leaf.inter_mode == 16)
+            self.mi_state.set_block(
+                r, c, bsize,
+                leaf.ref_frame if leaf.is_inter else -1,
+                leaf.mv if leaf.is_inter else (0, 0),
+                leaf.is_inter and mode_has_newmv(leaf.inter_mode),
+                leaf.ref_frame1 if leaf.is_inter else -1,
+                leaf.mv1 if leaf.is_inter else (0, 0))
         pa, pl = partition_ctx_lookup(bsize)
         self.above_part[c:c_end] = pa
         self.left_part[r:r_end] = pl
@@ -312,14 +319,38 @@ class TileWriter:
                 self._write_uv_mode(leaf, bsize, use_angle)
             return
 
-        # ---- ref frames (single reference: LAST only for now) ----
+        # ---- ref frames ----
         self._write_ref_frames(leaf, r, c, avail_u, avail_l)
+        is_comp = leaf.ref_frame1 >= 1
 
-        stack = find_mv_stack(self.mi_state, r, c, bsize, leaf.ref_frame)
+        ref_key = (leaf.ref_frame, leaf.ref_frame1) if is_comp else leaf.ref_frame
+        stack = find_mv_stack(self.mi_state, r, c, bsize, ref_key)
         mode_ctx = stack.mode_context
         mode = InterMode(leaf.inter_mode)
 
-        # write_inter_mode
+        if is_comp:
+            from ..codec.constants import compound_sub_modes
+
+            # av1_mode_context_analyzer compound compression
+            newmv_ctx = mode_ctx & 7
+            refmv_ctx = (mode_ctx >> 4) & 15
+            comp_ctx = _COMPOUND_MODE_CTX_MAP[refmv_ctx >> 1][min(newmv_ctx, 4)]
+            self._sym_at(int(mode) - int(InterMode.NEAREST_NEARESTMV),
+                         self.cdfs.inter_compound_mode, comp_ctx)
+            sub0, sub1 = compound_sub_modes(mode)
+            self._write_drl(mode, leaf.drl_index, stack,
+                            has_new=(InterMode.NEWMV in (sub0, sub1)),
+                            near_like=(sub0 == InterMode.NEARMV
+                                       and sub1 == InterMode.NEARMV))
+            # assign_mv: a NEW component codes its residual; NEAR uses
+            # drl_index + 1 offset handled by the chosen drl entry
+            if sub0 == InterMode.NEWMV:
+                self._write_mv(leaf.mv, stack.mvs[leaf.drl_index])
+            if sub1 == InterMode.NEWMV:
+                self._write_mv(leaf.mv1, stack.comp_mvs[leaf.drl_index])
+            return
+
+        # write_inter_mode (single reference)
         newmv_ctx = mode_ctx & 7
         self._sym_at(0 if mode == InterMode.NEWMV else 1, self.cdfs.newmv, newmv_ctx)
         if mode != InterMode.NEWMV:
@@ -331,42 +362,116 @@ class TileWriter:
                 self._sym_at(0 if mode == InterMode.NEARESTMV else 1,
                              self.cdfs.refmv, refmv_ctx)
 
-        # write_drl_idx
-        if mode == InterMode.NEWMV:
-            for idx in range(2):
-                if stack.count > idx + 1:
-                    drl_ctx = stack.drl_ctx(idx)
-                    self._sym_at(1 if leaf.drl_index != idx else 0,
-                                 self.cdfs.drl, drl_ctx)
-                    if leaf.drl_index == idx:
-                        break
-        elif mode == InterMode.NEARMV:
-            for idx in range(1, 3):
-                if stack.count > idx + 1:
-                    drl_ctx = stack.drl_ctx(idx)
-                    self._sym_at(1 if leaf.drl_index != (idx - 1) else 0,
-                                 self.cdfs.drl, drl_ctx)
-                    if leaf.drl_index == idx - 1:
-                        break
+        self._write_drl(mode, leaf.drl_index, stack,
+                        has_new=(mode == InterMode.NEWMV),
+                        near_like=(mode == InterMode.NEARMV))
 
         # MV residual
         if mode == InterMode.NEWMV:
             ref_mv = stack.mvs[leaf.drl_index]
             self._write_mv(leaf.mv, ref_mv)
 
-    def _write_ref_frames(self, leaf: LeafBlock, r: int, c: int,
-                          avail_u: bool, avail_l: bool) -> None:
-        """write_ref_frames single-ref path with neighbor-count contexts."""
+    def _write_drl(self, mode, drl_index, stack, has_new: bool,
+                   near_like: bool) -> None:
+        """write_drl_idx: NEW-containing modes pick among stack[0..2];
+        NEAR(_NEAR) modes among stack[1..3]."""
+        if has_new:
+            for idx in range(2):
+                if stack.count > idx + 1:
+                    self._sym_at(1 if drl_index != idx else 0,
+                                 self.cdfs.drl, stack.drl_ctx(idx))
+                    if drl_index == idx:
+                        break
+        elif near_like:
+            for idx in range(1, 3):
+                if stack.count > idx + 1:
+                    self._sym_at(1 if drl_index != (idx - 1) else 0,
+                                 self.cdfs.drl, stack.drl_ctx(idx))
+                    if drl_index == idx - 1:
+                        break
+
+    def _neighbor_ref_counts(self, r: int, c: int, avail_u: bool,
+                             avail_l: bool) -> np.ndarray:
+        """neighbors_ref_counts: both components of each edge neighbor."""
         counts = np.zeros(8, np.int32)
         for rr, cc, av in ((r - 1, c, avail_u), (r, c - 1, avail_l)):
             if av and self.inters[rr, cc]:
                 counts[int(self.mi_state.ref_frame[rr, cc])] += 1
-        fwd = int(counts[1:5].sum())
-        bwd = int(counts[5:8].sum())
+                r1 = int(self.mi_state.ref_frame1[rr, cc])
+                if r1 >= 1:
+                    counts[r1] += 1
+        return counts
+
+    def _comp_mode_ctx(self, r: int, c: int, avail_u: bool, avail_l: bool) -> int:
+        """svt_aom_get_reference_mode_context_new (entropy_coding.c:1855)."""
+
+        def is_bwd(rr, cc):
+            return int(self.mi_state.ref_frame[rr, cc]) >= 5
+
+        def is_comp(rr, cc):
+            return int(self.mi_state.ref_frame1[rr, cc]) >= 1
+
+        def is_int(rr, cc):
+            return not self.inters[rr, cc]
+
+        if avail_u and avail_l:
+            a, l = (r - 1, c), (r, c - 1)
+            if not is_comp(*a) and not is_comp(*l):
+                return int((is_bwd(*a) and not is_int(*a))
+                           ^ (is_bwd(*l) and not is_int(*l)))
+            if not is_comp(*a):
+                return 2 + int(is_bwd(*a) or is_int(*a))
+            if not is_comp(*l):
+                return 2 + int(is_bwd(*l) or is_int(*l))
+            return 4
+        if avail_u or avail_l:
+            e = (r - 1, c) if avail_u else (r, c - 1)
+            if not is_comp(*e):
+                return int(is_bwd(*e) and not is_int(*e))
+            return 3
+        return 1
+
+    def _write_ref_frames(self, leaf: LeafBlock, r: int, c: int,
+                          avail_u: bool, avail_l: bool) -> None:
+        """write_ref_frames: comp mode flag (when reference_select), then
+        the single-ref or bidir-compound tree, neighbor-count contexts."""
+        counts = self._neighbor_ref_counts(r, c, avail_u, avail_l)
 
         def cmp_ctx(a, b):
             return 1 if a == b else (0 if a < b else 2)
 
+        is_comp = leaf.ref_frame1 >= 1
+        if self.fr.reference_select:
+            # comp_mode only allowed for blocks >= 8x8 in both dims
+            self._sym_at(1 if is_comp else 0, self.cdfs.comp_inter,
+                         self._comp_mode_ctx(r, c, avail_u, avail_l))
+        if is_comp:
+            # comp_reference_type: BIDIR (unidir compound unused)
+            self._sym_at(1, self.cdfs.comp_ref_type,
+                         self._comp_ref_type_ctx(r, c, avail_u, avail_l))
+            fwd, bwd = leaf.ref_frame, leaf.ref_frame1
+            # forward ref: comp_ref tree
+            bit = 1 if fwd in (3, 4) else 0
+            self._sym_at(bit, self.cdfs.comp_ref,
+                         cmp_ctx(int(counts[1] + counts[2]),
+                                 int(counts[3] + counts[4])), 0)
+            if not bit:
+                self._sym_at(1 if fwd == 2 else 0, self.cdfs.comp_ref,
+                             cmp_ctx(int(counts[1]), int(counts[2])), 1)
+            else:
+                self._sym_at(1 if fwd == 4 else 0, self.cdfs.comp_ref,
+                             cmp_ctx(int(counts[3]), int(counts[4])), 2)
+            # backward ref: comp_bwdref tree
+            bit_b = 1 if bwd == 7 else 0
+            self._sym_at(bit_b, self.cdfs.comp_bwdref,
+                         cmp_ctx(int(counts[5] + counts[6]), int(counts[7])), 0)
+            if not bit_b:
+                self._sym_at(1 if bwd == 6 else 0, self.cdfs.comp_bwdref,
+                             cmp_ctx(int(counts[5]), int(counts[6])), 1)
+            return
+
+        fwd = int(counts[1:5].sum())
+        bwd = int(counts[5:8].sum())
         ref = leaf.ref_frame
         bit0 = 1 if ref >= 5 else 0  # BWDREF group
         self._sym_at(bit0, self.cdfs.single_ref, cmp_ctx(fwd, bwd), 0)
@@ -387,6 +492,41 @@ class TileWriter:
             else:
                 self._sym_at(1 if ref != 3 else 0, self.cdfs.single_ref,
                              cmp_ctx(int(counts[3]), int(counts[4])), 4)
+
+    def _comp_ref_type_ctx(self, r: int, c: int, avail_u: bool,
+                           avail_l: bool) -> int:
+        """svt_aom_get_comp_reference_type_context_new (uni-comp unused by
+        this encoder, so has_uni_comp_refs(neighbor) is always False)."""
+
+        def is_comp(rr, cc):
+            return int(self.mi_state.ref_frame1[rr, cc]) >= 1
+
+        def is_bwd(rr, cc):
+            return int(self.mi_state.ref_frame[rr, cc]) >= 5
+
+        def intra(rr, cc):
+            return not self.inters[rr, cc]
+
+        if avail_u and avail_l:
+            a, l = (r - 1, c), (r, c - 1)
+            ai, li = intra(*a), intra(*l)
+            if ai and li:
+                return 2
+            if ai or li:
+                e = l if ai else a
+                return 2 if not is_comp(*e) else 1
+            a_sg, l_sg = not is_comp(*a), not is_comp(*l)
+            if a_sg and l_sg:
+                return 1 + 2 * int(not (is_bwd(*a) ^ is_bwd(*l)))
+            if a_sg or l_sg:
+                return 1  # single/comp, neighbor comp is bidir
+            return 0  # comp/comp, both bidir
+        if avail_u or avail_l:
+            e = (r - 1, c) if avail_u else (r, c - 1)
+            if intra(*e) or not is_comp(*e):
+                return 2
+            return 0  # comp neighbor, bidir
+        return 2
 
     def _write_mv(self, mv: tuple, ref_mv: tuple) -> None:
         """svt_av1_encode_mv: joint + per-component, low precision (no hp)."""

@@ -222,6 +222,53 @@ class InterMode(IntEnum):
     NEARMV = 14
     GLOBALMV = 15
     NEWMV = 16
+    NEAREST_NEARESTMV = 17
+    NEAR_NEARMV = 18
+    NEAREST_NEWMV = 19
+    NEW_NEARESTMV = 20
+    NEAR_NEWMV = 21
+    NEW_NEARMV = 22
+    GLOBAL_GLOBALMV = 23
+    NEW_NEWMV = 24
+
+
+def is_compound_mode(mode: int) -> bool:
+    return mode >= InterMode.NEAREST_NEARESTMV
+
+
+# per-component submode of a compound mode (spec compound_ref0/1_mode)
+_COMP_SUB = {
+    InterMode.NEAREST_NEARESTMV: (InterMode.NEARESTMV, InterMode.NEARESTMV),
+    InterMode.NEAR_NEARMV: (InterMode.NEARMV, InterMode.NEARMV),
+    InterMode.NEAREST_NEWMV: (InterMode.NEARESTMV, InterMode.NEWMV),
+    InterMode.NEW_NEARESTMV: (InterMode.NEWMV, InterMode.NEARESTMV),
+    InterMode.NEAR_NEWMV: (InterMode.NEARMV, InterMode.NEWMV),
+    InterMode.NEW_NEARMV: (InterMode.NEWMV, InterMode.NEARMV),
+    InterMode.GLOBAL_GLOBALMV: (InterMode.GLOBALMV, InterMode.GLOBALMV),
+    InterMode.NEW_NEWMV: (InterMode.NEWMV, InterMode.NEWMV),
+}
+
+
+def compound_sub_modes(mode: int):
+    return _COMP_SUB[InterMode(mode)]
+
+
+# av1_mode_context_analyzer compression map for compound modes
+# (inter_prediction.c:2431)
+COMPOUND_MODE_CTX_MAP = (
+    (0, 1, 1, 1, 1),
+    (1, 2, 3, 4, 4),
+    (4, 4, 5, 6, 7),
+)
+
+
+def mode_has_newmv(mode: int) -> bool:
+    m = InterMode(mode)
+    if m == InterMode.NEWMV:
+        return True
+    if is_compound_mode(m):
+        return InterMode.NEWMV in _COMP_SUB[m]
+    return False
 
 
 # reference frames (spec)

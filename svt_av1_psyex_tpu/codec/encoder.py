@@ -225,12 +225,21 @@ class Av1Encoder:
                 diff = (a - b) & ((1 << bits) - 1)
                 return (diff & (half - 1)) - (diff & half)
 
+            hints = []
             for name in range(1, 8):
                 slot = self.slots[fr.ref_frame_idx[name - 1]]
+                hint = slot["order_hint"] if slot is not None else 0
+                hints.append(hint)
                 if slot is not None:
-                    sign_bias[name] = rel_dist(slot["order_hint"],
-                                               fr.order_hint) > 0
+                    sign_bias[name] = rel_dist(hint, fr.order_hint) > 0
+            fr.ref_order_hints = tuple(hints)
             tw.mi_state.sign_bias = sign_bias
+            # compound prediction possible when the plan provides both a
+            # past and a future reference
+            named = list(plan.refs.keys())
+            has_fwd = any(not sign_bias[n] for n in named)
+            has_bwd = any(sign_bias[n] for n in named)
+            fr.reference_select = has_fwd and has_bwd
 
         sb_mi = 32 if seq.use_128x128_superblock else 16
         sb_bsize = BlockSize.B128X128 if seq.use_128x128_superblock else BlockSize.B64X64

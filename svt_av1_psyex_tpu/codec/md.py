@@ -23,6 +23,7 @@ from ..ops import intra as intra_ops
 from ..ops.quant import build_plane_quant, quantize_b
 from ..ops.txfm import forward_txfm2d, inverse_txfm2d
 from .constants import (
+    mode_has_newmv,
     BLOCK_H,
     BLOCK_W,
     INTRA_MODE_CONTEXT,
@@ -243,8 +244,16 @@ class ModeDecision:
     def _try_rect(self, part, r, c, bsize, part_rates, coords, best):
         if part not in part_rates:
             return best
-        st = self._save(r, c, bsize)
         sub = subsize(part, bsize)
+        sw4 = int(BLOCK_W[sub]) >> 2
+        sh4 = int(BLOCK_H[sub]) >> 2
+        for rr, cc in coords:
+            # a child starting in-frame must fit entirely inside the
+            # aligned grid (overhanging-edge rect evaluation unsupported)
+            if (rr < self.mi_rows and cc < self.mi_cols
+                    and (rr + sh4 > self.mi_rows or cc + sw4 > self.mi_cols)):
+                return best
+        st = self._save(r, c, bsize)
         j = (part_rates[part] * self.rdmult) >> 9
         children = []
         for rr, cc in coords:
@@ -454,11 +463,138 @@ class ModeDecision:
 
         tx_w, tx_h = int(TX_W[tx_size]), int(TX_H[tx_size])
         out = []
+        comp_allowed = (self.fr.reference_select
+                        and int(BLOCK_W[bsize]) >= 8 and int(BLOCK_H[bsize]) >= 8)
+        single_extra = 0
+        if comp_allowed:
+            cm_ctx = self._comp_mode_ctx_md(r, c)
+            cm_costs = cdf_costs(self.cdfs.comp_inter[0][cm_ctx])
+            single_extra = int(cm_costs[0])
+        self._newmv_by_ref = {}
         for ref_id in self.ref_planes:
             out.extend(self._inter_candidates_ref(
-                r, c, bsize, x, y, tx_size, inter_base, skip_costs,
-                has_chroma, ref_id, tx_w, tx_h))
+                r, c, bsize, x, y, tx_size, inter_base + single_extra,
+                skip_costs, has_chroma, ref_id, tx_w, tx_h))
+        if comp_allowed:
+            bias = self.mi_state.sign_bias
+            fwds = [n for n in self.ref_planes if not bias[n]]
+            bwds = [n for n in self.ref_planes if bias[n]]
+            if fwds and bwds:
+                out.extend(self._inter_candidates_comp(
+                    r, c, bsize, x, y, tx_size,
+                    inter_base + int(cm_costs[1]), skip_costs, has_chroma,
+                    (fwds[0], bwds[-1]), tx_w, tx_h))
         return out
+
+    def _comp_mode_ctx_md(self, r, c):
+        """reference_mode context from the MD-local mi state."""
+        mi = self.mi_state
+
+        def is_bwd(rr, cc):
+            return int(mi.ref_frame[rr, cc]) >= 5
+
+        def is_cmp(rr, cc):
+            return int(mi.ref_frame1[rr, cc]) >= 1
+
+        au, al = r > 0, c > 0
+        if au and al:
+            a, l = (r - 1, c), (r, c - 1)
+            if not is_cmp(*a) and not is_cmp(*l):
+                return int(is_bwd(*a) ^ is_bwd(*l))
+            if not is_cmp(*a):
+                return 2 + int(is_bwd(*a) or mi.ref_frame[a] < 0)
+            if not is_cmp(*l):
+                return 2 + int(is_bwd(*l) or mi.ref_frame[l] < 0)
+            return 4
+        if au or al:
+            e = (r - 1, c) if au else (r, c - 1)
+            if not is_cmp(*e):
+                return int(is_bwd(*e))
+            return 3
+        return 1
+
+    def _inter_candidates_comp(self, r, c, bsize, x, y, tx_size, base,
+                               skip_costs, has_chroma, rf, tx_w, tx_h):
+        from .constants import COMPOUND_MODE_CTX_MAP, InterMode
+        from .mvp import find_mv_stack
+
+        stack = find_mv_stack(self.mi_state, r, c, bsize, rf)
+        mode_ctx = stack.mode_context
+        comp_ctx = COMPOUND_MODE_CTX_MAP[((mode_ctx >> 4) & 15) >> 1][
+            min(mode_ctx & 7, 4)]
+        mode_costs = cdf_costs(self.cdfs.inter_compound_mode[0][comp_ctx])
+        ref_rate = self._comp_ref_rate(r, c, rf)
+
+        def drl_rate(has_new, drl_index):
+            rate = 0
+            if has_new:
+                for idx in range(2):
+                    if stack.count > idx + 1:
+                        rate += int(self._drl_costs[stack.drl_ctx(idx)][
+                            1 if drl_index != idx else 0])
+                        if drl_index == idx:
+                            break
+            return rate
+
+        cands = [
+            (InterMode.NEAREST_NEARESTMV, stack.mvs[0], stack.comp_mvs[0], 0, 0),
+            (InterMode.GLOBAL_GLOBALMV, (0, 0), (0, 0), 0, 0),
+        ]
+        if stack.count >= 2:
+            cands.append((InterMode.NEAR_NEARMV, stack.mvs[1],
+                          stack.comp_mvs[1], 0, 0))
+        mv0 = self._newmv_by_ref.get(rf[0])
+        mv1 = self._newmv_by_ref.get(rf[1])
+        if mv0 is not None and mv1 is not None:
+            mvr = (int(self._mv_cost((mv0[0] - stack.mvs[0][0],
+                                      mv0[1] - stack.mvs[0][1])))
+                   + int(self._mv_cost((mv1[0] - stack.comp_mvs[0][0],
+                                        mv1[1] - stack.comp_mvs[0][1])))
+                   + drl_rate(True, 0))
+            cands.append((InterMode.NEW_NEWMV, mv0, mv1, 0, mvr))
+
+        out = []
+        for mode, m0, m1, drl_index, extra in cands:
+            mode_rate = int(mode_costs[int(mode) - int(InterMode.NEAREST_NEARESTMV)]) + extra
+            j, leaf, arts = self._try_inter(
+                mode, m0, drl_index, base + ref_rate + mode_rate,
+                r, c, bsize, x, y, tx_size, skip_costs, has_chroma,
+                rf[0], ref_id1=rf[1], mv1=m1)
+            out.append((j, leaf, arts))
+        return out
+
+    def _comp_ref_rate(self, r, c, rf) -> int:
+        """Rate of comp_ref_type(BIDIR) + comp_ref/comp_bwdref trees."""
+        counts = np.zeros(8, np.int32)
+        for rr, cc, av in ((r - 1, c, r > 0), (r, c - 1, c > 0)):
+            if av and self.mi_state.ref_frame[rr, cc] >= 1:
+                counts[int(self.mi_state.ref_frame[rr, cc])] += 1
+                r1 = int(self.mi_state.ref_frame1[rr, cc])
+                if r1 >= 1:
+                    counts[r1] += 1
+
+        def cmp_ctx(a, b):
+            return 1 if a == b else (0 if a < b else 2)
+
+        fwd, bwd = rf
+        # comp_ref_type ~ 1 bit estimate (ctx varies; BIDIR symbol)
+        rate = 512
+        bit = 1 if fwd in (3, 4) else 0
+        rate += int(cdf_costs(self.cdfs.comp_ref[0][
+            cmp_ctx(int(counts[1] + counts[2]), int(counts[3] + counts[4]))][0])[bit])
+        if not bit:
+            rate += int(cdf_costs(self.cdfs.comp_ref[0][
+                cmp_ctx(int(counts[1]), int(counts[2]))][1])[1 if fwd == 2 else 0])
+        else:
+            rate += int(cdf_costs(self.cdfs.comp_ref[0][
+                cmp_ctx(int(counts[3]), int(counts[4]))][2])[1 if fwd == 4 else 0])
+        bit_b = 1 if bwd == 7 else 0
+        rate += int(cdf_costs(self.cdfs.comp_bwdref[0][
+            cmp_ctx(int(counts[5] + counts[6]), int(counts[7]))][0])[bit_b])
+        if not bit_b:
+            rate += int(cdf_costs(self.cdfs.comp_bwdref[0][
+                cmp_ctx(int(counts[5]), int(counts[6]))][1])[1 if bwd == 6 else 0])
+        return rate
 
     def _inter_candidates_ref(self, r, c, bsize, x, y, tx_size, inter_base,
                               skip_costs, has_chroma, ref_id, tx_w, tx_h):
@@ -502,6 +638,7 @@ class ModeDecision:
                       int(newmv_c[1]) + int(zeromv_c[0])))
         # NEWMV via motion search (predictor = DRL 0)
         mv = self._motion_search(x, y, tx_w, tx_h, stack.mvs[0], ref_id)
+        self._newmv_by_ref[ref_id] = mv
         nm_rate = (int(newmv_c[0]) + drl_rate(InterMode.NEWMV, 0)
                    + self._mv_cost((mv[0] - stack.mvs[0][0], mv[1] - stack.mvs[0][1])))
         cands.append((InterMode.NEWMV, mv, 0, nm_rate))
@@ -559,14 +696,21 @@ class ModeDecision:
         return rate
 
     def _try_inter(self, mode, mv, drl_index, mode_rate, r, c, bsize, x, y,
-                   tx_size, skip_costs, has_chroma, ref_id: int = 1):
-        from ..ops.mc import mc_block
+                   tx_size, skip_costs, has_chroma, ref_id: int = 1,
+                   ref_id1: int = -1, mv1=None):
+        from ..ops.mc import mc_block, mc_block_compound
         from .constants import InterMode
 
         rate = mode_rate
         tx_w, tx_h = int(TX_W[tx_size]), int(TX_H[tx_size])
         ref_pl = self.ref_planes[ref_id]
-        pred = mc_block(ref_pl[0], x, y, tx_w, tx_h, mv[0], mv[1], 0, 0)
+        is_comp = ref_id1 >= 1
+        if is_comp:
+            ref_pl1 = self.ref_planes[ref_id1]
+            pred = mc_block_compound(ref_pl[0], ref_pl1[0], x, y, tx_w, tx_h,
+                                     mv, mv1, 0, 0)
+        else:
+            pred = mc_block(ref_pl[0], x, y, tx_w, tx_h, mv[0], mv[1], 0, 0)
         txbs = []
         dist = 0
         qc, eob, rec, d = self._txb_rd_pred(self.pctx[0], pred, x, y, tx_size,
@@ -583,9 +727,14 @@ class ModeDecision:
             uv_tx = int(MAX_TX_SIZE_RECT[uv_bsize])
             cx, cy = x >> ssx, y >> ssy
             for p in (1, 2):
-                predc = mc_block(ref_pl[p], cx, cy,
-                                 int(TX_W[uv_tx]), int(TX_H[uv_tx]),
-                                 mv[0], mv[1], ssx, ssy)
+                if is_comp:
+                    predc = mc_block_compound(ref_pl[p], ref_pl1[p], cx, cy,
+                                              int(TX_W[uv_tx]), int(TX_H[uv_tx]),
+                                              mv, mv1, ssx, ssy)
+                else:
+                    predc = mc_block(ref_pl[p], cx, cy,
+                                     int(TX_W[uv_tx]), int(TX_H[uv_tx]),
+                                     mv[0], mv[1], ssx, ssy)
                 qc, eob, rec, d = self._txb_rd_pred(self.pctx[p], predc, cx, cy,
                                                     uv_tx, TxType.DCT_DCT, p)
                 txbs.append({"plane": p, "plane_bsize": uv_bsize, "tx_size": uv_tx,
@@ -609,6 +758,8 @@ class ModeDecision:
                 self.cw.left[p][...] = cl[p]
 
         leaf = LeafBlock(bsize, skip=skip, is_inter=True, ref_frame=ref_id,
+                         ref_frame1=ref_id1 if is_comp else -1,
+                         mv1=tuple(mv1) if is_comp else (0, 0),
                          inter_mode=int(mode), mv=tuple(mv), drl_index=drl_index,
                          coeffs=None if skip else
                          [{k: v for k, v in t.items() if k != "_rec"} for t in txbs])
@@ -719,10 +870,13 @@ class ModeDecision:
         self.y_modes[r:r1, c:c1] = leaf.y_mode
         self.skips[r:r1, c:c1] = 1 if leaf.skip else 0
         if self.mi_state is not None:
-            self.mi_state.set_block(r, c, bsize,
-                                    leaf.ref_frame if leaf.is_inter else -1,
-                                    leaf.mv if leaf.is_inter else (0, 0),
-                                    leaf.is_inter and leaf.inter_mode == 16)
+            self.mi_state.set_block(
+                r, c, bsize,
+                leaf.ref_frame if leaf.is_inter else -1,
+                leaf.mv if leaf.is_inter else (0, 0),
+                leaf.is_inter and mode_has_newmv(leaf.inter_mode),
+                leaf.ref_frame1 if leaf.is_inter else -1,
+                leaf.mv1 if leaf.is_inter else (0, 0))
         pa, pl = partition_ctx_lookup(bsize)
         self.above_part[c:c1] = pa
         self.left_part[r:r1] = pl

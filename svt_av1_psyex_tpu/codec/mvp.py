@@ -1,15 +1,17 @@
-"""Motion vector predictor stack (spec 7.10.2 find_mv_stack) — single
-reference path, no temporal MVs (seq.enable_ref_frame_mvs = 0).
+"""Motion vector predictor stack (spec 7.10.2 find_mv_stack) — single and
+compound reference paths, no temporal MVs (seq.enable_ref_frame_mvs = 0).
 
 Mirrors the normative derivation the decoder performs
 (adaptive_mv_pred.c setup_ref_mv_list:637): row/col scans with weights,
 top-right/top-left block scans, REF_CAT_LEVEL promotion, mode-context
-derivation, bubble sort, relaxed rescan, MV clamping. Any divergence
-desynchronizes NEWMV coding — validated by dav1d e2e.
+derivation, bubble sort, relaxed rescan (single: sign-bias-flipped
+extension, adaptive_mv_pred.c:570; compound: ref_id/ref_diff comp_list,
+:470), MV clamping. Any divergence desynchronizes NEWMV coding —
+validated by dav1d e2e.
 
-The mi-state view is a dict of numpy grids maintained by mode decision:
-  ref_frame (int8, -1 intra/none), mv_row/mv_col (int16, 1/8 pel),
-  mode (int8, inter modes >= NEWMV flag via is_newmv), bsize (int8).
+Candidates are (mv0, mv1) pairs throughout; single-ref stacks carry a
+zero mv1. Blocks record both references (compound neighbors feed single
+stacks through either component).
 """
 
 from __future__ import annotations
@@ -33,10 +35,13 @@ NEWMV_CTX_MASK = (1 << GLOBALMV_OFFSET) - 1
 GLOBALMV_CTX_MASK = (1 << (REFMV_OFFSET - GLOBALMV_OFFSET)) - 1
 REFMV_CTX_MASK = (1 << (8 - REFMV_OFFSET)) - 1
 
+ZERO = (0, 0)
+
 
 @dataclass
 class MvStack:
-    mvs: list = field(default_factory=list)  # [(row, col)] in 1/8 pel
+    mvs: list = field(default_factory=list)  # [(row, col)] in 1/8 pel (ref0)
+    comp_mvs: list = field(default_factory=list)  # ref1 component (compound)
     weights: list = field(default_factory=list)
     mode_context: int = 0
     # true refmv_count: the single-ref gm padding fills stack slots WITHOUT
@@ -60,8 +65,11 @@ class MiState:
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
         self.ref_frame = np.full((mi_rows, mi_cols), -1, np.int8)  # -1 = intra
+        self.ref_frame1 = np.full((mi_rows, mi_cols), -1, np.int8)
         self.mv_row = np.zeros((mi_rows, mi_cols), np.int16)
         self.mv_col = np.zeros((mi_rows, mi_cols), np.int16)
+        self.mv_row1 = np.zeros((mi_rows, mi_cols), np.int16)
+        self.mv_col1 = np.zeros((mi_rows, mi_cols), np.int16)
         self.is_newmv = np.zeros((mi_rows, mi_cols), np.int8)
         self.bsize = np.zeros((mi_rows, mi_cols), np.int8)
         # RefFrameSignBias per named ref (spec 5.9.2 set_frame_refs /
@@ -69,15 +77,22 @@ class MiState:
         # relaxed rescan to flip opposite-direction candidate MVs
         self.sign_bias = np.zeros(8, bool)
 
+    _GRIDS = ("ref_frame", "ref_frame1", "mv_row", "mv_col", "mv_row1",
+              "mv_col1", "is_newmv", "bsize")
+
     def set_block(self, r: int, c: int, bsize: int, ref_frame: int,
-                  mv: tuple[int, int], is_newmv: bool) -> None:
+                  mv: tuple[int, int], is_newmv: bool,
+                  ref_frame1: int = -1, mv1: tuple[int, int] = ZERO) -> None:
         bw4 = int(BLOCK_W[bsize]) >> 2
         bh4 = int(BLOCK_H[bsize]) >> 2
         r1 = min(r + bh4, self.mi_rows)
         c1 = min(c + bw4, self.mi_cols)
         self.ref_frame[r:r1, c:c1] = ref_frame
+        self.ref_frame1[r:r1, c:c1] = ref_frame1
         self.mv_row[r:r1, c:c1] = mv[0]
         self.mv_col[r:r1, c:c1] = mv[1]
+        self.mv_row1[r:r1, c:c1] = mv1[0]
+        self.mv_col1[r:r1, c:c1] = mv1[1]
         self.is_newmv[r:r1, c:c1] = 1 if is_newmv else 0
         self.bsize[r:r1, c:c1] = bsize
 
@@ -86,16 +101,26 @@ class MiState:
         bh4 = int(BLOCK_H[bsize]) >> 2
         r1 = min(r + bh4, self.mi_rows)
         c1 = min(c + bw4, self.mi_cols)
-        return tuple(a[r:r1, c:c1].copy() for a in
-                     (self.ref_frame, self.mv_row, self.mv_col, self.is_newmv, self.bsize))
+        return tuple(getattr(self, g)[r:r1, c:c1].copy() for g in self._GRIDS)
 
     def restore(self, r, c, bsize, st):
         bw4 = int(BLOCK_W[bsize]) >> 2
         bh4 = int(BLOCK_H[bsize]) >> 2
         r1 = min(r + bh4, self.mi_rows)
         c1 = min(c + bw4, self.mi_cols)
-        for a, s in zip((self.ref_frame, self.mv_row, self.mv_col, self.is_newmv, self.bsize), st):
-            a[r:r1, c:c1] = s
+        for g, s in zip(self._GRIDS, st):
+            getattr(self, g)[r:r1, c:c1] = s
+
+    def cand_refs(self, rr: int, cc: int):
+        """[(ref, (mvr, mvc))] for both components of the candidate."""
+        out = []
+        r0 = int(self.ref_frame[rr, cc])
+        if r0 >= 1:
+            out.append((r0, (int(self.mv_row[rr, cc]), int(self.mv_col[rr, cc]))))
+        r1 = int(self.ref_frame1[rr, cc])
+        if r1 >= 1:
+            out.append((r1, (int(self.mv_row1[rr, cc]), int(self.mv_col1[rr, cc]))))
+        return out
 
 
 def _mvp_has_top_right(mi_row: int, mi_col: int, bs: int, n8_w: int, n8_h: int,
@@ -130,14 +155,16 @@ def _mvp_has_top_right(mi_row: int, mi_col: int, bs: int, n8_w: int, n8_h: int,
 
 
 def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
-                  ref_frame: int) -> MvStack:
-    """Single-ref MVP stack. GLOBALMV candidates are (0,0) (IDENTITY gm)."""
+                  ref_frame) -> MvStack:
+    """MVP stack for a single ref (int) or a compound pair (tuple).
+    GLOBALMV candidates are (0,0) (IDENTITY gm)."""
+    is_comp = isinstance(ref_frame, tuple)
+    rf = ref_frame if is_comp else (int(ref_frame), -1)
     n8_w = int(BLOCK_W[bsize]) >> 2
     n8_h = int(BLOCK_H[bsize]) >> 2
     bs = max(n8_w, n8_h)
-    gm_mv = (0, 0)
 
-    stack_mvs: list[tuple[int, int]] = []
+    stack: list[tuple] = []  # entries: (mv0, mv1)
     weights: list[int] = []
 
     up_avail = mi_row > 0
@@ -154,26 +181,36 @@ def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
     counts = {"row_match": 0, "col_match": 0, "newmv": 0}
     processed = {"rows": 0, "cols": 0}
 
+    def push(entry, weight):
+        for i, e in enumerate(stack):
+            if e == entry:
+                weights[i] += weight
+                return
+        if len(stack) < MAX_REF_MV_STACK_SIZE:
+            stack.append(entry)
+            weights.append(weight)
+
     def add_candidate(rr: int, cc: int, length: int, weight: int, newmv_key: str,
                       count_newmv: bool = True):
         if mi.ref_frame[rr, cc] < 0:
             return
-        if int(mi.ref_frame[rr, cc]) != ref_frame:
-            return
-        this_mv = (int(mi.mv_row[rr, cc]), int(mi.mv_col[rr, cc]))
-        # GLOBALMV candidate blocks >= 8x8 use gm mv; IDENTITY type => not
-        # a "global mv block" (is_global_mv_block false for IDENTITY/TRANSLATION)
-        for i, mvv in enumerate(stack_mvs):
-            if mvv == this_mv:
-                weights[i] += weight * length
-                break
+        matched = False
+        if is_comp:
+            if (int(mi.ref_frame[rr, cc]) == rf[0]
+                    and int(mi.ref_frame1[rr, cc]) == rf[1]):
+                mv0 = (int(mi.mv_row[rr, cc]), int(mi.mv_col[rr, cc]))
+                mv1 = (int(mi.mv_row1[rr, cc]), int(mi.mv_col1[rr, cc]))
+                push((mv0, mv1), weight * length)
+                matched = True
         else:
-            if len(stack_mvs) < MAX_REF_MV_STACK_SIZE:
-                stack_mvs.append(this_mv)
-                weights.append(weight * length)
-        if count_newmv and mi.is_newmv[rr, cc]:
-            counts["newmv"] += 1
-        counts[newmv_key] += 1
+            for can_rf, mv in mi.cand_refs(rr, cc):
+                if can_rf == rf[0]:
+                    push((mv, ZERO), weight * length)
+                    matched = True
+        if matched:
+            if count_newmv and mi.is_newmv[rr, cc]:
+                counts["newmv"] += 1
+            counts[newmv_key] += 1
 
     def scan_row(row_offset: int, count_newmv: bool = True):
         end_mi = min(n8_w, mi.mi_cols - mi_col, 16)
@@ -237,8 +274,6 @@ def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
         scan_blk(-1, n8_w, "row_match")
 
     nearest_match = (counts["row_match"] > 0) + (counts["col_match"] > 0)
-    nearest_row_match = counts["row_match"]
-    nearest_col_match = counts["col_match"]
     newmv_count = counts["newmv"]
     for i in range(len(weights)):
         weights[i] += REF_CAT_LEVEL
@@ -275,52 +310,110 @@ def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
         mode_context |= 5 << REFMV_OFFSET
 
     # bubble-sort by weight (stable order identical to sort_mvp_table)
-    length = len(stack_mvs)
+    length = len(stack)
     while length > 0:
         nr_len = 0
         for idx in range(1, length):
             if weights[idx - 1] < weights[idx]:
-                stack_mvs[idx - 1], stack_mvs[idx] = stack_mvs[idx], stack_mvs[idx - 1]
+                stack[idx - 1], stack[idx] = stack[idx], stack[idx - 1]
                 weights[idx - 1], weights[idx] = weights[idx], weights[idx - 1]
                 nr_len = idx
         length = nr_len
 
-    # relaxed rescan of ROW-1/COL-1 (single-ref path of scan_row_col_light)
-    true_count = len(stack_mvs)
-    if len(stack_mvs) < MAX_MV_REF_CANDIDATES:
-        mi_width = min(16, n8_w, mi.mi_cols - mi_col)
-        mi_height = min(16, n8_h, mi.mi_rows - mi_row)
-        mi_size = min(mi_width, mi_height)
-        bias_us = bool(mi.sign_bias[ref_frame])
+    true_count = len(stack)
+    mi_width = min(16, n8_w, mi.mi_cols - mi_col)
+    mi_height = min(16, n8_h, mi.mi_rows - mi_row)
+    mi_size = min(mi_width, mi_height)
+
+    if is_comp and true_count < MAX_MV_REF_CANDIDATES:
+        # compound relaxed rescan (adaptive_mv_pred.c:470): collect same-ref
+        # (ref_id) and other-ref sign-adjusted (ref_diff) components, build
+        # comp_list, top up the stack
+        ref_id = [[], []]
+        ref_diff = [[], []]
+
+        def collect(rr, cc):
+            for can_rf, mv in mi.cand_refs(rr, cc):
+                for cmp_idx in range(2):
+                    if can_rf == rf[cmp_idx] and len(ref_id[cmp_idx]) < 2:
+                        ref_id[cmp_idx].append(mv)
+                    elif len(ref_diff[cmp_idx]) < 2:
+                        if bool(mi.sign_bias[can_rf]) != bool(mi.sign_bias[rf[cmp_idx]]):
+                            mv = (-mv[0], -mv[1])
+                        ref_diff[cmp_idx].append(mv)
+
         if abs(max_row_offset) >= 1:
             i = 0
-            while i < mi_size and len(stack_mvs) < MAX_MV_REF_CANDIDATES:
+            while i < mi_size:
                 rr, cc = mi_row - 1, mi_col + i
-                cand_ref = int(mi.ref_frame[rr, cc])
-                if cand_ref >= 1:
-                    this_mv = (int(mi.mv_row[rr, cc]), int(mi.mv_col[rr, cc]))
-                    if bool(mi.sign_bias[cand_ref]) != bias_us:
-                        this_mv = (-this_mv[0], -this_mv[1])
-                    if this_mv not in stack_mvs:
-                        stack_mvs.append(this_mv)
-                        weights.append(2)
+                collect(rr, cc)
                 i += int(BLOCK_W[int(mi.bsize[rr, cc])]) >> 2
         if abs(max_col_offset) >= 1:
             i = 0
-            while i < mi_size and len(stack_mvs) < MAX_MV_REF_CANDIDATES:
+            while i < mi_size:
                 rr, cc = mi_row + i, mi_col - 1
-                cand_ref = int(mi.ref_frame[rr, cc])
-                if cand_ref >= 1:
-                    this_mv = (int(mi.mv_row[rr, cc]), int(mi.mv_col[rr, cc]))
-                    if bool(mi.sign_bias[cand_ref]) != bias_us:
-                        this_mv = (-this_mv[0], -this_mv[1])
-                    if this_mv not in stack_mvs:
-                        stack_mvs.append(this_mv)
-                        weights.append(2)
+                collect(rr, cc)
                 i += int(BLOCK_H[int(mi.bsize[rr, cc])]) >> 2
-        true_count = len(stack_mvs)  # relaxed rescan DOES increment count
-        while len(stack_mvs) < MAX_MV_REF_CANDIDATES:
-            stack_mvs.append(gm_mv)  # slot filled, count NOT incremented
+
+        comp_list = [[ZERO, ZERO] for _ in range(MAX_MV_REF_CANDIDATES + 1)]
+        for idx in range(2):
+            ci = 0
+            for mv in ref_id[idx]:
+                if ci >= MAX_MV_REF_CANDIDATES:
+                    break
+                comp_list[ci][idx] = mv
+                ci += 1
+            for mv in ref_diff[idx]:
+                if ci >= MAX_MV_REF_CANDIDATES:
+                    break
+                comp_list[ci][idx] = mv
+                ci += 1
+            while ci < MAX_MV_REF_CANDIDATES:
+                comp_list[ci][idx] = ZERO  # gm candidate
+                ci += 1
+
+        if true_count == 1:
+            if (comp_list[0][0], comp_list[0][1]) == stack[0]:
+                stack.append((comp_list[1][0], comp_list[1][1]))
+            else:
+                stack.append((comp_list[0][0], comp_list[0][1]))
+            weights.append(2)
+            true_count = 2
+        elif true_count == 0:
+            for idx in range(MAX_MV_REF_CANDIDATES):
+                stack.append((comp_list[idx][0], comp_list[idx][1]))
+                weights.append(2)
+            true_count = MAX_MV_REF_CANDIDATES
+    elif not is_comp and true_count < MAX_MV_REF_CANDIDATES:
+        # single-ref relaxed rescan (adaptive_mv_pred.c:570)
+        bias_us = bool(mi.sign_bias[rf[0]])
+
+        def extend(rr, cc):
+            for can_rf, mv in mi.cand_refs(rr, cc):
+                if len(stack) >= MAX_MV_REF_CANDIDATES:
+                    return
+                if bool(mi.sign_bias[can_rf]) != bias_us:
+                    mv = (-mv[0], -mv[1])
+                entry = (mv, ZERO)
+                if entry not in stack:
+                    stack.append(entry)
+                    weights.append(2)
+
+        if abs(max_row_offset) >= 1:
+            i = 0
+            while i < mi_size and len(stack) < MAX_MV_REF_CANDIDATES:
+                rr, cc = mi_row - 1, mi_col + i
+                extend(rr, cc)
+                i += int(BLOCK_W[int(mi.bsize[rr, cc])]) >> 2
+        if abs(max_col_offset) >= 1:
+            i = 0
+            while i < mi_size and len(stack) < MAX_MV_REF_CANDIDATES:
+                rr, cc = mi_row + i, mi_col - 1
+                extend(rr, cc)
+                i += int(BLOCK_H[int(mi.bsize[rr, cc])]) >> 2
+        true_count = len(stack)  # relaxed rescan DOES increment count
+        while len(stack) < MAX_MV_REF_CANDIDATES:
+            stack.append((ZERO, ZERO))  # slot filled, count NOT incremented
             weights.append(0)
 
     # clamp (spec clamp_mv_ref: within frame + border, block-relative),
@@ -331,8 +424,13 @@ def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
     hi_col = (mi.mi_cols - n8_w - mi_col) * 4 * 8 + bw_px * 8 + MV_BORDER
     lo_row = -(mi_row * 4 * 8) - bh_px * 8 - MV_BORDER
     hi_row = (mi.mi_rows - n8_h - mi_row) * 4 * 8 + bh_px * 8 + MV_BORDER
-    clamped = [(int(np.clip(mv[0], lo_row, hi_row)), int(np.clip(mv[1], lo_col, hi_col)))
-               if i < true_count else mv for i, mv in enumerate(stack_mvs)]
 
-    return MvStack(mvs=clamped, weights=weights, mode_context=mode_context,
-                   count=true_count)
+    def cl(mv):
+        return (int(np.clip(mv[0], lo_row, hi_row)),
+                int(np.clip(mv[1], lo_col, hi_col)))
+
+    mvs0 = [cl(e[0]) if i < true_count else e[0] for i, e in enumerate(stack)]
+    mvs1 = [cl(e[1]) if i < true_count else e[1] for i, e in enumerate(stack)]
+
+    return MvStack(mvs=mvs0, comp_mvs=mvs1, weights=weights,
+                   mode_context=mode_context, count=true_count)

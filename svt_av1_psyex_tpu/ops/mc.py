@@ -99,3 +99,87 @@ def mc_block(ref: np.ndarray, x: int, y: int, w: int, h: int,
     res = _rp2(vert + (1 << offset_bits), round1) - (
         (1 << (offset_bits - round1)) + (1 << (offset_bits - round1 - 1)))
     return np.clip(res, 0, maxv).astype(np.int32)
+
+
+# ---- compound (two-reference) prediction ---------------------------------------
+# Counterpart: svt_av1_jnt_convolve_{2d,x,y,2d_copy}_c
+# (inter_prediction.c:494-660). Each prediction is kept in the high-
+# precision CONV buffer domain (round_0 = 3, round_1 = COMPOUND_ROUND1_BITS
+# = 7 for 8-bit); the pair is averaged (compound_idx = 1, enable_jnt_comp
+# off) and rounded to pixels.
+
+_COMP_ROUND1 = 7
+
+
+def mc_block_convbuf(ref: np.ndarray, x: int, y: int, w: int, h: int,
+                     mv_row: int, mv_col: int, ss_x: int, ss_y: int,
+                     interp_x: int = 0, interp_y: int = 0,
+                     bit_depth: int = 8) -> np.ndarray:
+    """One compound prediction in the CONV buffer domain (int32, offset)."""
+    if ss_x:
+        ix = x + (mv_col >> 4)
+        subx = mv_col & 15
+    else:
+        ix = x + (mv_col >> 3)
+        subx = (mv_col & 7) << 1
+    if ss_y:
+        iy = y + (mv_row >> 4)
+        suby = mv_row & 15
+    else:
+        iy = y + (mv_row >> 3)
+        suby = (mv_row & 7) << 1
+
+    bd = bit_depth
+    r0, r1 = ROUND0, _COMP_ROUND1
+    offset_bits = bd + 2 * FILTER_BITS - r0
+    round_offset = (1 << (offset_bits - r1)) + (1 << (offset_bits - r1 - 1))
+
+    if subx == 0 and suby == 0:  # jnt_convolve_2d_copy
+        bits = 2 * FILTER_BITS - r0 - r1
+        sl = _patch(ref, ix, iy, w, h)
+        return (sl << bits) + round_offset
+
+    if suby == 0:  # jnt_convolve_x
+        kx = filter_kernel(interp_x, subx, w).astype(np.int64)
+        sl = _patch(ref, ix - 3, iy, w + 7, h)
+        res = sum(kx[k] * sl[:, k : k + w] for k in range(8))
+        bits = FILTER_BITS - r1
+        return ((_rp2(res, r0)) << bits) + round_offset
+
+    if subx == 0:  # jnt_convolve_y
+        ky = filter_kernel(interp_y, suby, h).astype(np.int64)
+        sl = _patch(ref, ix, iy - 3, w, h + 7)
+        res = sum(ky[k] * sl[k : k + h, :] for k in range(8))
+        bits = FILTER_BITS - r0
+        return _rp2(res << bits, r1) + round_offset
+
+    # 2D
+    kx = filter_kernel(interp_x, subx, w).astype(np.int64)
+    ky = filter_kernel(interp_y, suby, h).astype(np.int64)
+    sl = _patch(ref, ix - 3, iy - 3, w + 7, h + 7)
+    horiz = sum(kx[k] * sl[:, k : k + w] for k in range(8))
+    horiz = _rp2(horiz + (1 << (bd + FILTER_BITS - 1)), r0)
+    vert = sum(ky[k] * horiz[k : k + h, :] for k in range(8))
+    return _rp2(vert + (1 << offset_bits), r1)
+
+
+def compound_average(buf0: np.ndarray, buf1: np.ndarray,
+                     bit_depth: int = 8) -> np.ndarray:
+    """Average two CONV-buffer predictions to pixels (compound_idx=1)."""
+    bd = bit_depth
+    r0, r1 = ROUND0, _COMP_ROUND1
+    offset_bits = bd + 2 * FILTER_BITS - r0
+    round_offset = (1 << (offset_bits - r1)) + (1 << (offset_bits - r1 - 1))
+    round_bits = 2 * FILTER_BITS - r0 - r1
+    tmp = ((buf0 + buf1) >> 1) - round_offset
+    return np.clip(_rp2(tmp, round_bits), 0, (1 << bd) - 1).astype(np.int32)
+
+
+def mc_block_compound(ref0: np.ndarray, ref1: np.ndarray, x: int, y: int,
+                      w: int, h: int, mv0, mv1, ss_x: int, ss_y: int,
+                      bit_depth: int = 8) -> np.ndarray:
+    b0 = mc_block_convbuf(ref0, x, y, w, h, mv0[0], mv0[1], ss_x, ss_y,
+                          bit_depth=bit_depth)
+    b1 = mc_block_convbuf(ref1, x, y, w, h, mv1[0], mv1[1], ss_x, ss_y,
+                          bit_depth=bit_depth)
+    return compound_average(b0, b1, bit_depth)
