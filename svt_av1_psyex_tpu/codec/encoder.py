@@ -306,7 +306,7 @@ class Av1Encoder:
         # in-loop filters on the final recon: DLF (spec 7.14) then CDEF
         # (spec 7.15); intra prediction above already used the unfiltered
         # recon, references/output use the filtered one.
-        if seq.bit_depth == 8 and (self.enable_dlf or seq.enable_cdef):
+        if self.enable_dlf or seq.enable_cdef:
             from ..ops.dlf import (
                 collect_lf_grids,
                 loop_filter_frame,
@@ -324,7 +324,8 @@ class Av1Encoder:
                     loop_filter_frame([p.recon for p in pctx], seq.width,
                                       seq.height, levels, fr.lf_sharpness,
                                       bsize_g, skip_inter_g,
-                                      seq.subsampling_x, seq.subsampling_y)
+                                      seq.subsampling_x, seq.subsampling_y,
+                                      seq.bit_depth)
             if seq.enable_cdef:
                 from ..ops.cdef import cdef_search_frame
                 from .rd import rdcost
@@ -334,7 +335,7 @@ class Av1Encoder:
                     [p.recon for p in pctx], [p.src for p in pctx], skip_g,
                     self.mi_rows, self.mi_cols, fr.base_q_idx,
                     lambda rate, dist: rdcost(rdm, rate, dist),
-                    level=self._cdef_search_level)
+                    level=self._cdef_search_level, bit_depth=seq.bit_depth)
                 fr.cdef_damping = 3 + (fr.base_q_idx >> 6)
                 if res is not None:
                     bits, y_str, uv_str, fb_gi, _ = res

@@ -445,7 +445,8 @@ class ModeDecision:
             improved = False
             for dmv in ((0, 0), (-2, 0), (2, 0), (0, -2), (0, 2)):
                 cand_mv = (best_mv[0] + dmv[0], best_mv[1] + dmv[1])
-                pred = mc_block(ref, x, y, w, h, cand_mv[0], cand_mv[1], 0, 0)
+                pred = mc_block(ref, x, y, w, h, cand_mv[0], cand_mv[1], 0, 0,
+                                bit_depth=self.bd)
                 sse = int(((src - pred).astype(np.int64) ** 2).sum())
                 if best_sse is None or sse < best_sse:
                     best_sse = sse
@@ -708,9 +709,10 @@ class ModeDecision:
         if is_comp:
             ref_pl1 = self.ref_planes[ref_id1]
             pred = mc_block_compound(ref_pl[0], ref_pl1[0], x, y, tx_w, tx_h,
-                                     mv, mv1, 0, 0)
+                                     mv, mv1, 0, 0, bit_depth=self.bd)
         else:
-            pred = mc_block(ref_pl[0], x, y, tx_w, tx_h, mv[0], mv[1], 0, 0)
+            pred = mc_block(ref_pl[0], x, y, tx_w, tx_h, mv[0], mv[1], 0, 0,
+                            bit_depth=self.bd)
         txbs = []
         dist = 0
         qc, eob, rec, d = self._txb_rd_pred(self.pctx[0], pred, x, y, tx_size,
@@ -730,11 +732,13 @@ class ModeDecision:
                 if is_comp:
                     predc = mc_block_compound(ref_pl[p], ref_pl1[p], cx, cy,
                                               int(TX_W[uv_tx]), int(TX_H[uv_tx]),
-                                              mv, mv1, ssx, ssy)
+                                              mv, mv1, ssx, ssy,
+                                              bit_depth=self.bd)
                 else:
                     predc = mc_block(ref_pl[p], cx, cy,
                                      int(TX_W[uv_tx]), int(TX_H[uv_tx]),
-                                     mv[0], mv[1], ssx, ssy)
+                                     mv[0], mv[1], ssx, ssy,
+                                     bit_depth=self.bd)
                 qc, eob, rec, d = self._txb_rd_pred(self.pctx[p], predc, cx, cy,
                                                     uv_tx, TxType.DCT_DCT, p)
                 txbs.append({"plane": p, "plane_bsize": uv_bsize, "tx_size": uv_tx,

@@ -340,7 +340,8 @@ def joint_strength_search_dual(nb: int, mse0, mse1, cand):
 
 
 def cdef_search_frame(recon_planes, src_planes, skip_g, mi_rows: int,
-                      mi_cols: int, base_q_idx: int, rdcost_fn, level: int = 3):
+                      mi_cols: int, base_q_idx: int, rdcost_fn, level: int = 3,
+                      bit_depth: int = 8):
     """Frame CDEF: candidate-strength search (enc_cdef.c finish_cdef_search)
     + filtering of the recon in place (svt_av1_cdef_frame semantics: pure
     function of the post-DLF recon, CDEF_VERY_LARGE outside the coded area).
@@ -354,6 +355,7 @@ def cdef_search_frame(recon_planes, src_planes, skip_g, mi_rows: int,
     nvfb = (mi_rows + 15) // 16
     nhfb = (mi_cols + 15) // 16
     fb, by8, bx8 = compute_cdef_blocks(skip_g, mi_rows, mi_cols)
+    cs = bit_depth - 8  # coeff_shift
     damping = 3 + (base_q_idx >> 6)
     if fb.size == 0:
         return None
@@ -367,7 +369,7 @@ def cdef_search_frame(recon_planes, src_planes, skip_g, mi_rows: int,
     ri = ys_y[:, None, None] + np.arange(8)[None, :, None]
     ci = xs_y[:, None, None] + np.arange(8)[None, None, :]
     luma_blocks = pad[0][ri, ci]  # recon 8x8 blocks (padded coords)
-    dirs, var = find_dir_batch(luma_blocks)
+    dirs, var = find_dir_batch(luma_blocks, cs)
     src_y = src_planes[0][(by8 * 8)[:, None, None] + np.arange(8)[None, :, None],
                           (bx8 * 8)[:, None, None] + np.arange(8)[None, None, :]]
 
@@ -404,40 +406,46 @@ def cdef_search_frame(recon_planes, src_planes, skip_g, mi_rows: int,
         mnmx_c = {key: tap_minmax(taps_c[key]) for key in taps_c}
         pri_sums_c: dict = {}
         sec_sums_c: dict = {}
-        cdamp = max(0, damping - 1)
+        cdamp = max(0, damping + cs - 1)
+
+    ydamp = damping + cs
 
     def _filter_luma(gi):
         pri = gi // CDEF_SEC_STRENGTHS
         sec = gi % CDEF_SEC_STRENGTHS
         sec += sec == 3
+        sec <<= cs
         nz = 1 if pri else 0
         if pri not in pri_sums_y:
             pri_sums_y[pri] = pri_tap_sum(
-                taps_y[nz], adjust_strength(pri, var), damping)
+                taps_y[nz], adjust_strength(pri << cs, var), ydamp, cs)
         if (sec, nz) not in sec_sums_y:
-            sec_sums_y[(sec, nz)] = sec_tap_sum(taps_y[nz], int(sec), damping)
+            sec_sums_y[(sec, nz)] = sec_tap_sum(taps_y[nz], int(sec), ydamp)
         return combine_taps(taps_y[nz], mnmx_y[nz], pri_sums_y[pri],
                             sec_sums_y[(sec, nz)])
 
     def _filter_chroma(gi, pi):
-        pri = gi // CDEF_SEC_STRENGTHS
+        pri = (gi // CDEF_SEC_STRENGTHS) << cs
         sec = gi % CDEF_SEC_STRENGTHS
         sec += sec == 3
+        sec <<= cs
         nz = 1 if pri else 0
         if (pri, pi) not in pri_sums_c:
-            pri_sums_c[(pri, pi)] = pri_tap_sum(taps_c[(pi, nz)], int(pri), cdamp)
+            pri_sums_c[(pri, pi)] = pri_tap_sum(taps_c[(pi, nz)], int(pri),
+                                                cdamp, cs)
         if (sec, nz, pi) not in sec_sums_c:
             sec_sums_c[(sec, nz, pi)] = sec_tap_sum(taps_c[(pi, nz)], int(sec), cdamp)
         return combine_taps(taps_c[(pi, nz)], mnmx_c[(pi, nz)],
                             pri_sums_c[(pri, pi)], sec_sums_c[(sec, nz, pi)])
 
     for ciidx, gi in enumerate(cands):
-        d = dist_8x8_luma(src_y, _filter_luma(gi))
+        d = dist_8x8_luma(src_y, _filter_luma(gi), cs)
         np.add.at(mse0[:, ciidx], fb_idx, d)
         if chroma:
             for pi in (1, 2):
                 e = _filter_chroma(gi, pi) - src_c[pi - 1]
-                np.add.at(mse1[:, ciidx], fb_idx, (e * e).sum(axis=(1, 2)))
+                np.add.at(mse1[:, ciidx], fb_idx,
+                          (e * e).sum(axis=(1, 2)) >> (2 * cs))
 
     best_rd = None
     best = None
@@ -468,22 +476,22 @@ def cdef_search_frame(recon_planes, src_planes, skip_g, mi_rows: int,
     y_gi = np.array(y_str, np.int64)[blk_gi]
     uv_gi = np.array(uv_str, np.int64)[blk_gi]
 
-    pri_y = y_gi // CDEF_SEC_STRENGTHS
+    pri_y = (y_gi // CDEF_SEC_STRENGTHS) << cs
     sec_y = y_gi % CDEF_SEC_STRENGTHS
-    sec_y = sec_y + (sec_y == 3)
+    sec_y = (sec_y + (sec_y == 3)) << cs
     t_y = adjust_strength(pri_y, var)
     d_y = np.where(pri_y != 0, dirs, 0)
     m = y_gi != 0
     if np.any(m):
         o = filter_blocks(pad[0], ys_y[m], xs_y[m], 8, 8, t_y[m],
-                          sec_y[m], d_y[m], damping, damping)
+                          sec_y[m], d_y[m], ydamp, ydamp, cs)
         rr = (by8[m] * 8)[:, None, None] + np.arange(8)[None, :, None]
         cc = (bx8[m] * 8)[:, None, None] + np.arange(8)[None, None, :]
         recon_planes[0][rr, cc] = o.astype(np.int32)
     if chroma:
-        pri_c = uv_gi // CDEF_SEC_STRENGTHS
+        pri_c = (uv_gi // CDEF_SEC_STRENGTHS) << cs
         sec_c = uv_gi % CDEF_SEC_STRENGTHS
-        sec_c = sec_c + (sec_c == 3)
+        sec_c = (sec_c + (sec_c == 3)) << cs
         d_c = np.where(pri_c != 0, dirs, 0)
         mc = uv_gi != 0
         if np.any(mc):
@@ -492,7 +500,7 @@ def cdef_search_frame(recon_planes, src_planes, skip_g, mi_rows: int,
             for pi in (1, 2):
                 o = filter_blocks(pad[pi], ys_c[mc], xs_c[mc], 4, 4,
                                   pri_c[mc], sec_c[mc], d_c[mc],
-                                  max(0, damping - 1), max(0, damping - 1))
+                                  cdamp, cdamp, cs)
                 recon_planes[pi][rr, cc] = o.astype(np.int32)
 
     return bits, y_str, uv_str, fb_gi_map, damping

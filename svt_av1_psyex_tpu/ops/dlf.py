@@ -23,7 +23,8 @@ Design notes (TPU-first rewrite, not a translation):
     edges, then ALL horizontal edges. Horizontal edges are filtered by
     transposing and reusing the vertical kernels.
 
-8-bit only for now (the 10-bit path shifts thresholds by bd-8).
+High bit depth shifts thresholds and the filter4 working domain by bd-8
+(highbd_* kernel variants in deblocking_common.c).
 """
 
 from __future__ import annotations
@@ -94,44 +95,47 @@ def filter_limits(level: int, sharpness: int) -> tuple[int, int, int]:
 # (the edge is between columns xs-1 and xs). Scalar thresholds.
 
 
-def _c8(v):
-    return np.clip(v, -128, 127)
+def _c8(v, sh: int = 0):
+    return np.clip(v, -128 << sh, (128 << sh) - 1)
 
 
 def _rpot(v, n):
     return (v + (1 << (n - 1))) >> n
 
 
-def _filter4_core(cols, lim, mblim, hev_t, mask=None):
-    """filter4 (deblocking_common.c:212-240). cols[k] = pixel column at
-    offset k from the edge. `mask` is the caller's filter_mask for the
-    longer filters' fallback path; None => compute filter_mask2 here."""
+def _filter4_core(cols, lim, mblim, hev_t, mask=None, sh: int = 0):
+    """filter4 (deblocking_common.c:212-240; highbd variant shifts the
+    working domain by bd-8). cols[k] = pixel column at offset k from the
+    edge. `mask` is the caller's filter_mask for the longer filters'
+    fallback path; None => compute filter_mask2 here."""
     p1, p0, q0, q1 = cols[-2], cols[-1], cols[0], cols[1]
     hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
     if mask is None:
         mask = ~((np.abs(p1 - p0) > lim) | (np.abs(q1 - q0) > lim)
                  | (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 > mblim))
-    ps1, ps0, qs0, qs1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
-    f = np.where(hev, _c8(ps1 - qs1), 0)
-    f = np.where(mask, _c8(f + 3 * (qs0 - ps0)), 0)
-    f1 = _c8(f + 4) >> 3
-    f2 = _c8(f + 3) >> 3
-    oq0 = _c8(qs0 - f1) + 128
-    op0 = _c8(ps0 + f2) + 128
+    t80 = 128 << sh
+    ps1, ps0, qs0, qs1 = p1 - t80, p0 - t80, q0 - t80, q1 - t80
+    f = np.where(hev, _c8(ps1 - qs1, sh), 0)
+    f = np.where(mask, _c8(f + 3 * (qs0 - ps0), sh), 0)
+    f1 = _c8(f + 4, sh) >> 3
+    f2 = _c8(f + 3, sh) >> 3
+    oq0 = _c8(qs0 - f1, sh) + t80
+    op0 = _c8(ps0 + f2, sh) + t80
     f3 = np.where(hev, 0, _rpot(f1, 1))
-    oq1 = _c8(qs1 - f3) + 128
-    op1 = _c8(ps1 + f3) + 128
+    oq1 = _c8(qs1 - f3, sh) + t80
+    op1 = _c8(ps1 + f3, sh) + t80
     return op1, op0, oq0, oq1
 
 
-def _edge_filter_cols(P, ys, xs, length, lim, mblim, hev_t):
+def _edge_filter_cols(P, ys, xs, length, lim, mblim, hev_t, sh: int = 0):
     """Filter vertical edges at per-pixel positions (ys, xs) with one
     filter length; gathers from P, returns (offsets, new_cols) to scatter."""
     reach = {4: 2, 6: 3, 8: 4, 14: 7}[length]
     cols = {k: P[ys, xs + k].astype(np.int64) for k in range(-reach, reach)}
+    ft = 1 << sh  # flat threshold
 
     if length == 4:
-        op1, op0, oq0, oq1 = _filter4_core(cols, lim, mblim, hev_t)
+        op1, op0, oq0, oq1 = _filter4_core(cols, lim, mblim, hev_t, sh=sh)
         return {-2: op1, -1: op0, 0: oq0, 1: oq1}
 
     p0, q0 = cols[-1], cols[0]
@@ -140,9 +144,9 @@ def _edge_filter_cols(P, ys, xs, length, lim, mblim, hev_t):
         mask = ~((np.abs(p2 - p1) > lim) | (np.abs(p1 - p0) > lim)
                  | (np.abs(q1 - q0) > lim) | (np.abs(q2 - q1) > lim)
                  | (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 > mblim))
-        flat = ~((np.abs(p1 - p0) > 1) | (np.abs(q1 - q0) > 1)
-                 | (np.abs(p2 - p0) > 1) | (np.abs(q2 - q0) > 1))
-        op1, op0, oq0, oq1 = _filter4_core(cols, lim, mblim, hev_t, mask)
+        flat = ~((np.abs(p1 - p0) > ft) | (np.abs(q1 - q0) > ft)
+                 | (np.abs(p2 - p0) > ft) | (np.abs(q2 - q0) > ft))
+        op1, op0, oq0, oq1 = _filter4_core(cols, lim, mblim, hev_t, mask, sh=sh)
         sel = flat & mask
         out = {
             -2: np.where(sel, _rpot(p2 * 3 + p1 * 2 + p0 * 2 + q0, 3), op1),
@@ -158,10 +162,10 @@ def _edge_filter_cols(P, ys, xs, length, lim, mblim, hev_t):
              | (np.abs(p1 - p0) > lim) | (np.abs(q1 - q0) > lim)
              | (np.abs(q2 - q1) > lim) | (np.abs(q3 - q2) > lim)
              | (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 > mblim))
-    flat = ~((np.abs(p1 - p0) > 1) | (np.abs(q1 - q0) > 1)
-             | (np.abs(p2 - p0) > 1) | (np.abs(q2 - q0) > 1)
-             | (np.abs(p3 - p0) > 1) | (np.abs(q3 - q0) > 1))
-    op1_4, op0_4, oq0_4, oq1_4 = _filter4_core(cols, lim, mblim, hev_t, mask)
+    flat = ~((np.abs(p1 - p0) > ft) | (np.abs(q1 - q0) > ft)
+             | (np.abs(p2 - p0) > ft) | (np.abs(q2 - q0) > ft)
+             | (np.abs(p3 - p0) > ft) | (np.abs(q3 - q0) > ft))
+    op1_4, op0_4, oq0_4, oq1_4 = _filter4_core(cols, lim, mblim, hev_t, mask, sh=sh)
     sel8 = flat & mask
     out = {
         -3: np.where(sel8, _rpot(p3 * 3 + 2 * p2 + p1 + p0 + q0, 3), cols[-3]),
@@ -176,9 +180,9 @@ def _edge_filter_cols(P, ys, xs, length, lim, mblim, hev_t):
 
     p6, p5, p4 = cols[-7], cols[-6], cols[-5]
     q4, q5, q6 = cols[4], cols[5], cols[6]
-    flat2 = ~((np.abs(p4 - p0) > 1) | (np.abs(q4 - q0) > 1)
-              | (np.abs(p5 - p0) > 1) | (np.abs(q5 - q0) > 1)
-              | (np.abs(p6 - p0) > 1) | (np.abs(q6 - q0) > 1))
+    flat2 = ~((np.abs(p4 - p0) > ft) | (np.abs(q4 - q0) > ft)
+              | (np.abs(p5 - p0) > ft) | (np.abs(q5 - q0) > ft)
+              | (np.abs(p6 - p0) > ft) | (np.abs(q6 - q0) > ft))
     sel14 = flat2 & sel8
     t = {
         -6: _rpot(p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0, 4),
@@ -201,7 +205,7 @@ def _edge_filter_cols(P, ys, xs, length, lim, mblim, hev_t):
     return final
 
 
-def _apply_pass(P, ys, xs, lengths, lim, mblim, hev_t):
+def _apply_pass(P, ys, xs, lengths, lim, mblim, hev_t, sh: int = 0):
     """Run one direction's pass: per-pixel edge positions with lengths,
     scatter results back into P (in place)."""
     for L in (4, 6, 8, 14):
@@ -209,7 +213,7 @@ def _apply_pass(P, ys, xs, lengths, lim, mblim, hev_t):
         if not np.any(m):
             continue
         ey, ex = ys[m], xs[m]
-        new = _edge_filter_cols(P, ey, ex, L, lim, mblim, hev_t)
+        new = _edge_filter_cols(P, ey, ex, L, lim, mblim, hev_t, sh=sh)
         for k, v in new.items():
             P[ey, ex + k] = v
 
@@ -257,7 +261,7 @@ def _plane_grids(bsize_g, skip_inter_g, ss_x, ss_y, n_r4, n_c4):
 
 def loop_filter_frame(planes, disp_w: int, disp_h: int, levels, sharpness: int,
                       bsize_g: np.ndarray, skip_inter_g: np.ndarray,
-                      ss_x: int, ss_y: int) -> None:
+                      ss_x: int, ss_y: int, bit_depth: int = 8) -> None:
     """Filter recon planes in place (8-bit values in int32 arrays).
 
     planes: [Y, U, V] aligned int32 recon; levels: [y_vert, y_horz, u, v];
@@ -291,7 +295,9 @@ def loop_filter_frame(planes, disp_w: int, disp_h: int, levels, sharpness: int,
             lvl = lvl_v if direction == 0 else lvl_h
             if not lvl:
                 continue
+            sh = bit_depth - 8
             lim, mblim, hev_t = filter_limits(lvl, sharpness)
+            lim, mblim, hev_t = lim << sh, mblim << sh, hev_t << sh
             if direction == 0:
                 coord, tdim, pdim = ci, txw, bw
             else:
@@ -317,13 +323,13 @@ def loop_filter_frame(planes, disp_w: int, disp_h: int, levels, sharpness: int,
             if direction == 0:
                 ys = (cell_r[:, None] * 4 + sub).ravel()
                 xs = np.repeat(cell_c * 4, 4)
-                _apply_pass(P, ys, xs, np.repeat(L, 4), lim, mblim, hev_t)
+                _apply_pass(P, ys, xs, np.repeat(L, 4), lim, mblim, hev_t, sh)
             else:
                 # horizontal edges == vertical edges of the transpose
                 PT = P.T
                 ys = (cell_c[:, None] * 4 + sub).ravel()
                 xs = np.repeat(cell_r * 4, 4)
-                _apply_pass(PT, ys, xs, np.repeat(L, 4), lim, mblim, hev_t)
+                _apply_pass(PT, ys, xs, np.repeat(L, 4), lim, mblim, hev_t, sh)
 
 
 def collect_lf_grids(sb_plans, mi_rows: int, mi_cols: int, sb_mi: int):

@@ -122,7 +122,8 @@ def parse_seq(payload):
 def parse_frame(payload, s, seen_seq):
     r = BitReader(payload)
     i = {}
-    assert r.f(1) == 0, "show_existing"
+    if r.f(1):  # show_existing_frame
+        return {"show_existing": True, "slot": r.f(3)}
     ft = i["frame_type"] = r.f(2)
     show = i["show"] = r.f(1)
     frame_is_intra = ft in (0, 2)
@@ -205,18 +206,37 @@ def parse_frame(payload, s, seen_seq):
         i["disable_frame_end_update_cdf"] = r.f(1)
     else:
         i["disable_frame_end_update_cdf"] = 1
-    # tile info (uniform, small frames)
+    # tile info (uniform): the unary increments stop early at max_log2
+    # (no terminating 0 is coded when the value reaches the maximum)
     i["uniform_tiles"] = r.f(1)
-    # for our sizes: sbCols small; increment_tile_cols_log2 bits until 0
-    tl = 0
+    mi_cols = 2 * ((s.w + 7) >> 3)
+    mi_rows = 2 * ((s.h + 7) >> 3)
+    sb_shift = 5 if s.sb128 else 4
+    sb_cols = (mi_cols + (1 << sb_shift) - 1) >> sb_shift
+    sb_rows = (mi_rows + (1 << sb_shift) - 1) >> sb_shift
+    sb_size_log2 = sb_shift + 2
+
+    def tile_log2(blk, target):
+        k = 0
+        while (blk << k) < target:
+            k += 1
+        return k
+
+    max_tw_sb = 4096 >> sb_size_log2
+    min_cols_log2 = tile_log2(max_tw_sb, sb_cols)
+    max_cols_log2 = tile_log2(1, min(sb_cols, 64))
+    max_rows_log2 = tile_log2(1, min(sb_rows, 64))
     if i["uniform_tiles"]:
-        while r.f(1):
+        tl = min_cols_log2
+        while tl < max_cols_log2 and r.f(1):
             tl += 1
         i["tile_cols_log2"] = tl
         tr = 0
-        while r.f(1):
+        while tr < max_rows_log2 and r.f(1):
             tr += 1
         i["tile_rows_log2"] = tr
+        if (1 << (tl + tr)) > 1:
+            i["context_update_tile_id"] = r.f(tl + tr)
     else:
         raise NotImplementedError
     i["base_q"] = r.f(8)
