@@ -264,3 +264,44 @@ int64_t svt_ec_coeffs(EcEnc *e, const int32_t *scan, const int32_t *flat,
     if (cul_level > COEFF_CONTEXT_MASK) cul_level = COEFF_CONTEXT_MASK;
     return cul_level;
 }
+
+/* ---- transform stage-network executor (ops/txfm.py _Net.run) ----------
+ * Butterfly stage networks compiled to flat index/weight arrays; this
+ * executes all stages of one 1-D transform pass over a (batch, n) block.
+ * Matches the Python executor exactly (int64 lanes, btf rounding,
+ * optional clamping). */
+
+void svt_net_run(int64_t *x, int64_t *tmp, int batch, int n,
+                 const int32_t *src0, const int64_t *w0,
+                 const int32_t *src1, const int64_t *w1,
+                 const uint8_t *is_btf, const uint8_t *do_clamp,
+                 int nstages, int cos_bit, int clamp_bit) {
+    const int64_t rnd = (int64_t)1 << (cos_bit - 1);
+    const int64_t lo = clamp_bit > 0 ? -((int64_t)1 << (clamp_bit - 1)) : 0;
+    const int64_t hi = clamp_bit > 0 ? ((int64_t)1 << (clamp_bit - 1)) - 1 : 0;
+    int64_t *cur = x, *nxt = tmp;
+    for (int s = 0; s < nstages; s++) {
+        const int32_t *s0 = src0 + (size_t)s * n;
+        const int32_t *s1 = src1 + (size_t)s * n;
+        const int64_t *a0 = w0 + (size_t)s * n;
+        const int64_t *a1 = w1 + (size_t)s * n;
+        const uint8_t *bt = is_btf + (size_t)s * n;
+        const uint8_t *cl = do_clamp + (size_t)s * n;
+        for (int b = 0; b < batch; b++) {
+            const int64_t *row = cur + (size_t)b * n;
+            int64_t *out = nxt + (size_t)b * n;
+            for (int i = 0; i < n; i++) {
+                int64_t y = row[s0[i]] * a0[i] + row[s1[i]] * a1[i];
+                if (bt[i]) y = (y + rnd) >> cos_bit;
+                if (clamp_bit > 0 && cl[i]) {
+                    if (y < lo) y = lo;
+                    else if (y > hi) y = hi;
+                }
+                out[i] = y;
+            }
+        }
+        int64_t *t = cur; cur = nxt; nxt = t;
+    }
+    if (cur != x)
+        memcpy(x, cur, (size_t)batch * n * sizeof(int64_t));
+}

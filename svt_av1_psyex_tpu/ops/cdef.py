@@ -303,6 +303,9 @@ _PF_SETS = {
     7: ([0, 15], (2,)),
 }
 
+# search-block subsampling per level (reference subsampling_factor)
+_SEARCH_SUBSAMPLE = {5: 2, 7: 4}
+
 
 def candidate_strengths(level: int) -> list[int]:
     pris, secs = _PF_SETS.get(level, _PF_SETS[5])
@@ -360,25 +363,40 @@ def cdef_search_frame(recon_planes, src_planes, skip_g, mi_rows: int,
     if fb.size == 0:
         return None
 
-    act_fbs, fb_idx = np.unique(fb, return_inverse=True)
+    act_fbs, fb_idx_all = np.unique(fb, return_inverse=True)
     n_act = act_fbs.size
     pad = [_pad_plane(p) for p in recon_planes]
 
-    ys_y = by8 * 8 + 2
-    xs_y = bx8 * 8 + 2
-    ri = ys_y[:, None, None] + np.arange(8)[None, :, None]
-    ci = xs_y[:, None, None] + np.arange(8)[None, None, :]
+    ys_y_all = by8 * 8 + 2
+    xs_y_all = bx8 * 8 + 2
+    ri = ys_y_all[:, None, None] + np.arange(8)[None, :, None]
+    ci = xs_y_all[:, None, None] + np.arange(8)[None, None, :]
     luma_blocks = pad[0][ri, ci]  # recon 8x8 blocks (padded coords)
-    dirs, var = find_dir_batch(luma_blocks, cs)
-    src_y = src_planes[0][(by8 * 8)[:, None, None] + np.arange(8)[None, :, None],
-                          (bx8 * 8)[:, None, None] + np.arange(8)[None, None, :]]
+    dirs_all, var_all = find_dir_batch(luma_blocks, cs)
+
+    # search on a block subsample (reference subsampling_factor), keeping
+    # at least the first block of every active 64x64 unit
+    ss = _SEARCH_SUBSAMPLE.get(level, 1)
+    if ss > 1:
+        first = np.r_[True, fb_idx_all[1:] != fb_idx_all[:-1]]
+        sel = (np.arange(fb.size) % ss == 0) | first
+    else:
+        sel = np.ones(fb.size, bool)
+    fb_idx = fb_idx_all[sel]
+    ys_y = ys_y_all[sel]
+    xs_y = xs_y_all[sel]
+    dirs = dirs_all[sel]
+    var = var_all[sel]
+    sby8, sbx8 = by8[sel], bx8[sel]
+    src_y = src_planes[0][(sby8 * 8)[:, None, None] + np.arange(8)[None, :, None],
+                          (sbx8 * 8)[:, None, None] + np.arange(8)[None, None, :]]
 
     chroma = len(recon_planes) > 1
     if chroma:
-        ys_c = by8 * 4 + 2
-        xs_c = bx8 * 4 + 2
-        src_c = [p[(by8 * 4)[:, None, None] + np.arange(4)[None, :, None],
-                   (bx8 * 4)[:, None, None] + np.arange(4)[None, None, :]]
+        ys_c = sby8 * 4 + 2
+        xs_c = sbx8 * 4 + 2
+        src_c = [p[(sby8 * 4)[:, None, None] + np.arange(4)[None, :, None],
+                   (sbx8 * 4)[:, None, None] + np.arange(4)[None, None, :]]
                  for p in src_planes[1:3]]
 
     cands = candidate_strengths(level)
@@ -472,6 +490,13 @@ def cdef_search_frame(recon_planes, src_planes, skip_g, mi_rows: int,
     uv_str = [cands[l] for l in lev1]
 
     # ---- apply the chosen strengths to the recon (in place) -----------------
+    # (full block set: the search subsample only affected the MSE estimate)
+    fb_idx = fb_idx_all
+    dirs, var = dirs_all, var_all
+    ys_y, xs_y = ys_y_all, xs_y_all
+    if chroma:
+        ys_c = by8 * 4 + 2
+        xs_c = bx8 * 4 + 2
     blk_gi = fb_best[fb_idx]
     y_gi = np.array(y_str, np.int64)[blk_gi]
     uv_gi = np.array(uv_str, np.int64)[blk_gi]

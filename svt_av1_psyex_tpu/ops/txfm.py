@@ -75,6 +75,17 @@ def clamp_value(x, bit: int):
 # --- compiled stage networks ------------------------------------------------------
 
 
+def _native_lib():
+    """C net executor (native/ecenc.c svt_net_run); None => pure numpy."""
+    import os
+
+    if os.environ.get("SVT_TPU_PY_TXFM") == "1":
+        return None
+    from ..native.ecenc import get_lib
+
+    return get_lib()
+
+
 class _Net:
     __slots__ = ("stages", "size", "_wcache")
 
@@ -106,6 +117,28 @@ class _Net:
                 out[i] = 0
         return out
 
+    def _compiled_native(self, cos_bit: int):
+        key = ("c", cos_bit)
+        if key not in self._wcache:
+            comp = self._compiled(cos_bit)
+            n = self.size
+            ns = len(comp)
+            src0 = np.empty(ns * n, np.int32)
+            src1 = np.empty(ns * n, np.int32)
+            w0 = np.empty(ns * n, np.int64)
+            w1 = np.empty(ns * n, np.int64)
+            btf = np.empty(ns * n, np.uint8)
+            clp = np.empty(ns * n, np.uint8)
+            for s, (a0, b0, a1, b1, ib, dc) in enumerate(comp):
+                src0[s * n : (s + 1) * n] = a0
+                w0[s * n : (s + 1) * n] = b0
+                src1[s * n : (s + 1) * n] = a1
+                w1[s * n : (s + 1) * n] = b1
+                btf[s * n : (s + 1) * n] = ib
+                clp[s * n : (s + 1) * n] = dc
+            self._wcache[key] = (src0, w0, src1, w1, btf, clp, ns)
+        return self._wcache[key]
+
     def _compiled(self, cos_bit: int):
         if cos_bit not in self._wcache:
             comp = []
@@ -123,6 +156,24 @@ class _Net:
 
     def run(self, x: np.ndarray, cos_bit: int, clamp_bit: int) -> np.ndarray:
         """x: (batch, N) int64 -> (batch, N) int64."""
+        lib = _native_lib()
+        if lib is not None:
+            import ctypes
+
+            src0, w0, src1, w1, btf, clp, ns = self._compiled_native(cos_bit)
+            buf = np.ascontiguousarray(x, np.int64).copy()
+            tmp = np.empty_like(buf)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.svt_net_run(
+                buf.ctypes.data_as(i64p), tmp.ctypes.data_as(i64p),
+                buf.shape[0], self.size,
+                src0.ctypes.data_as(i32p), w0.ctypes.data_as(i64p),
+                src1.ctypes.data_as(i32p), w1.ctypes.data_as(i64p),
+                btf.ctypes.data_as(u8p), clp.ctypes.data_as(u8p),
+                ns, cos_bit, clamp_bit)
+            return buf
         rnd = 1 << (cos_bit - 1)
         for src0, w0, src1, w1, is_btf, do_clamp in self._compiled(cos_bit):
             y = x[:, src0] * w0 + x[:, src1] * w1
