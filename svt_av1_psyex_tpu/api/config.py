@@ -153,8 +153,8 @@ class EncoderConfig:
             errs.append(f"crf {self.crf} out of [0, 70]")
         if self.rate_control_mode not in (0, 1, 2):
             errs.append(f"rate_control_mode {self.rate_control_mode} invalid")
-        if self.rate_control_mode != 0:
-            errs.append("VBR/CBR not implemented yet (pending)")
+        if self.rate_control_mode != 0 and self.target_bit_rate <= 0:
+            errs.append("VBR/CBR requires target_bit_rate > 0")
         if not (0 <= self.variance_boost_strength <= 4):
             errs.append("variance_boost_strength out of [0, 4]")
         if not (1 <= self.variance_octile <= 8):

@@ -88,6 +88,15 @@ class SvtAv1Encoder:
             color_range=cfg.color_range,
             chroma_sample_position=cfg.chroma_sample_position,
         )
+        self._rc = None
+        if cfg.rate_control_mode in (1, 2):
+            from ..codec.rc import RateControl
+
+            fps = cfg.frame_rate_numerator / max(cfg.frame_rate_denominator, 1) \
+                if getattr(cfg, "frame_rate_numerator", 0) else 30.0
+            self._rc = RateControl(cfg.source_width, cfg.source_height, fps,
+                                   cfg.target_bit_rate, cfg.rate_control_mode,
+                                   cfg.encoder_bit_depth)
         self._enc = Av1Encoder(
             self._seq, preset=cfg.enc_mode,
             enable_variance_boost=cfg.enable_variance_boost,
@@ -139,8 +148,11 @@ class SvtAv1Encoder:
             while self._in_q:
                 planes, pts, force_key = self._in_q.popleft()
                 key = force_key or self._keyframe_due(pts)
-                tu = self._enc.encode_frame(planes, self.config.qindex,
-                                            force_key=key)
+                q = (self._rc.pick_qindex(key, 0) if self._rc
+                     else self.config.qindex)
+                tu = self._enc.encode_frame(planes, q, force_key=key)
+                if self._rc:
+                    self._rc.update(len(tu) * 8)
                 self._out_q.append(Packet(tu, pts, pts, frame_type=0 if key else 1))
                 if self.config.recon_enabled:
                     self._recon_q.append(Recon(self._enc.last_recon, pts))
@@ -162,8 +174,11 @@ class SvtAv1Encoder:
             disp0 = self._in_q[0][1]
             if self._in_q[0][2] or self._keyframe_due(disp0):
                 planes, pts, _ = self._in_q.popleft()
-                tu = self._enc.encode_frame(planes, self.config.qindex,
-                                            plan=plan_key(pts))
+                q = (self._rc.pick_qindex(True, 0) if self._rc
+                     else self.config.qindex)
+                tu = self._enc.encode_frame(planes, q, plan=plan_key(pts))
+                if self._rc:
+                    self._rc.update(len(tu) * 8)
                 self._emit(tu, pts, 0, shown=True)
                 self._anchor_slot = 0
                 continue
@@ -185,10 +200,16 @@ class SvtAv1Encoder:
                 srcs[pts] = planes
             for pl in plans:
                 src = srcs.get(pl.disp_idx)
-                tu = self._enc.encode_frame(
-                    None if pl.show_existing_slot is not None else src,
-                    self.config.qindex, plan=pl)
-                shown = pl.show_frame or pl.show_existing_slot is not None
+                is_se = pl.show_existing_slot is not None
+                if self._rc and not is_se:
+                    q = self._rc.pick_qindex(False, pl.layer)
+                    pl.q_offset = 0  # RC owns the per-layer allocation
+                else:
+                    q = self.config.qindex
+                tu = self._enc.encode_frame(None if is_se else src, q, plan=pl)
+                if self._rc and not is_se:
+                    self._rc.update(len(tu) * 8)
+                shown = pl.show_frame or is_se
                 self._emit(tu, pl.disp_idx, 1, shown=shown)
             if length > 1:
                 self._anchor_slot = future

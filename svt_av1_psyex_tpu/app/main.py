@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--variance-octile", type=int, default=6)
     p.add_argument("--enable-stat-report", type=int, default=0)
     p.add_argument("--lp", type=int, default=0)
+    p.add_argument("--rc", type=int, default=0, help="0 CRF/CQP, 1 VBR, 2 CBR")
+    p.add_argument("--tbr", type=int, default=2000000, help="target bitrate (bps)")
+    p.add_argument("--pred-struct", type=int, default=2, dest="pred_struct",
+                   help="1 low delay, 2 random access")
     p.add_argument("--svtav1-params", default="")
     p.add_argument("--version", action="version", version=svt_av1_get_version())
     p.add_argument("--progress", type=int, default=1)
@@ -55,6 +59,9 @@ def main(argv: list[str] | None = None) -> int:
     cfg.source_width = fmt.width
     cfg.source_height = fmt.height
     cfg.encoder_bit_depth = fmt.bit_depth
+    cfg.rate_control_mode = args.rc
+    cfg.target_bit_rate = args.tbr
+    cfg.pred_structure = args.pred_struct
     cfg.frame_rate_numerator = fmt.fps.numerator
     cfg.frame_rate_denominator = fmt.fps.denominator
     cfg.enc_mode = args.preset

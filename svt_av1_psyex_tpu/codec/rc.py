@@ -1,0 +1,88 @@
+"""Rate control: single-pass VBR/CBR qindex selection.
+
+Counterpart: the reference's rate-control process (rc_process.c) reduced
+to its single-pass core: per-frame bit targets from the GOP structure's
+layer weights, an online inverse-quantizer rate model, and virtual-buffer
+feedback. CRF/CQP bypasses this module entirely.
+
+Model: bits-per-pixel ~ K / qstep. K is tracked per frame category
+(key / layer) with exponential smoothing from actual outcomes; the buffer
+term nudges q to hold the long-run average at the target (VBR) or to keep
+a one-second virtual buffer centered (CBR).
+"""
+
+from __future__ import annotations
+
+from ..bitstream.tables import ac_q
+
+# relative bit weights per category: key, layer0 (P/ARF), layer1, layer2
+_LAYER_WEIGHT = {None: 6.0, 0: 3.0, 1: 1.2, 2: 0.7}
+
+
+class RateControl:
+    def __init__(self, width: int, height: int, fps: float,
+                 target_bps: int, mode: int, bit_depth: int = 8,
+                 start_qindex: int = 120):
+        self.pixels = width * height
+        self.fps = max(fps, 1e-6)
+        self.target_bps = target_bps
+        self.mode = mode  # 1 VBR, 2 CBR
+        self.bit_depth = bit_depth
+        self.avg_bits = target_bps / self.fps
+        # online model constants per category: bits = k * pixels / qstep
+        self._k = {}
+        self._q = start_qindex
+        self.buffer = 0.0  # bits ahead (+) / behind (-) of target
+        self.buf_cap = target_bps  # one second window
+
+    def _category(self, is_key: bool, layer: int):
+        return None if is_key else min(layer, 2)
+
+    def _weighted_target(self, cat) -> float:
+        return self.avg_bits * _LAYER_WEIGHT[cat] / 1.6  # normalized midweight
+
+    def pick_qindex(self, is_key: bool, layer: int = 0) -> int:
+        cat = self._category(is_key, layer)
+        target = self._weighted_target(cat)
+        # buffer = accumulated savings; negative (overspent) shrinks targets
+        if self.mode == 2:  # CBR: hard pull toward center
+            adj = 1.0 + max(-0.5, min(0.5, self.buffer / max(self.buf_cap, 1)))
+        else:  # VBR: gentle long-run correction
+            adj = 1.0 + max(-0.25, min(0.25, self.buffer / (4 * max(self.buf_cap, 1))))
+        target *= adj
+        k = self._k.get(cat)
+        if k is None:
+            # bootstrap from the running q
+            q = self._q
+        else:
+            # invert the model: qstep = k * pixels / target_bits
+            qstep_t = k * self.pixels / max(target, 1.0)
+            q = self._nearest_qindex(qstep_t)
+        q = int(min(max(q, 1), 255))
+        self._last = (cat, q, target)
+        return q
+
+    def _nearest_qindex(self, qstep_target: float) -> int:
+        lo, hi = 1, 255
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if ac_q(mid, self.bit_depth) < qstep_target:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    def update(self, actual_bits: int) -> None:
+        cat, q, target = self._last
+        qstep = ac_q(q, self.bit_depth)
+        k_obs = actual_bits * qstep / max(self.pixels, 1)
+        prev = self._k.get(cat)
+        self._k[cat] = k_obs if prev is None else 0.6 * prev + 0.4 * k_obs
+        # lightweight cross-seeding so unseen categories start sane
+        for other, w in _LAYER_WEIGHT.items():
+            if other not in self._k and cat in self._k:
+                scale = w / _LAYER_WEIGHT[cat]
+                self._k[other] = self._k[cat] * scale
+        self.buffer += self.avg_bits - actual_bits
+        self.buffer = max(-2 * self.buf_cap, min(2 * self.buf_cap, self.buffer))
+        self._q = q
