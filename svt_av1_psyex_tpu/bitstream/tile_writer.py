@@ -53,6 +53,7 @@ class LeafBlock:
     mv: tuple = (0, 0)  # (row, col) 1/8 pel
     mv1: tuple = (0, 0)  # second-ref MV (compound)
     drl_index: int = 0
+    tx_depth: int = 0  # luma tx split depth from max-rect (TX_MODE_SELECT)
 
 
 @dataclass
@@ -98,6 +99,18 @@ class TileWriter:
         # per-64x64 cdef strength indices (set by the encoder after search)
         self.cdef_fb_map = None
         self._cdef_coded = False
+        # TX_MODE_SELECT neighbor arrays, two pairs (dav1d's tx_intra/tx
+        # split of the reference's single txfm_context + runtime inter
+        # override, entropy_coding.c:4455-4477): `txi_*` feed the intra
+        # tx-depth context (inter neighbors report BLOCK dims), `txp_*`
+        # feed the vartx txfm_partition context (actual coded tx dims,
+        # block dims for skip-inter). above = widths px per mi col, left =
+        # heights px per mi row; 255 = unavailable (reference memset ~0,
+        # raw reads make missing neighbors compare "very large").
+        self.txi_above = np.full(mi_cols, 255, dtype=np.uint8)
+        self.txi_left = np.full(mi_rows, 255, dtype=np.uint8)
+        self.txp_above = np.full(mi_cols, 255, dtype=np.uint8)
+        self.txp_left = np.full(mi_rows, 255, dtype=np.uint8)
 
     # ---- symbol helper with adaptation --------------------------------------
     def _sym_at(self, symbol: int, cdf_pair, *idx) -> None:
@@ -252,6 +265,10 @@ class TileWriter:
         # filter_intra: seq gate off
         # palette: screen content off
 
+        # block tx size (TX_MODE_SELECT) — av1_code_tx_size mirror
+        if self.fr.tx_mode_select:
+            self._code_tx_size(leaf, r, c, bsize)
+
         # residual
         if leaf.skip:
             if self.coeff_writer is not None:
@@ -282,6 +299,104 @@ class TileWriter:
         pa, pl = partition_ctx_lookup(bsize)
         self.above_part[c:c_end] = pa
         self.left_part[r:r_end] = pl
+
+    # ---- block tx size (TX_MODE_SELECT) -------------------------------------
+    def _code_tx_size(self, leaf: LeafBlock, r: int, c: int, bsize: int) -> None:
+        """av1_code_tx_size mirror (entropy_coding.c:4507-4536): intra
+        blocks code a tx depth symbol; non-skip inter blocks code the
+        vartx txfm_partition tree; skip-inter sets contexts to block
+        dims."""
+        from ..codec.constants import (
+            MAX_TX_SIZE_RECT,
+            SPLIT_TX_SIZE,
+            TX_H,
+            TX_W,
+            bsize_to_tx_size_cat,
+        )
+
+        bw4 = int(BLOCK_W[bsize]) >> 2
+        bh4 = int(BLOCK_H[bsize]) >> 2
+        max_tx = int(MAX_TX_SIZE_RECT[bsize])
+        tx = max_tx
+        for _ in range(leaf.tx_depth):
+            tx = int(SPLIT_TX_SIZE[tx])
+        txw, txh = int(TX_W[tx]), int(TX_H[tx])
+        bw_px, bh_px = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+        signals = bsize > 0  # block_signals_txsize: bsize > BLOCK_4X4
+
+        if signals and not (leaf.is_inter and leaf.skip):
+            if leaf.is_inter:
+                # one max-tx unit covers the whole block (<=64px blocks)
+                self._write_vartx(r, c, max_tx, tx, 0, bw_px, bh_px)
+                self._set_txi(r, c, bw4, bh4, bw_px, bh_px)
+                return
+            # write_selected_tx_size (entropy_coding.c:4480-4506); unlike
+            # the reference's raw memset(~0) read, a MISSING neighbor
+            # contributes 0 (verified against dav1d at frame corners)
+            maxw, maxh = int(TX_W[max_tx]), int(TX_H[max_tx])
+            above = int(int(self.txi_above[c]) >= maxw) if r > self.r0 else 0
+            left = int(int(self.txi_left[r]) >= maxh) if c > self.c0 else 0
+            cat = bsize_to_tx_size_cat(bsize)
+            self._sym_at(leaf.tx_depth, self.cdfs.tx_size, cat, above + left)
+            self._set_txi(r, c, bw4, bh4, txw, txh)
+            self._set_txp(r, c, bw4, bh4, txw, txh)
+            return
+        # set_txfm_ctxs (entropy_coding.c:4426-4441)
+        if leaf.is_inter:
+            self._set_txi(r, c, bw4, bh4, bw_px, bh_px)
+            if leaf.skip:
+                self._set_txp(r, c, bw4, bh4, bw_px, bh_px)
+            else:
+                self._set_txp(r, c, bw4, bh4, txw, txh)
+        else:
+            self._set_txi(r, c, bw4, bh4, txw, txh)
+            self._set_txp(r, c, bw4, bh4, txw, txh)
+
+    def _write_vartx(self, r: int, c: int, tx: int, target: int, depth: int,
+                     bw_px: int, bh_px: int) -> None:
+        """write_tx_size_vartx (entropy_coding.c:4381-4424): recursive
+        no-split/split flags down to the uniform `target` size."""
+        from ..codec.constants import SPLIT_TX_SIZE, TX_H, TX_W, TxSize
+
+        if r >= self.mi_rows or c >= self.mi_cols:
+            return
+        txw, txh = int(TX_W[tx]), int(TX_H[tx])
+        if depth == 2:  # MAX_VARTX_DEPTH
+            self._set_txp_unit(r, c, txw >> 2, txh >> 2, txw, txh)
+            return
+        ctx = self._txfm_partition_ctx(r, c, tx, bw_px, bh_px)
+        if tx == target:
+            self._sym_at(0, self.cdfs.txfm_partition, ctx)
+            self._set_txp_unit(r, c, txw >> 2, txh >> 2, txw, txh)
+            return
+        self._sym_at(1, self.cdfs.txfm_partition, ctx)
+        sub = int(SPLIT_TX_SIZE[tx])
+        if sub == TxSize.TX_4X4:
+            # terminal: update over the PARENT extent with sub dims
+            self._set_txp_unit(r, c, txw >> 2, txh >> 2, 4, 4)
+            return
+        sw4, sh4 = int(TX_W[sub]) >> 2, int(TX_H[sub]) >> 2
+        for dr in range(0, txh >> 2, sh4):
+            for dc in range(0, txw >> 2, sw4):
+                self._write_vartx(r + dr, c + dc, sub, target, depth + 1,
+                                  bw_px, bh_px)
+
+    def _txfm_partition_ctx(self, r: int, c: int, tx: int, bw_px: int,
+                            bh_px: int) -> int:
+        return txfm_partition_ctx_calc(int(self.txp_above[c]),
+                                       int(self.txp_left[r]), tx, bw_px, bh_px)
+
+    def _set_txi(self, r, c, bw4, bh4, w_px, h_px) -> None:
+        self.txi_above[c : min(c + bw4, self.mi_cols)] = w_px
+        self.txi_left[r : min(r + bh4, self.mi_rows)] = h_px
+
+    def _set_txp(self, r, c, bw4, bh4, w_px, h_px) -> None:
+        self.txp_above[c : min(c + bw4, self.mi_cols)] = w_px
+        self.txp_left[r : min(r + bh4, self.mi_rows)] = h_px
+
+    def _set_txp_unit(self, r, c, w4, h4, w_px, h_px) -> None:
+        self.txp_above[c : min(c + w4, self.mi_cols)] = w_px
+        self.txp_left[r : min(r + h4, self.mi_rows)] = h_px
 
     def _write_uv_mode(self, leaf: LeafBlock, bsize: int, use_angle: bool) -> None:
         cfl_allowed = 1 if (int(BLOCK_W[bsize]) <= 32 and int(BLOCK_H[bsize]) <= 32) else 0
@@ -624,6 +739,28 @@ class TileWriter:
 
     def finish(self) -> bytes:
         return self.enc.done()
+
+
+def txfm_partition_ctx_calc(above_val: int, left_val: int, tx: int,
+                            bw_px: int, bh_px: int) -> int:
+    """txfm_partition_context (entropy_coding.c:4359-4380): ctx for the
+    vartx split flag given the raw neighbor array values at the unit."""
+    from ..codec.constants import TX_H, TX_W, TxSize, tx_size_sqr_up
+
+    if tx == TxSize.TX_4X4:
+        return 0
+    txw, txh = int(TX_W[tx]), int(TX_H[tx])
+    above = int(above_val < txw)
+    left = int(left_val < txh)
+    max_sq = {64: TxSize.TX_64X64, 32: TxSize.TX_32X32,
+              16: TxSize.TX_16X16, 8: TxSize.TX_8X8}.get(
+                  max(bw_px, bh_px), TxSize.TX_4X4)
+    category = 0
+    if max_sq >= TxSize.TX_8X8:
+        category = (int(tx_size_sqr_up(tx) != max_sq and
+                        max_sq > TxSize.TX_8X8)
+                    + (5 - 1 - int(max_sq)) * 2)  # TX_SIZES = 5
+    return category * 3 + above + left
 
 
 def _gather_split_bool(cdf: np.ndarray, bsize: int, vert: bool) -> np.ndarray:

@@ -168,6 +168,26 @@ SPLIT_TX_SIZE = np.array([
 ])
 
 
+def bsize_to_max_depth(bsize: int) -> int:
+    """spec bsize_to_max_depth: split chain length from max-rect, cap 2."""
+    tx = int(MAX_TX_SIZE_RECT[bsize])
+    depth = 0
+    while depth < 2 and tx != TxSize.TX_4X4:
+        tx = int(SPLIT_TX_SIZE[tx])
+        depth += 1
+    return depth
+
+
+def bsize_to_tx_size_cat(bsize: int) -> int:
+    """libaom bsize_to_tx_size_cat: chain length - 1, cap MAX_TX_CATS-1."""
+    tx = int(MAX_TX_SIZE_RECT[bsize])
+    depth = 0
+    while tx != TxSize.TX_4X4:
+        tx = int(SPLIT_TX_SIZE[tx])
+        depth += 1
+    return min(depth - 1, 3)
+
+
 def tx_size_sqr_up(tx: int) -> int:
     """Smallest square tx size >= both dims (spec Tx_Size_Sqr_Up)."""
     d = max(int(TX_W[tx]), int(TX_H[tx]))

@@ -171,6 +171,10 @@ class Av1Encoder:
                          base_q_idx=base_q_idx,
                          order_hint=plan.disp_idx & ((1 << seq.order_hint_bits) - 1))
         fr.refresh_frame_flags = plan.refresh_flags
+        # TX_MODE_SELECT at the slower presets (the reference's tx-depth
+        # search levels, product_coding_loop.c tx_size search); faster
+        # presets stay TX_MODE_LARGEST
+        fr.tx_mode_select = self.preset <= 9
         if not is_key:
             # map each named ref (LAST..ALTREF = 1..7) to a DPB slot;
             # unspecified names alias the first specified slot
@@ -313,7 +317,7 @@ class Av1Encoder:
                 pick_filter_level_by_q,
             )
 
-            bsize_g, skip_inter_g, skip_g = collect_lf_grids(
+            bsize_g, skip_inter_g, skip_g, txd_g = collect_lf_grids(
                 sb_plans, self.mi_rows, self.mi_cols, sb_mi)
             if self.enable_dlf:
                 levels = pick_filter_level_by_q(fr.base_q_idx, is_key,
@@ -325,7 +329,7 @@ class Av1Encoder:
                                       seq.height, levels, fr.lf_sharpness,
                                       bsize_g, skip_inter_g,
                                       seq.subsampling_x, seq.subsampling_y,
-                                      seq.bit_depth)
+                                      seq.bit_depth, txd_g=txd_g)
             if seq.enable_cdef:
                 from ..ops.cdef import cdef_search_frame
                 from .rd import rdcost

@@ -108,6 +108,13 @@ class ModeDecision:
         self.skips = np.zeros((mi_rows, mi_cols), np.int8)
         self.above_part = np.zeros(mi_cols, np.uint8)
         self.left_part = np.zeros(mi_rows, np.uint8)
+        # TX_MODE_SELECT state: tx-depth search + neighbor ctx arrays
+        # mirroring the TileWriter's txi_*/txp_* (see tile_writer.py)
+        self.tx_select = bool(getattr(fr, "tx_mode_select", False))
+        self.txi_above = np.full(mi_cols, 255, np.uint8)
+        self.txi_left = np.full(mi_rows, 255, np.uint8)
+        self.txp_above = np.full(mi_cols, 255, np.uint8)
+        self.txp_left = np.full(mi_rows, 255, np.uint8)
         # per-ctx partition cost tables
         pvals = self.cdfs.partition[0]
         self._part_costs = [cdf_costs(pvals[i]) for i in range(pvals.shape[0])]
@@ -151,6 +158,10 @@ class ModeDecision:
             "lpart": self.left_part[r:r1].copy(),
             "coeff_a": [a[...].copy() for a in self.cw.above],
             "coeff_l": [a[...].copy() for a in self.cw.left],
+            "txi_a": self.txi_above[c:c1].copy(),
+            "txi_l": self.txi_left[r:r1].copy(),
+            "txp_a": self.txp_above[c:c1].copy(),
+            "txp_l": self.txp_left[r:r1].copy(),
             "recon": [],
         }
         for p, pc in enumerate(self.pctx):
@@ -178,6 +189,10 @@ class ModeDecision:
         for p in range(3):
             self.cw.above[p][...] = st["coeff_a"][p]
             self.cw.left[p][...] = st["coeff_l"][p]
+        self.txi_above[c:c1] = st["txi_a"]
+        self.txi_left[r:r1] = st["txi_l"]
+        self.txp_above[c:c1] = st["txp_a"]
+        self.txp_left[r:r1] = st["txp_l"]
         for p, pc in enumerate(self.pctx):
             blk = st["recon"][p]
             ssx, ssy = pc.ss_x, pc.ss_y
@@ -354,6 +369,17 @@ class ModeDecision:
                                                     intra_base, skip_costs, has_chroma)
                 if j < best[0]:
                     best = (j, leaf, artifacts)
+
+        # tx depth 1 on the winning intra mode (TX_MODE_SELECT)
+        if self.tx_select and bsize > 0 and not best[1].is_inter:
+            mode = IntraMode(best[1].y_mode)
+            delta = best[1].angle_delta_y
+            j, leaf, artifacts = self._try_mode(mode, delta, None, r, c, bsize,
+                                                x, y, tx_size, intra_mode_costs,
+                                                intra_base, skip_costs,
+                                                has_chroma, tx_depth=1)
+            if j < best[0]:
+                best = (j, leaf, artifacts)
 
         if is_inter_frame:
             for j, leaf, artifacts in self._inter_candidates(
@@ -748,6 +774,8 @@ class ModeDecision:
 
         skip = all(t["eob"] == 0 for t in txbs)
         rate += int(skip_costs[1 if skip else 0])
+        if self.tx_select and bsize > 0 and not skip:
+            rate += self._txfm_flag0_cost(r, c, bsize)
         if not skip:
             ca = [a.copy() for a in self.cw.above]
             cl = [a.copy() for a in self.cw.left]
@@ -772,25 +800,95 @@ class ModeDecision:
     def _txb_rd_pred(self, pc, pred, x, y, tx_size, tx_type, plane):
         return self._txb_rd(pc, pred, x, y, tx_size, tx_type, plane)
 
+    def _tx_depth_cost(self, r: int, c: int, bsize: int, depth: int) -> int:
+        """Rate of the intra tx depth symbol (write_selected_tx_size)."""
+        from .constants import bsize_to_tx_size_cat
+
+        max_tx = int(MAX_TX_SIZE_RECT[bsize])
+        maxw, maxh = int(TX_W[max_tx]), int(TX_H[max_tx])
+        ctx = (int(int(self.txi_above[c]) >= maxw) if r > 0 else 0) + \
+            (int(int(self.txi_left[r]) >= maxh) if c > 0 else 0)
+        cat = bsize_to_tx_size_cat(bsize)
+        key = (cat, ctx)
+        costs = self._txd_cost_cache.get(key) if hasattr(self, "_txd_cost_cache") \
+            else None
+        if costs is None:
+            if not hasattr(self, "_txd_cost_cache"):
+                self._txd_cost_cache = {}
+            costs = cdf_costs(self.cdfs.tx_size[0][cat][ctx])
+            self._txd_cost_cache[key] = costs
+        return int(costs[depth])
+
+    def _txfm_flag0_cost(self, r: int, c: int, bsize: int) -> int:
+        """Rate of the single no-split txfm_partition flag (inter, depth 0)."""
+        from ..bitstream.tile_writer import txfm_partition_ctx_calc
+
+        max_tx = int(MAX_TX_SIZE_RECT[bsize])
+        ctx = txfm_partition_ctx_calc(
+            int(self.txp_above[c]), int(self.txp_left[r]), max_tx,
+            int(BLOCK_W[bsize]), int(BLOCK_H[bsize]))
+        if not hasattr(self, "_txp_cost_cache"):
+            self._txp_cost_cache = {}
+        costs = self._txp_cost_cache.get(ctx)
+        if costs is None:
+            costs = cdf_costs(self.cdfs.txfm_partition[0][ctx])
+            self._txp_cost_cache[ctx] = costs
+        return int(costs[0])
+
     def _try_mode(self, mode, angle_delta, pred, r, c, bsize, x, y, tx_size,
-                  mode_costs, base_rate, skip_costs, has_chroma):
+                  mode_costs, base_rate, skip_costs, has_chroma, tx_depth=0):
         """RD one intra luma mode (+ DC chroma); returns (J, leaf, artifacts)
-        without mutating shared state beyond what _commit_block redoes."""
+        without mutating shared state beyond what _commit_block redoes.
+        tx_depth > 0 splits the luma tx (TX_MODE_SELECT), predicting each
+        sub-TU from the progressively reconstructed block."""
+        from .constants import SPLIT_TX_SIZE
+
         fr = self.fr
         bd = self.bd
         rate = base_rate + int(mode_costs[mode])
         if mode in intra_ops.MODE_TO_ANGLE:
             rate += int(self._angle_costs[int(mode) - int(IntraMode.V)][angle_delta + 3])
+        if self.tx_select and bsize > 0:
+            rate += self._tx_depth_cost(r, c, bsize, tx_depth)
 
         txbs = []
         dist = 0
         # luma
-        qc, eob, rec, d = self._txb_rd(self.pctx[0], pred, x, y, tx_size,
-                                       TxType.DCT_DCT, 0)
-        txbs.append({"plane": 0, "plane_bsize": bsize, "tx_size": tx_size,
-                     "tx_type": int(TxType.DCT_DCT), "qcoeff": qc, "eob": eob,
-                     "ux": x >> 2, "uy": y >> 2, "_rec": rec})
-        dist += d
+        if tx_depth == 0:
+            qc, eob, rec, d = self._txb_rd(self.pctx[0], pred, x, y, tx_size,
+                                           TxType.DCT_DCT, 0)
+            txbs.append({"plane": 0, "plane_bsize": bsize, "tx_size": tx_size,
+                         "tx_type": int(TxType.DCT_DCT), "qcoeff": qc, "eob": eob,
+                         "ux": x >> 2, "uy": y >> 2, "_rec": rec})
+            dist += d
+        else:
+            tx = tx_size
+            for _ in range(tx_depth):
+                tx = int(SPLIT_TX_SIZE[tx])
+            tw, th = int(TX_W[tx]), int(TX_H[tx])
+            bw_px, bh_px = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+            pc = self.pctx[0]
+            snap = pc.recon[y : y + bh_px, x : x + bw_px].copy()
+            blk_au, blk_al = r > 0, c > 0
+            directional = mode in intra_ops.MODE_TO_ANGLE
+            for ty in range(0, bh_px, th):
+                for txx in range(0, bw_px, tw):
+                    ha = blk_au or ty > 0
+                    hl = blk_al or txx > 0
+                    uy, ux = (y + ty) >> 2, (x + txx) >> 2
+                    dr = self._dr_avail(r, c, bsize, tx, 0, row_off=ty >> 2,
+                                        col_off=txx >> 2) \
+                        if directional else None
+                    p = self._predict(pc, x + txx, y + ty, tw, th, ha, hl,
+                                      mode, angle_delta, dr)
+                    qc, eob, rec, d = self._txb_rd(pc, p, x + txx, y + ty, tx,
+                                                   TxType.DCT_DCT, 0)
+                    pc.recon[y + ty : y + ty + th, x + txx : x + txx + tw] = rec
+                    txbs.append({"plane": 0, "plane_bsize": bsize, "tx_size": tx,
+                                 "tx_type": int(TxType.DCT_DCT), "qcoeff": qc,
+                                 "eob": eob, "ux": ux, "uy": uy, "_rec": rec})
+                    dist += d
+            pc.recon[y : y + bh_px, x : x + bw_px] = snap
         if has_chroma:
             ssx, ssy = self.pctx[1].ss_x, self.pctx[1].ss_y
             cw_px = max(int(BLOCK_W[bsize]) >> ssx, 4)
@@ -828,7 +926,7 @@ class ModeDecision:
                 self.cw.left[p][...] = cl[p]
 
         leaf = LeafBlock(bsize, y_mode=int(mode), uv_mode=int(IntraMode.DC),
-                         angle_delta_y=angle_delta, skip=skip,
+                         angle_delta_y=angle_delta, skip=skip, tx_depth=tx_depth,
                          coeffs=None if skip else
                          [{k: v for k, v in t.items() if k != "_rec"} for t in txbs])
         return rdcost(self.rdmult, rate, dist), leaf, txbs
@@ -884,6 +982,25 @@ class ModeDecision:
         pa, pl = partition_ctx_lookup(bsize)
         self.above_part[c:c1] = pa
         self.left_part[r:r1] = pl
+        if self.tx_select:
+            from .constants import SPLIT_TX_SIZE
+
+            if leaf.is_inter:
+                # txi: block dims; txp: block dims too (inter tx = max-rect
+                # = block dims at depth 0, and skip-inter stores block dims)
+                wpx, hpx = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+                self.txi_above[c:c1] = wpx
+                self.txi_left[r:r1] = hpx
+                self.txp_above[c:c1] = wpx
+                self.txp_left[r:r1] = hpx
+            else:
+                tx = int(MAX_TX_SIZE_RECT[bsize])
+                for _ in range(leaf.tx_depth):
+                    tx = int(SPLIT_TX_SIZE[tx])
+                self.txi_above[c:c1] = int(TX_W[tx])
+                self.txi_left[r:r1] = int(TX_H[tx])
+                self.txp_above[c:c1] = int(TX_W[tx])
+                self.txp_left[r:r1] = int(TX_H[tx])
         if leaf.skip:
             self.cw.reset_skip_ctx(r, c, bw4, bh4, has_chroma)
         else:
@@ -912,19 +1029,27 @@ class ModeDecision:
         return intra_ops.predict(int(mode), above[None], left[None], w, h,
                                  have_above, have_left, self.bd)[0]
 
-    def _dr_avail(self, r, c, bsize, tx_size, plane) -> tuple[bool, bool]:
+    def _dr_avail(self, r, c, bsize, tx_size, plane, row_off: int = 0,
+                  col_off: int = 0) -> tuple[bool, bool]:
+        """(have_top_right, have_bottom_left) for the TU at plane-4px
+        offsets (row_off, col_off) within the block (0,0 = whole block);
+        mirrors av1_predict_intra_block's availability derivation."""
         ss_x = self.pctx[plane].ss_x
         ss_y = self.pctx[plane].ss_y
-        bw4 = int(BLOCK_W[bsize]) >> 2
-        bh4 = int(BLOCK_H[bsize]) >> 2
-        have_top = r > 0
-        have_left = c > 0
-        right_avail = c + bw4 < self.mi_cols
-        bottom_avail = r + bh4 < self.mi_rows
+        tw4 = int(TX_W[tx_size]) >> 2
+        th4 = int(TX_H[tx_size]) >> 2
+        have_top = r > 0 or row_off > 0
+        have_left = c > 0 or col_off > 0
+        # pixels beyond the TU's right/bottom edge exist in the mi grid
+        # (libaom's xr/yr > 0 with the TU offset folded in)
+        right_avail = (c + ((col_off + tw4) << ss_x)) < self.mi_cols
+        bottom_avail = (r + ((row_off + th4) << ss_y)) < self.mi_rows
         tr = intra_ops.intra_has_top_right(bsize, r, c, have_top, right_avail,
-                                           tx_size, ss_x, ss_y)
+                                           tx_size, ss_x, ss_y,
+                                           row_off=row_off, col_off=col_off)
         bl = intra_ops.intra_has_bottom_left(bsize, r, c, bottom_avail, have_left,
-                                             tx_size, ss_x, ss_y)
+                                             tx_size, ss_x, ss_y,
+                                             row_off=row_off, col_off=col_off)
         return tr, bl
 
     def _has_chroma(self, r, c, bw4, bh4) -> bool:

@@ -221,10 +221,13 @@ def _apply_pass(P, ys, xs, lengths, lim, mblim, hev_t, sh: int = 0):
 # ---- per-plane edge enumeration -------------------------------------------------
 
 
-def _plane_grids(bsize_g, skip_inter_g, ss_x, ss_y, n_r4, n_c4):
+def _plane_grids(bsize_g, skip_inter_g, ss_x, ss_y, n_r4, n_c4, txd_g=None):
     """Per-plane-4px-cell tx dims / block dims / skip-inter, gathered from
     the luma mi grids (chroma maps to the bottom/right mi of the co-located
-    luma 8x8, deblocking_filter.c:188-189)."""
+    luma 8x8, deblocking_filter.c:188-189). txd_g is the per-mi luma tx
+    split depth (TX_MODE_SELECT); chroma TUs derive from block dims only."""
+    from ..codec.constants import SPLIT_TX_SIZE
+
     r4 = np.arange(n_r4)
     c4 = np.arange(n_c4)
     mi_r = (r4 << ss_y) | ss_y
@@ -233,35 +236,44 @@ def _plane_grids(bsize_g, skip_inter_g, ss_x, ss_y, n_r4, n_c4):
     mi_c = np.minimum(mi_c, bsize_g.shape[1] - 1)
     b = bsize_g[np.ix_(mi_r, mi_c)]
     si = skip_inter_g[np.ix_(mi_r, mi_c)].astype(bool)
+    if txd_g is None or (ss_x or ss_y):
+        td = np.zeros_like(b)
+    else:
+        td = txd_g[np.ix_(mi_r, mi_c)]
 
-    nb = int(b.max()) + 1
+    key = b * 4 + td
+    nb = int(key.max()) + 1
     txw_lut = np.zeros(nb, np.int32)
     txh_lut = np.zeros(nb, np.int32)
     bw_lut = np.zeros(nb, np.int32)
     bh_lut = np.zeros(nb, np.int32)
-    for bs in np.unique(b):
-        bs = int(bs)
+    for k in np.unique(key):
+        k = int(k)
+        bs, depth = k >> 2, k & 3
         if ss_x or ss_y:
             pw = max(BLOCK_W[bs] >> ss_x, 4)
             ph = max(BLOCK_H[bs] >> ss_y, 4)
             tx = MAX_TX_SIZE_RECT[block_size_of(pw, ph)]
             # av1_get_adjusted_tx_size: cap chroma TUs at 32 (utility.h:117)
-            txw_lut[bs] = min(TX_W[tx], 32)
-            txh_lut[bs] = min(TX_H[tx], 32)
-            bw_lut[bs] = pw
-            bh_lut[bs] = ph
+            txw_lut[k] = min(TX_W[tx], 32)
+            txh_lut[k] = min(TX_H[tx], 32)
+            bw_lut[k] = pw
+            bh_lut[k] = ph
         else:
-            tx = MAX_TX_SIZE_RECT[bs]
-            txw_lut[bs] = TX_W[tx]
-            txh_lut[bs] = TX_H[tx]
-            bw_lut[bs] = BLOCK_W[bs]
-            bh_lut[bs] = BLOCK_H[bs]
-    return txw_lut[b], txh_lut[b], bw_lut[b], bh_lut[b], si
+            tx = int(MAX_TX_SIZE_RECT[bs])
+            for _ in range(depth):
+                tx = int(SPLIT_TX_SIZE[tx])
+            txw_lut[k] = TX_W[tx]
+            txh_lut[k] = TX_H[tx]
+            bw_lut[k] = BLOCK_W[bs]
+            bh_lut[k] = BLOCK_H[bs]
+    return txw_lut[key], txh_lut[key], bw_lut[key], bh_lut[key], si
 
 
 def loop_filter_frame(planes, disp_w: int, disp_h: int, levels, sharpness: int,
                       bsize_g: np.ndarray, skip_inter_g: np.ndarray,
-                      ss_x: int, ss_y: int, bit_depth: int = 8) -> None:
+                      ss_x: int, ss_y: int, bit_depth: int = 8,
+                      txd_g: np.ndarray | None = None) -> None:
     """Filter recon planes in place (8-bit values in int32 arrays).
 
     planes: [Y, U, V] aligned int32 recon; levels: [y_vert, y_horz, u, v];
@@ -287,7 +299,7 @@ def loop_filter_frame(planes, disp_w: int, disp_h: int, levels, sharpness: int,
         n_c4 = (pw + 3) >> 2
         n_r4 = (ph + 3) >> 2
         txw, txh, bw, bh, si = _plane_grids(bsize_g, skip_inter_g, sx, sy,
-                                            n_r4, n_c4)
+                                            n_r4, n_c4, txd_g)
         ci = np.arange(n_c4)[None, :] * 4  # plane x coord of each cell
         ri = np.arange(n_r4)[:, None] * 4
 
@@ -339,6 +351,7 @@ def collect_lf_grids(sb_plans, mi_rows: int, mi_cols: int, sb_mi: int):
     bsize_g = np.zeros((mi_rows, mi_cols), np.int32)
     skip_inter_g = np.zeros((mi_rows, mi_cols), bool)
     skip_g = np.zeros((mi_rows, mi_cols), bool)
+    txd_g = np.zeros((mi_rows, mi_cols), np.int32)
 
     def walk(node, r, c, bsize):
         if node.partition == Partition.NONE:
@@ -349,6 +362,7 @@ def collect_lf_grids(sb_plans, mi_rows: int, mi_cols: int, sb_mi: int):
             bsize_g[r:r1, c:c1] = bsize
             skip_inter_g[r:r1, c:c1] = bool(leaf.skip) and leaf.is_inter
             skip_g[r:r1, c:c1] = bool(leaf.skip)
+            txd_g[r:r1, c:c1] = 0 if leaf.is_inter else leaf.tx_depth
             return
         half = max(BLOCK_W[bsize] >> 3, 1)
         sub = subsize_of(node.partition, bsize)
@@ -370,4 +384,4 @@ def collect_lf_grids(sb_plans, mi_rows: int, mi_cols: int, sb_mi: int):
 
     for node, r, c in sb_plans:
         walk(node, r, c, 12)  # B64X64 superblocks
-    return bsize_g, skip_inter_g, skip_g
+    return bsize_g, skip_inter_g, skip_g, txd_g

@@ -195,17 +195,23 @@ def dr_predict(p_angle: int, above_full: np.ndarray, left_full: np.ndarray,
 
 def intra_has_top_right(bsize: int, mi_row: int, mi_col: int, have_top: bool,
                         right_available: bool, tx_size: int,
-                        ss_x: int, ss_y: int, sb_mi: int = 16) -> bool:
-    """Block-level (row_off=col_off=0, partition NONE/SPLIT) top-right
-    availability — mirrors svt_aom_intra_has_top_right
-    (intra_prediction.c:695) for the 64x64-SB case."""
+                        ss_x: int, ss_y: int, sb_mi: int = 16,
+                        row_off: int = 0, col_off: int = 0) -> bool:
+    """Per-TU top-right availability — mirrors svt_aom_intra_has_top_right
+    (intra_prediction.c:695) for the 64x64-SB, partition NONE/SPLIT case.
+    row_off/col_off are the TU offsets within the block in plane 4px
+    units (0,0 for whole-block TUs)."""
     from ..codec.constants import BLOCK_H, BLOCK_W, TX_W
 
     if not have_top or not right_available:
         return False
     plane_bw_unit = max((int(BLOCK_W[bsize]) >> 2) >> ss_x, 1)
     tr_count = int(TX_W[tx_size]) >> 2
-    if tr_count < plane_bw_unit:
+    if row_off > 0:
+        # sub-64 blocks: just need enough already-coded pixels within the
+        # block row above (intra_prediction.c:707-720)
+        return col_off + tr_count < plane_bw_unit
+    if col_off + tr_count < plane_bw_unit:
         return True
     bw_log2 = (int(BLOCK_W[bsize]) >> 2).bit_length() - 1
     bh_log2 = (int(BLOCK_H[bsize]) >> 2).bit_length() - 1
@@ -222,22 +228,28 @@ def intra_has_top_right(bsize: int, mi_row: int, mi_col: int, have_top: bool,
 
 def intra_has_bottom_left(bsize: int, mi_row: int, mi_col: int,
                           bottom_available: bool, have_left: bool, tx_size: int,
-                          ss_x: int, ss_y: int, sb_mi: int = 16) -> bool:
-    """Mirrors svt_aom_intra_has_bottom_left (intra_prediction.c:950)."""
+                          ss_x: int, ss_y: int, sb_mi: int = 16,
+                          row_off: int = 0, col_off: int = 0) -> bool:
+    """Mirrors svt_aom_intra_has_bottom_left (intra_prediction.c:950);
+    row_off/col_off are TU offsets within the block in plane 4px units."""
     from ..codec.constants import BLOCK_H, BLOCK_W, TX_H
 
     if not bottom_available or not have_left:
         return False
+    if col_off > 0:
+        # bottom-left of an off-column TU is in the not-yet-coded
+        # bottom-left TU (intra_prediction.c:973-975)
+        return False
     plane_bh_unit = max((int(BLOCK_H[bsize]) >> 2) >> ss_y, 1)
     bl_count = int(TX_H[tx_size]) >> 2
-    if bl_count < plane_bh_unit:
+    if row_off + bl_count < plane_bh_unit:
         return True
     bw_log2 = (int(BLOCK_W[bsize]) >> 2).bit_length() - 1
     bh_log2 = (int(BLOCK_H[bsize]) >> 2).bit_length() - 1
     blk_row = (mi_row & (sb_mi - 1)) >> bh_log2
     blk_col = (mi_col & (sb_mi - 1)) >> bw_log2
     if blk_col == 0:
-        row_off_in_sb = (blk_row << bh_log2) >> ss_y
+        row_off_in_sb = ((blk_row << bh_log2) >> ss_y) + row_off
         return row_off_in_sb + bl_count < (sb_mi >> ss_y)
     if ((blk_row + 1) << bh_log2) >= sb_mi:
         return False
