@@ -370,8 +370,15 @@ class ModeDecision:
                 if j < best[0]:
                     best = (j, leaf, artifacts)
 
-        # tx depth 1 on the winning intra mode (TX_MODE_SELECT)
-        if self.tx_select and bsize > 0 and not best[1].is_inter:
+        # tx depth 1 on the winning intra mode (TX_MODE_SELECT); pruned
+        # when the whole-block tx already coded (near-)nothing — splitting
+        # only pays when there is real residual structure to localize
+        # (the reference's tx-depth early-exit, tx_search in
+        # product_coding_loop.c)
+        if (self.tx_select and bsize > 0 and not best[1].is_inter
+                and not best[1].skip
+                and best[1].coeffs is not None
+                and best[1].coeffs[0]["eob"] >= 4):
             mode = IntraMode(best[1].y_mode)
             delta = best[1].angle_delta_y
             j, leaf, artifacts = self._try_mode(mode, delta, None, r, c, bsize,
