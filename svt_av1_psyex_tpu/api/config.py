@@ -59,6 +59,7 @@ class EncoderConfig:
 
     # ---- quality/psy (fork additions) ----
     enable_variance_boost: bool = True
+    enable_tf: bool = True  # alt-ref temporal filtering (RA anchors)
     variance_boost_strength: int = 2
     variance_octile: int = 6
     variance_boost_curve: int = 0

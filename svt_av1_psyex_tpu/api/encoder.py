@@ -198,6 +198,20 @@ class SvtAv1Encoder:
             for _ in range(length):
                 planes, pts, _fk = self._in_q.popleft()
                 srcs[pts] = planes
+            # temporal filtering of the ARF source (temporal_filtering.c):
+            # the anchor is coded from a motion-compensated average of the
+            # mini-GOP window, giving the B frames a denoised reference
+            if (length > 1 and self.config.enable_tf
+                    and self.config.enc_mode <= 9
+                    and not plans[0].show_frame
+                    and plans[0].show_existing_slot is None):
+                from ..codec.tf import temporal_filter
+
+                arf = plans[0].disp_idx
+                nbrs = [v for k, v in srcs.items() if k != arf]
+                srcs[arf] = temporal_filter(
+                    srcs[arf], nbrs, self.config.qindex,
+                    self.config.encoder_bit_depth)
             for pl in plans:
                 src = srcs.get(pl.disp_idx)
                 is_se = pl.show_existing_slot is not None

@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tune", type=int, default=1)
     p.add_argument("--sharpness", type=int, default=0)
     p.add_argument("--enable-variance-boost", type=int, default=1)
+    p.add_argument("--enable-tf", type=int, default=1,
+                   help="alt-ref temporal filtering (RA anchors)")
     p.add_argument("--variance-boost-strength", type=int, default=2)
     p.add_argument("--variance-octile", type=int, default=6)
     p.add_argument("--enable-stat-report", type=int, default=0)
@@ -71,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
     cfg.tune = args.tune
     cfg.sharpness = args.sharpness
     cfg.enable_variance_boost = bool(args.enable_variance_boost)
+    cfg.enable_tf = bool(args.enable_tf)
     cfg.variance_boost_strength = args.variance_boost_strength
     cfg.variance_octile = args.variance_octile
     cfg.stat_report = args.enable_stat_report
