@@ -52,6 +52,9 @@ TX_TYPE_CLASS = {
 _NZ_CTX_OFFSET_1D = np.array([0, 5, 10] + [10] * 29) + 26  # SIG_COEF_CONTEXTS_2D=26
 
 
+FAST_RATE = True  # vectorized RateCounter path (tests flip to cross-check)
+
+
 def txs_ctx(tx_size: int) -> int:
     return (tx_size_sqr(tx_size) + tx_size_sqr_up(tx_size) + 1) >> 1
 
@@ -189,7 +192,15 @@ class CoeffWriter:
         coeff_ctx = self._nz_map_contexts(levels, scan, eob, cw, ch, full_w, full_h, tx_class)
 
         bwl = int(np.log2(cw))
-        if hasattr(tw.enc, "coeffs"):
+        if FAST_RATE and hasattr(tw, "bits"):
+            # rate-counting sink (md.RateCounter): vectorized cost sum,
+            # arithmetic-identical to the per-symbol path below
+            tw.bits += self._txb_rate_fast(tw, flat, scan, eob, coeff_ctx,
+                                           levels, bwl, tx_class, ts_ctx,
+                                           ptype, dc_sign_ctx)
+            av_all = np.abs(flat[scan[:eob]].astype(np.int64))
+            cul_level = min(COEFF_CONTEXT_MASK, int(av_all.sum()))
+        elif hasattr(tw.enc, "coeffs"):
             # native backend: one C call emits base/br symbols, signs,
             # golomb escapes (native/ecenc.c svt_ec_coeffs)
             base = tw.cdfs.coeff_base
@@ -247,6 +258,64 @@ class CoeffWriter:
         elif dc > 0:
             cul_level += 2 << COEFF_CONTEXT_BITS
         self._update_ctx(plane, tx_size, ux, uy, cul_level)
+
+    @staticmethod
+    def _txb_rate_fast(tw, flat, scan, eob, coeff_ctx, levels, bwl, tx_class,
+                       ts_ctx, ptype, dc_sign_ctx) -> int:
+        """Vectorized rate of the base/br/sign/golomb symbols (the
+        RateCounter path of the per-coefficient loop below)."""
+        pos = scan[:eob]
+        av = np.abs(flat[pos].astype(np.int64))
+        syms = np.minimum(av, 3)
+        cost = 0
+        tb = tw.family_costs(tw.cdfs.coeff_base[0])
+        teob = tw.family_costs(tw.cdfs.coeff_base_eob[0])
+        if eob > 1:
+            cost += int(tb[ts_ctx, ptype, coeff_ctx[: eob - 1],
+                           syms[: eob - 1]].sum())
+        cost += int(teob[ts_ctx, ptype, int(coeff_ctx[eob - 1]),
+                         int(syms[eob - 1]) - 1])
+
+        hi = av > NUM_BASE_LEVELS
+        if np.any(hi):
+            ph = pos[hi]
+            lvh = av[hi]
+            row = ph >> bwl
+            col = ph - (row << bwl)
+            mag = levels[row, col + 1].astype(np.int64) + levels[row + 1, col]
+            if tx_class == TX_CLASS_2D:
+                mag = np.minimum((mag + levels[row + 1, col + 1] + 1) >> 1, 6)
+                near = (row < 2) & (col < 2)
+            elif tx_class == TX_CLASS_HORIZ:
+                mag = np.minimum((mag + levels[row, col + 2] + 1) >> 1, 6)
+                near = col == 0
+            else:
+                mag = np.minimum((mag + levels[row + 2, col] + 1) >> 1, 6)
+                near = row == 0
+            brctx = np.where(ph == 0, mag, np.where(near, mag + 7, mag + 14))
+            tbr = tw.family_costs(tw.cdfs.coeff_br[0])[min(ts_ctx, 3), ptype]
+            br = np.minimum(lvh - 1 - NUM_BASE_LEVELS, COEFF_BASE_RANGE)
+            nfull = np.where(br >= COEFF_BASE_RANGE, 4, br // (BR_CDF_SIZE - 1))
+            cost += int((nfull * tbr[brctx, BR_CDF_SIZE - 1]).sum())
+            part = br < COEFF_BASE_RANGE
+            if np.any(part):
+                cost += int(tbr[brctx[part], br[part] % (BR_CDF_SIZE - 1)].sum())
+            # golomb escapes
+            go = lvh > COEFF_BASE_RANGE + NUM_BASE_LEVELS
+            if np.any(go):
+                x = lvh[go] - COEFF_BASE_RANGE - NUM_BASE_LEVELS  # level+1 term
+                length = np.floor(np.log2(x)).astype(np.int64) + 1
+                cost += int(((2 * length - 1) << 9).sum())
+
+        # signs: DC via cdf, the rest 1 literal bit each
+        nz = av > 0
+        n_ac_signs = int(np.count_nonzero(nz[1:])) if eob > 1 else 0
+        cost += n_ac_signs << 9
+        if nz[0]:
+            tdcs = tw.family_costs(tw.cdfs.dc_sign[0])
+            cost += int(tdcs[ptype, dc_sign_ctx,
+                             1 if flat[pos[0]] < 0 else 0])
+        return cost
 
     @staticmethod
     def _nz_map_contexts(levels: np.ndarray, scan: np.ndarray, eob: int,

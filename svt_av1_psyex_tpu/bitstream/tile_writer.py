@@ -453,10 +453,12 @@ class TileWriter:
             self._sym_at(int(mode) - int(InterMode.NEAREST_NEARESTMV),
                          self.cdfs.inter_compound_mode, comp_ctx)
             sub0, sub1 = compound_sub_modes(mode)
+            # read_drl_mode: only NEW_NEWMV takes the idx 0..1 branch;
+            # modes with any NEAR component (NEAR_NEAR/NEAR_NEW/NEW_NEAR)
+            # take the has_nearmv idx 1..2 branch (spec 5.11.25)
             self._write_drl(mode, leaf.drl_index, stack,
-                            has_new=(InterMode.NEWMV in (sub0, sub1)),
-                            near_like=(sub0 == InterMode.NEARMV
-                                       and sub1 == InterMode.NEARMV))
+                            has_new=(mode == InterMode.NEW_NEWMV),
+                            near_like=(InterMode.NEARMV in (sub0, sub1)))
             # assign_mv: a NEW component codes its residual; NEAR uses
             # drl_index + 1 offset handled by the chosen drl entry
             if sub0 == InterMode.NEWMV:

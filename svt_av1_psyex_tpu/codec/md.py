@@ -57,6 +57,21 @@ class RateCounter:
         self.bits = 0
         self.enc = RateCounter._Enc(self)
         self._cost_cache: dict = {}
+        self._family_cache: dict = {}
+
+    def family_costs(self, values) -> np.ndarray:
+        """Whole-family symbol cost table (vectorized cdf_costs over the
+        last axis); rows indexed only up to their true alphabet."""
+        key = id(values)
+        t = self._family_cache.get(key)
+        if t is None:
+            v = np.asarray(values, np.int64)
+            prev = np.concatenate(
+                [np.zeros(v.shape[:-1] + (1,), np.int64), v[..., :-1]], axis=-1)
+            p = np.maximum(v - prev, 1) / 32768.0
+            t = np.round(-np.log2(p) * 512).astype(np.int64)
+            self._family_cache[key] = t
+        return t
 
     def _sym_at(self, symbol: int, cdf_pair, *idx) -> None:
         values = cdf_pair[0]

@@ -338,9 +338,13 @@ def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
                     if can_rf == rf[cmp_idx] and len(ref_id[cmp_idx]) < 2:
                         ref_id[cmp_idx].append(mv)
                     elif len(ref_diff[cmp_idx]) < 2:
+                        # flip into a local: the raw mv must stay intact for
+                        # the other component's pass (adaptive_mv_pred.c:497
+                        # uses a local this_mv)
                         if bool(mi.sign_bias[can_rf]) != bool(mi.sign_bias[rf[cmp_idx]]):
-                            mv = (-mv[0], -mv[1])
-                        ref_diff[cmp_idx].append(mv)
+                            ref_diff[cmp_idx].append((-mv[0], -mv[1]))
+                        else:
+                            ref_diff[cmp_idx].append(mv)
 
         if abs(max_row_offset) >= 1:
             i = 0

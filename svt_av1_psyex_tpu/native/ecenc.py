@@ -55,12 +55,11 @@ def get_lib():
             ctypes.c_int, _I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ] + [_I32P] * 8 + [ctypes.c_int, ctypes.c_int]
         lib.svt_ec_coeffs.restype = ctypes.c_int64
-        _I64P = ctypes.POINTER(ctypes.c_int64)
-        _U8PP = ctypes.POINTER(ctypes.c_uint8)
-        lib.svt_net_run.argtypes = [
-            _I64P, _I64P, ctypes.c_int, ctypes.c_int,
-            _I32P, _I64P, _I32P, _I64P, _U8PP, _U8PP,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        # pointers passed as raw addresses (array lifetimes owned by the
+        # caller's cache) to avoid per-call ctypes cast overhead
+        lib.svt_net_run.argtypes = (
+            [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+            + [ctypes.c_void_p] * 6 + [ctypes.c_int] * 3)
         _lib = lib
     except Exception:
         _lib_failed = True

@@ -121,90 +121,92 @@ def adjust_strength(strength: int, var: np.ndarray) -> np.ndarray:
     return np.where(var != 0, (strength * (4 + i) + 8) >> 4, 0)
 
 
-def _tap(padded, ri, ci, x, dy, dx):
-    p = padded[ri + dy[:, None, None], ci + dx[:, None, None]].astype(np.int64)
-    d = p - x
-    return {"p": p, "ad": np.abs(d), "sg": np.sign(d)}
-
-
 def gather_taps(padded: np.ndarray, ys: np.ndarray, xs: np.ndarray,
                 bh: int, bw: int, dirs: np.ndarray):
     """Gather the center + 4 primary + 8 secondary tap samples (with
-    precomputed |diff| and sign) for N blocks once; strength candidates
-    then reuse them (filter_from_taps / *_tap_sum)."""
+    precomputed |diff| and sign) for N blocks in ONE fancy-index; strength
+    candidates then reuse them (filter_from_taps / *_tap_sum).
+
+    Returns (x, pri_s, sec_s, (P, AD, SG)): the dict views keep the
+    original per-tap interface, the stacked (12, N, bh, bw) arrays feed
+    the vectorized sums."""
     ri = ys[:, None, None] + np.arange(bh)[None, :, None]
     ci = xs[:, None, None] + np.arange(bw)[None, None, :]
     x = padded[ri, ci].astype(np.int64)
-    pri_s = []  # [k][sgn] -> tap dict
-    sec_s = []  # [k][dd*2+sgn]
     d = dirs
+    dys, dxs = [], []
     for k in range(2):
-        row_p = []
         for sgn in (1, -1):
-            row_p.append(_tap(padded, ri, ci, x, sgn * _DIR_DY[d, k],
-                              sgn * _DIR_DX[d, k]))
-        pri_s.append(row_p)
-        row_s = []
+            dys.append(sgn * _DIR_DY[d, k])
+            dxs.append(sgn * _DIR_DX[d, k])
         for dd in ((d + 2) & 7, (d - 2) & 7):
             for sgn in (1, -1):
-                row_s.append(_tap(padded, ri, ci, x, sgn * _DIR_DY[dd, k],
-                                  sgn * _DIR_DX[dd, k]))
-        sec_s.append(row_s)
-    return x, pri_s, sec_s
+                dys.append(sgn * _DIR_DY[dd, k])
+                dxs.append(sgn * _DIR_DX[dd, k])
+    DY = np.stack(dys)[:, :, None, None]  # (12, N, 1, 1)
+    DX = np.stack(dxs)[:, :, None, None]
+    P = padded[ri[None] + DY, ci[None] + DX].astype(np.int64)
+    D = P - x[None]
+    AD = np.abs(D)
+    SG = np.sign(D)
+
+    def tap(i):
+        return {"p": P[i], "ad": AD[i], "sg": SG[i]}
+
+    pri_s = [[tap(0), tap(1)], [tap(6), tap(7)]]
+    sec_s = [[tap(2), tap(3), tap(4), tap(5)],
+             [tap(8), tap(9), tap(10), tap(11)]]
+    return x, pri_s, sec_s, (P, AD, SG)
+
+
+_PRI_IDX = np.array([0, 1, 6, 7])       # (k, sgn) -> stacked index
+_PRI_KS = np.array([0, 0, 1, 1])
+_SEC_IDX0 = np.array([2, 3, 4, 5])      # k = 0 taps (weight 2)
+_SEC_IDX1 = np.array([8, 9, 10, 11])    # k = 1 taps (weight 1)
 
 
 def tap_minmax(taps):
     """Strength-independent clamp window over the 13 samples."""
-    x, pri_s, sec_s = taps
-    mx = x.copy()
-    mn = x.copy()
-    for k in range(2):
-        for t in pri_s[k] + sec_s[k]:
-            p = t["p"]
-            mx = np.maximum(mx, np.where(p == CDEF_VERY_LARGE, mx, p))
-            mn = np.minimum(mn, p)
+    x, P = taps[0], taps[3][0]
+    mx = np.maximum(x, np.where(P == CDEF_VERY_LARGE, x[None], P).max(axis=0))
+    mn = np.minimum(x, P.min(axis=0))
     return mn, mx
-
-
-def _constrain_tap(t, strength, shift):
-    """constrain() on a pre-gathered tap: sign/abs already cached."""
-    ad = t["ad"]
-    return t["sg"] * np.minimum(ad, np.maximum(0, strength - (ad >> shift)))
 
 
 def pri_tap_sum(taps, pri_strength, pri_damping: int, coeff_shift: int = 0):
     """Primary-tap constrained sum for one strength (scalar or per-block)."""
-    x, pri_s, _ = taps
+    x = taps[0]
+    P, AD, SG = taps[3]
     n = x.shape[0]
     pri = np.broadcast_to(np.asarray(pri_strength, np.int64), (n,))
     if not np.any(pri):
         return np.zeros_like(x)
     tap_sel = (pri >> coeff_shift) & 1
-    prib = pri[:, None, None]
+    prib = pri[None, :, None, None]
     msb = np.floor(np.log2(np.maximum(prib, 1))).astype(np.int64)
     shift = np.maximum(0, pri_damping - msb)
-    zero = prib == 0
-    sum_ = np.zeros_like(x)
-    for k in range(2):
-        ptap = _PRI_TAPS[tap_sel, k][:, None, None]
-        for t in pri_s[k]:
-            c = _constrain_tap(t, prib, shift)
-            sum_ += ptap * (np.where(zero, 0, c) if np.any(zero) else c)
-    return sum_
+    ad = AD[_PRI_IDX]
+    c = SG[_PRI_IDX] * np.minimum(ad, np.maximum(0, prib - (ad >> shift)))
+    ptap = _PRI_TAPS[tap_sel[:, None], _PRI_KS[None, :]].T  # (4, n)
+    sum_ = (ptap[:, :, None, None] * c).sum(axis=0)
+    return np.where(pri[:, None, None] == 0, 0, sum_)
 
 
 def sec_tap_sum(taps, sec_strength, sec_damping: int):
     """Secondary-tap constrained sum for one strength (scalar)."""
-    x, _, sec_s = taps
-    sum_ = np.zeros_like(x)
+    x = taps[0]
+    P, AD, SG = taps[3]
     s = int(sec_strength)
     if s == 0:
-        return sum_
+        return np.zeros_like(x)
     shift = max(0, sec_damping - (s.bit_length() - 1))
-    for k in range(2):
-        for t in sec_s[k]:
-            sum_ += _SEC_TAPS[k] * _constrain_tap(t, s, shift)
-    return sum_
+
+    def part(idx):
+        ad = AD[idx]
+        return (SG[idx] * np.minimum(ad, np.maximum(0, s - (ad >> shift)))
+                ).sum(axis=0)
+
+    return _SEC_TAPS[0] * part(_SEC_IDX0) + _SEC_TAPS[1] * part(_SEC_IDX1)
 
 
 def combine_taps(taps, mnmx, pri_sum, sec_sum):
@@ -218,23 +220,21 @@ def combine_taps(taps, mnmx, pri_sum, sec_sum):
 def filter_from_taps(taps, pri_strength, sec_strength, pri_damping: int,
                      sec_damping: int, coeff_shift: int = 0) -> np.ndarray:
     """svt_cdef_filter_block_c arithmetic on pre-gathered taps."""
-    x, pri_s, sec_s = taps
-    n = x.shape[0]
+    n = taps[0].shape[0]
     pri = np.broadcast_to(np.asarray(pri_strength, np.int64), (n,))
     sec = np.broadcast_to(np.asarray(sec_strength, np.int64), (n,))
-    tap_sel = (pri >> coeff_shift) & 1
-    prib = pri[:, None, None]
-    secb = sec[:, None, None]
-    sum_ = np.zeros_like(x)
-    mn, mx = tap_minmax(taps)
-    for k in range(2):
-        ptap = _PRI_TAPS[tap_sel, k][:, None, None]
-        for t in pri_s[k]:
-            sum_ += ptap * _constrain(t["p"] - x, prib, pri_damping)
-        for t in sec_s[k]:
-            sum_ += _SEC_TAPS[k] * _constrain(t["p"] - x, secb, sec_damping)
-    y = x + ((8 + sum_ - (sum_ < 0)) >> 4)
-    return np.clip(y, mn, mx)
+    mnmx = tap_minmax(taps)
+    pri_sum = pri_tap_sum(taps, pri, pri_damping, coeff_shift)
+    # per-block secondary strength via the scalar path per unique value
+    if np.all(sec == sec[0]):
+        sec_sum = sec_tap_sum(taps, int(sec[0]), sec_damping)
+    else:
+        sec_sum = np.zeros_like(taps[0])
+        for sv in np.unique(sec):
+            m = sec == sv
+            sub = sec_tap_sum(taps, int(sv), sec_damping)
+            sec_sum[m] = sub[m]
+    return combine_taps(taps, mnmx, pri_sum, sec_sum)
 
 
 def filter_blocks(padded: np.ndarray, ys: np.ndarray, xs: np.ndarray,

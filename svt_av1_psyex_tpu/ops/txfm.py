@@ -139,6 +139,19 @@ class _Net:
             self._wcache[key] = (src0, w0, src1, w1, btf, clp, ns)
         return self._wcache[key]
 
+    def _native_args(self, cos_bit: int, clamp_bit: int):
+        """Static svt_net_run argument tail (pointers stay alive through
+        the _compiled_native cache entry)."""
+        key = ("na", cos_bit, clamp_bit)
+        a = self._wcache.get(key)
+        if a is None:
+            src0, w0, src1, w1, btf, clp, ns = self._compiled_native(cos_bit)
+            a = (self.size, src0.ctypes.data, w0.ctypes.data,
+                 src1.ctypes.data, w1.ctypes.data, btf.ctypes.data,
+                 clp.ctypes.data, ns, cos_bit, clamp_bit)
+            self._wcache[key] = a
+        return a
+
     def _compiled(self, cos_bit: int):
         if cos_bit not in self._wcache:
             comp = []
@@ -158,21 +171,15 @@ class _Net:
         """x: (batch, N) int64 -> (batch, N) int64."""
         lib = _native_lib()
         if lib is not None:
-            import ctypes
-
-            src0, w0, src1, w1, btf, clp, ns = self._compiled_native(cos_bit)
-            buf = np.ascontiguousarray(x, np.int64).copy()
+            args = self._native_args(cos_bit, clamp_bit)
+            x = np.asarray(x)
+            if x.dtype == np.int64 and x.flags.c_contiguous:
+                buf = x.copy()  # C mutates in place
+            else:
+                buf = np.array(x, np.int64, order="C")
             tmp = np.empty_like(buf)
-            i64p = ctypes.POINTER(ctypes.c_int64)
-            i32p = ctypes.POINTER(ctypes.c_int32)
-            u8p = ctypes.POINTER(ctypes.c_uint8)
-            lib.svt_net_run(
-                buf.ctypes.data_as(i64p), tmp.ctypes.data_as(i64p),
-                buf.shape[0], self.size,
-                src0.ctypes.data_as(i32p), w0.ctypes.data_as(i64p),
-                src1.ctypes.data_as(i32p), w1.ctypes.data_as(i64p),
-                btf.ctypes.data_as(u8p), clp.ctypes.data_as(u8p),
-                ns, cos_bit, clamp_bit)
+            lib.svt_net_run(buf.ctypes.data, tmp.ctypes.data,
+                            buf.shape[0], *args)
             return buf
         rnd = 1 << (cos_bit - 1)
         for src0, w0, src1, w1, is_btf, do_clamp in self._compiled(cos_bit):
