@@ -15,6 +15,7 @@ and must match the encoder recon bit-exactly, else the bench fails.
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
 from fractions import Fraction
@@ -53,7 +54,11 @@ def main() -> None:
     dt = time.perf_counter() - t0
     fps = FRAMES / dt
 
-    # conformance gate: decoded output must match recon bit-exactly
+    # conformance gate: decoded output must match recon bit-exactly.
+    # Only shim-unavailability (no toolchain / no libdav1d on the box) may
+    # skip the gate — and then the metric says so; any other failure is a
+    # hard CONFORMANCE FAILURE (ADVICE.md r1: no blanket except).
+    gate = "dav1d-conformant"
     try:
         from svt_av1_psyex_tpu.conformance.dav1d import decode_ivf
         from svt_av1_psyex_tpu.utils.ivf import IvfWriter
@@ -72,11 +77,11 @@ def main() -> None:
             print(json.dumps({"metric": "CONFORMANCE FAILURE", "value": 0,
                               "unit": "fps", "vs_baseline": 0}))
             return
-    except Exception:
-        pass  # dav1d shim unavailable (e.g. driver box): skip the gate
+    except (FileNotFoundError, OSError, subprocess.CalledProcessError):
+        gate = "gate SKIPPED (dav1d shim unavailable)"
 
     print(json.dumps({
-        "metric": "352x288 intra-only encode throughput (config 1), dav1d-conformant",
+        "metric": f"352x288 intra-only encode throughput (config 1), {gate}",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS_C_ONLY, 4),

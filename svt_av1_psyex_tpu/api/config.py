@@ -14,6 +14,27 @@ from __future__ import annotations
 from dataclasses import dataclass, field, fields
 
 
+# Fields accepted (API parity) but not yet consumed by the pipeline.
+# Shrinks as consumers land; SvtAv1Encoder.init warns when a user sets one.
+_PENDING_FIELDS = frozenset({
+    "hierarchical_levels", "sframe_dist", "sframe_mode", "use_qp_file",
+    "max_bit_rate", "vbv_bufsize", "over_shoot_pct", "under_shoot_pct",
+    "recode_loop", "vbr_bias_pct", "vbr_min_section_pct",
+    "vbr_max_section_pct", "enable_adaptive_quantization", "pass_",
+    "rc_stats_buffer", "luminance_qp_bias", "psy_rd", "spy_rd", "sharp_tx",
+    "hbd_mds", "complex_hvs", "adaptive_film_grain",
+    "noise_adaptive_filtering", "noise_norm_strength", "tf_strength",
+    "kf_tf_strength", "qp_scale_compress_strength", "max_32_tx_size",
+    "min_chroma_qm_level", "max_chroma_qm_level", "low_q_taper", "lossless",
+    "avif", "enable_restoration_filtering", "enable_mfmv", "enable_overlays",
+    "screen_content_mode", "enable_qm", "min_qm_level", "max_qm_level",
+    "film_grain_denoise_strength", "film_grain_denoise_apply",
+    "superres_mode", "resize_mode", "enable_dg", "startup_mg_size",
+    "enable_tpl_la", "scene_change_detection", "look_ahead_distance",
+    "mastering_display", "content_light_level", "tile_columns", "tile_rows",
+})
+
+
 @dataclass
 class EncoderConfig:
     # ---- input / geometry ----
@@ -38,13 +59,13 @@ class EncoderConfig:
     sframe_mode: int = 2  # [pending]
 
     # ---- rate control ----
-    rate_control_mode: int = 0  # 0 CRF/CQP, 1 VBR, 2 CBR [VBR/CBR pending]
+    rate_control_mode: int = 0  # 0 CRF/CQP, 1 VBR, 2 CBR
     qp: int = 35
     crf: int | None = None
     use_qp_file: bool = False  # [pending]
-    target_bit_rate: int = 2000000  # [pending VBR]
+    target_bit_rate: int = 2000000
     max_bit_rate: int = 0  # [pending capped CRF]
-    min_qp_allowed: int = 1
+    min_qp_allowed: int = 1  # enforced by RateControl (VBR/CBR)
     max_qp_allowed: int = 63
     vbv_bufsize: int = 0  # [pending]
     over_shoot_pct: int = 25  # [pending]
@@ -86,11 +107,10 @@ class EncoderConfig:
     extended_crf_qindex_offset: int = 0  # [pending]
 
     # ---- features ----
-    enable_dlf_flag: int = 1  # [pending DLF]
-    cdef_level: int = -1  # [pending CDEF]
+    enable_dlf_flag: int = 1
+    cdef_level: int = -1  # -1 auto (preset-derived search level)
     enable_restoration_filtering: int = -1  # [pending LR]
     enable_mfmv: int = -1  # [pending]
-    enable_tf: int = 1  # [pending]
     enable_overlays: bool = False  # [pending]
     tile_columns: int = 0
     tile_rows: int = 0
@@ -133,6 +153,18 @@ class EncoderConfig:
     use_cpu_flags: int = -1  # asm level; TPU build: selects device/host kernels
     recon_enabled: bool = False
     stat_report: int = 0
+
+    def pending_overrides(self) -> list[str]:
+        """Names of [pending] (accepted-but-not-yet-honored) fields the
+        user set to a non-default value. The reference acts on every
+        accepted name (enc_settings.c:1354-1708); until a consumer exists
+        we warn instead of silently ignoring (ADVICE.md round 1)."""
+        defaults = EncoderConfig()
+        out = []
+        for name in _PENDING_FIELDS:
+            if getattr(self, name) != getattr(defaults, name):
+                out.append(name)
+        return out
 
     def validate(self) -> list[str]:
         """Returns list of error strings (empty = valid). Mirrors

@@ -78,6 +78,13 @@ class SvtAv1Encoder:
         errs = cfg.validate()
         if errs:
             raise SvtAv1Error("; ".join(errs))
+        pend = cfg.pending_overrides()
+        if pend:
+            import warnings
+
+            warnings.warn(
+                "parameters accepted but not yet honored: " + ", ".join(pend),
+                stacklevel=2)
         self._seq = SequenceConfig(
             width=cfg.source_width,
             height=cfg.source_height,
@@ -94,9 +101,14 @@ class SvtAv1Encoder:
 
             fps = cfg.frame_rate_numerator / max(cfg.frame_rate_denominator, 1) \
                 if getattr(cfg, "frame_rate_numerator", 0) else 30.0
+            keyint = cfg.intra_period_length
             self._rc = RateControl(cfg.source_width, cfg.source_height, fps,
                                    cfg.target_bit_rate, cfg.rate_control_mode,
-                                   cfg.encoder_bit_depth)
+                                   cfg.encoder_bit_depth,
+                                   min_qindex=cfg.min_qp_allowed * 4,
+                                   max_qindex=max(cfg.max_qp_allowed * 4, 1),
+                                   keyint=(60 if keyint == -2 else keyint),
+                                   low_delay=cfg.pred_structure == 1)
         self._enc = Av1Encoder(
             self._seq, preset=cfg.enc_mode,
             enable_variance_boost=cfg.enable_variance_boost,

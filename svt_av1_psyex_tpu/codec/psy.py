@@ -4,9 +4,9 @@ Mirrors the fork's flagship feature (rc_process.c:1393-1700,
 Docs/Appendix-Variance-Boost.md): per-superblock 8x8 source variances ->
 octile-weighted representative variance -> qstep-ratio boost curve ->
 per-SB delta qindex, frame qindex renormalization, and delta_q_res
-selection/snapping. Device-friendly: the variance map is produced by
-ops.jax_kernels.frame_intra_analysis on TPU; the tiny per-SB scalar pass
-stays host-side.
+selection/snapping. The variance map is a batched reduction (host numpy
+here; the device MD path computes the same 8x8 variances on TPU as part
+of frame analysis); the tiny per-SB scalar pass stays host-side.
 """
 
 from __future__ import annotations

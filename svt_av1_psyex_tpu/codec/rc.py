@@ -22,24 +22,42 @@ _LAYER_WEIGHT = {None: 6.0, 0: 3.0, 1: 1.2, 2: 0.7}
 class RateControl:
     def __init__(self, width: int, height: int, fps: float,
                  target_bps: int, mode: int, bit_depth: int = 8,
-                 start_qindex: int = 120):
+                 start_qindex: int = 120, min_qindex: int = 1,
+                 max_qindex: int = 255, keyint: int = -1,
+                 low_delay: bool = False):
         self.pixels = width * height
         self.fps = max(fps, 1e-6)
         self.target_bps = target_bps
         self.mode = mode  # 1 VBR, 2 CBR
         self.bit_depth = bit_depth
         self.avg_bits = target_bps / self.fps
+        self.min_qindex = max(1, min_qindex)
+        self.max_qindex = min(255, max_qindex)
         # online model constants per category: bits = k * pixels / qstep
         self._k = {}
         self._q = start_qindex
         self.buffer = 0.0  # bits ahead (+) / behind (-) of target
         self.buf_cap = target_bps  # one second window
+        self.norm = self._gop_norm(keyint, low_delay)
+
+    @staticmethod
+    def _gop_norm(keyint: int, low_delay: bool) -> float:
+        """Mean layer weight over one keyint window, from the actual GOP
+        composition (low-delay: all layer0; RA: dyadic 4-frame mini-GOPs =
+        1x layer0 + 1x layer1 + 2x layer2), so steady-state targets sum to
+        the bitrate without leaning on the buffer feedback (ADVICE.md r1)."""
+        mg = (_LAYER_WEIGHT[0] if low_delay
+              else (_LAYER_WEIGHT[0] + _LAYER_WEIGHT[1] + 2 * _LAYER_WEIGHT[2]) / 4)
+        if keyint < 0:  # single key frame up front: its weight amortizes out
+            return mg
+        window = keyint + 1
+        return (_LAYER_WEIGHT[None] + mg * (window - 1)) / window
 
     def _category(self, is_key: bool, layer: int):
         return None if is_key else min(layer, 2)
 
     def _weighted_target(self, cat) -> float:
-        return self.avg_bits * _LAYER_WEIGHT[cat] / 1.6  # normalized midweight
+        return self.avg_bits * _LAYER_WEIGHT[cat] / self.norm
 
     def pick_qindex(self, is_key: bool, layer: int = 0) -> int:
         cat = self._category(is_key, layer)
@@ -58,7 +76,7 @@ class RateControl:
             # invert the model: qstep = k * pixels / target_bits
             qstep_t = k * self.pixels / max(target, 1.0)
             q = self._nearest_qindex(qstep_t)
-        q = int(min(max(q, 1), 255))
+        q = int(min(max(q, self.min_qindex), self.max_qindex))
         self._last = (cat, q, target)
         return q
 
