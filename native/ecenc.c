@@ -305,3 +305,185 @@ void svt_net_run(int64_t *x, int64_t *tmp, int batch, int n,
     if (cur != x)
         memcpy(x, cur, (size_t)batch * n * sizeof(int64_t));
 }
+
+/* ---- conformant txb commit (Encode Pass inner kernel) ------------------
+ *
+ * One call = residual -> forward DCT 2D -> quantize_b -> inverse DCT 2D ->
+ * recon writeback for one transform block whose mode was already decided
+ * (by the device MD lattice). Counterpart of the reference encode pass's
+ * av1_encode_block chain (coding_loop.c:1697) restricted to DCT_DCT;
+ * exact same integer networks as svt_net_run / ops/txfm.py.
+ *
+ * Descriptor layout (int64 slots; pointers stored as int64):
+ *   0 tx_w, 1 tx_h
+ *   2..8   fwd col net: src0,w0,src1,w1,btf,clp,nstages
+ *   9..15  fwd row net
+ *   16..22 inv row net
+ *   23..29 inv col net
+ *   30..32 fwd round_shift bits b0,b1,b2  (round_shift semantics: <0 left)
+ *   33..34 inv round_shift bits b0,b1
+ *   35 cb_col_fwd, 36 cb_row_fwd, 37 inv_cos_bit
+ *   38 inv row net clamp bit, 39 inv col net clamp bit
+ *   40 rect (1 => sqrt2 scale fwd, inv_sqrt2 inv)
+ *   41 log_scale
+ *   42 scan ptr (int32*, cw*ch entries)
+ *   43 bit depth
+ *   44 inv pre-row clamp bit, 45 inv pre-col clamp bit
+ */
+
+typedef struct {
+    const int32_t *s0; const int64_t *w0;
+    const int32_t *s1; const int64_t *w1;
+    const uint8_t *btf; const uint8_t *clp; int ns;
+} NetRef;
+
+static void net_from_desc(const int64_t *d, NetRef *n) {
+    n->s0 = (const int32_t *)(intptr_t)d[0];
+    n->w0 = (const int64_t *)(intptr_t)d[1];
+    n->s1 = (const int32_t *)(intptr_t)d[2];
+    n->w1 = (const int64_t *)(intptr_t)d[3];
+    n->btf = (const uint8_t *)(intptr_t)d[4];
+    n->clp = (const uint8_t *)(intptr_t)d[5];
+    n->ns = (int)d[6];
+}
+
+static inline int64_t rshift64(int64_t x, int bit) {
+    if (bit == 0) return x;
+    if (bit < 0) return x << (-bit);
+    return (x + ((int64_t)1 << (bit - 1))) >> bit;
+}
+
+static void vec_rshift(int64_t *x, int n, int bit) {
+    if (bit == 0) return;
+    for (int i = 0; i < n; i++) x[i] = rshift64(x[i], bit);
+}
+
+static void vec_clamp(int64_t *x, int n, int bit) {
+    const int64_t lo = -((int64_t)1 << (bit - 1));
+    const int64_t hi = ((int64_t)1 << (bit - 1)) - 1;
+    for (int i = 0; i < n; i++) {
+        if (x[i] < lo) x[i] = lo;
+        else if (x[i] > hi) x[i] = hi;
+    }
+}
+
+static void transpose64(const int64_t *in, int64_t *out, int rows, int cols) {
+    for (int r = 0; r < rows; r++)
+        for (int c = 0; c < cols; c++)
+            out[(size_t)c * rows + r] = in[(size_t)r * cols + c];
+}
+
+#define SQRT2 5793
+#define INV_SQRT2 2896
+
+static int64_t CBUF_A[64 * 64], CBUF_B[64 * 64], CBUF_T[64 * 64];
+
+int32_t svt_txb_commit(const int64_t *d,
+                       const int32_t *src, int src_stride,
+                       int32_t *recon, int rec_stride,
+                       const int32_t *pred,
+                       int x0, int y0,
+                       const int64_t *q10, /* zbin,rnd,quant,qshift,deq x dc,ac
+                                              (zbin/rnd already log_scale-rounded) */
+                       int32_t *qcoeff /* (ch*cw) raster out */) {
+    const int w = (int)d[0], h = (int)d[1];
+    const int cw = w > 32 ? 32 : w, ch = h > 32 ? 32 : h;
+    const int ls = (int)d[41];
+    const int bd = (int)d[43];
+    const int32_t pixmax = (1 << bd) - 1;
+    NetRef fcol, frow, irow, icol;
+    net_from_desc(d + 2, &fcol);
+    net_from_desc(d + 9, &frow);
+    net_from_desc(d + 16, &irow);
+    net_from_desc(d + 23, &icol);
+
+    /* residual, transposed into column lanes: A[c*h + r] */
+    for (int r = 0; r < h; r++) {
+        const int32_t *s = src + (size_t)(y0 + r) * src_stride + x0;
+        const int32_t *p = pred + (size_t)r * w;
+        for (int c = 0; c < w; c++)
+            CBUF_A[(size_t)c * h + r] = (int64_t)s[c] - p[c];
+    }
+    vec_rshift(CBUF_A, w * h, (int)d[30]);
+    svt_net_run(CBUF_A, CBUF_B, w, h, fcol.s0, fcol.w0, fcol.s1, fcol.w1,
+                fcol.btf, fcol.clp, fcol.ns, (int)d[35], 0);
+    vec_rshift(CBUF_A, w * h, (int)d[31]);
+    transpose64(CBUF_A, CBUF_T, w, h); /* -> row-major (h, w) */
+    svt_net_run(CBUF_T, CBUF_B, h, w, frow.s0, frow.w0, frow.s1, frow.w1,
+                frow.btf, frow.clp, frow.ns, (int)d[36], 0);
+    vec_rshift(CBUF_T, w * h, (int)d[32]);
+    if (d[40])
+        for (int i = 0; i < w * h; i++)
+            CBUF_T[i] = rshift64(CBUF_T[i] * SQRT2, 12);
+
+    /* quantize top-left (ch, cw) */
+    const int32_t *scan = (const int32_t *)(intptr_t)d[42];
+    const int n = cw * ch;
+    int32_t eob = 0;
+    for (int r = 0; r < ch; r++) {
+        for (int c = 0; c < cw; c++) {
+            const int i = r * cw + c;
+            const int isdc = (i == 0);
+            const int64_t coeff = CBUF_T[(size_t)r * w + c];
+            const int64_t zbin = q10[isdc ? 0 : 5];
+            const int64_t rnd = q10[isdc ? 1 : 6];
+            const int64_t quant = q10[isdc ? 2 : 7];
+            const int64_t qshift = q10[isdc ? 3 : 8];
+            const int64_t deq = q10[isdc ? 4 : 9];
+            int64_t a = coeff < 0 ? -coeff : coeff;
+            int32_t q = 0;
+            int64_t dq = 0;
+            if (a >= zbin) {
+                int64_t t = a + rnd;
+                if (t > 32767) t = 32767;
+                t <<= 5;
+                q = (int32_t)((((t * quant) >> 16) + t) * qshift >>
+                              (16 - ls + 5));
+                dq = ((int64_t)q * deq) >> ls;
+            }
+            qcoeff[i] = coeff < 0 ? -q : q;
+            CBUF_A[i] = coeff < 0 ? -dq : dq; /* dqcoeff raster (ch,cw) */
+        }
+    }
+    for (int k = 0; k < n; k++)
+        if (qcoeff[scan[k]]) eob = k + 1;
+
+    if (!eob) {
+        for (int r = 0; r < h; r++) {
+            int32_t *o = recon + (size_t)(y0 + r) * rec_stride + x0;
+            const int32_t *p = pred + (size_t)r * w;
+            for (int c = 0; c < w; c++) {
+                int32_t v = p[c];
+                o[c] = v < 0 ? 0 : (v > pixmax ? pixmax : v);
+            }
+        }
+        return 0;
+    }
+
+    /* inverse: pad dq coeffs to (h, w) row-major */
+    memset(CBUF_T, 0, (size_t)w * h * sizeof(int64_t));
+    for (int r = 0; r < ch; r++)
+        for (int c = 0; c < cw; c++)
+            CBUF_T[(size_t)r * w + c] = CBUF_A[r * cw + c];
+    if (d[40])
+        for (int i = 0; i < w * h; i++)
+            CBUF_T[i] = rshift64(CBUF_T[i] * INV_SQRT2, 12);
+    vec_clamp(CBUF_T, w * h, (int)d[44]);
+    svt_net_run(CBUF_T, CBUF_B, h, w, irow.s0, irow.w0, irow.s1, irow.w1,
+                irow.btf, irow.clp, irow.ns, (int)d[37], (int)d[38]);
+    vec_rshift(CBUF_T, w * h, (int)d[33]);
+    transpose64(CBUF_T, CBUF_A, h, w); /* -> (w, h) column lanes */
+    vec_clamp(CBUF_A, w * h, (int)d[45]);
+    svt_net_run(CBUF_A, CBUF_B, w, h, icol.s0, icol.w0, icol.s1, icol.w1,
+                icol.btf, icol.clp, icol.ns, (int)d[37], (int)d[39]);
+    vec_rshift(CBUF_A, w * h, (int)d[34]);
+    for (int r = 0; r < h; r++) {
+        int32_t *o = recon + (size_t)(y0 + r) * rec_stride + x0;
+        const int32_t *p = pred + (size_t)r * w;
+        for (int c = 0; c < w; c++) {
+            int64_t v = p[c] + CBUF_A[(size_t)c * h + r];
+            o[c] = v < 0 ? 0 : (v > pixmax ? (int32_t)pixmax : (int32_t)v);
+        }
+    }
+    return eob;
+}

@@ -298,14 +298,36 @@ class Av1Encoder:
                           cdfs=cdfs.clone())
         if md.mi_state is not None:
             md.mi_state.sign_bias = sign_bias
+        # device MD path: intra frames at the faster presets run the
+        # whole-frame candidate analysis on TPU, host does argmin + commit
+        import os
+
+        use_device = (fr.frame_is_intra and self.preset >= 10
+                      and not fr.tx_mode_select
+                      and not seq.use_128x128_superblock
+                      and os.environ.get("SVT_TPU_HOST_MD") != "1")
         sb_plans = []
-        for r in range(0, self.mi_rows, sb_mi):
-            for c in range(0, self.mi_cols, sb_mi):
-                if sb_qmap is not None:
-                    md.cur_qindex = int(sb_qmap[r // sb_mi, c // sb_mi])
-                    md.rdmult = compute_rdmult(md.cur_qindex, seq.bit_depth)
-                _, node = md.pick_partition(r, c, sb_bsize)
-                sb_plans.append((node, r, c))
+        if use_device:
+            from .md_device import DeviceIntraMD
+
+            dmd = DeviceIntraMD(md, seq, fr, sb_qmap)
+            dmd.analyze()
+            for r in range(0, self.mi_rows, sb_mi):
+                for c in range(0, self.mi_cols, sb_mi):
+                    if sb_qmap is not None:
+                        md.cur_qindex = int(sb_qmap[r // sb_mi, c // sb_mi])
+                        md.rdmult = compute_rdmult(md.cur_qindex, seq.bit_depth)
+                    node = dmd.encode_sb(r, c, sb_bsize,
+                                         self._min_partition_bsize)
+                    sb_plans.append((node, r, c))
+        else:
+            for r in range(0, self.mi_rows, sb_mi):
+                for c in range(0, self.mi_cols, sb_mi):
+                    if sb_qmap is not None:
+                        md.cur_qindex = int(sb_qmap[r // sb_mi, c // sb_mi])
+                        md.rdmult = compute_rdmult(md.cur_qindex, seq.bit_depth)
+                    _, node = md.pick_partition(r, c, sb_bsize)
+                    sb_plans.append((node, r, c))
 
         # in-loop filters on the final recon: DLF (spec 7.14) then CDEF
         # (spec 7.15); intra prediction above already used the unfiltered

@@ -1,0 +1,212 @@
+"""Device-backed intra mode decision: host argmin + conformant commit.
+
+The split (SURVEY §7 "Key design decision"):
+  * device — `device.intra.intra_analysis` evaluates every block of the
+    frame at every depth for the non-directional mode set in one jitted
+    call (open-loop prediction, exact fwd/inv DCT, analysis quantizer,
+    calibrated rate proxy);
+  * host — this module turns those cost lattices into a partition tree
+    (quadtree argmin, `pick`) and then runs the *conformant* commit pass
+    in coding order: recon-neighbor prediction, exact quantize, exact
+    inverse transform, recon update (the reference's Encode Pass,
+    coding_loop.c:1697, with the decision already made).
+
+Used for intra frames at the faster presets (TX depth 0, no angle
+deltas); the recursive host RDO in codec/md.py remains the slow-preset /
+inter path until those tiers move to device too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.tile_writer import LeafBlock, PartitionNode
+from .constants import (
+    BLOCK_H,
+    BLOCK_W,
+    MAX_TX_SIZE_RECT,
+    TX_H,
+    TX_W,
+    BlockSize,
+    IntraMode,
+    Partition,
+    TxType,
+    block_size_of,
+)
+from .rd import cdf_costs, compute_rdmult
+
+_BLK_TO_BSIZE = {8: BlockSize.B8X8, 16: BlockSize.B16X16,
+                 32: BlockSize.B32X32, 64: BlockSize.B64X64}
+# partition-cdf ctx row at neutral neighbors: ctx = bsl_ctx * 4
+_BSL_CTX = {8: 0, 16: 1, 32: 2, 64: 3}
+
+
+class DeviceIntraMD:
+    """Wraps a ModeDecision instance, replacing its candidate search with
+    the device cost lattice; reuses its commit machinery (_predict,
+    _txb_rd) for the conformant pass."""
+
+    DEPTHS = (64, 32, 16, 8)
+
+    def __init__(self, md, seq, fr, sb_qmap=None):
+        self.md = md
+        self.seq = seq
+        self.fr = fr
+        self.sb_qmap = sb_qmap
+        self.mi_rows, self.mi_cols = md.mi_rows, md.mi_cols
+        from ..device.intra import DEVICE_MODES
+
+        self.modes = np.array(DEVICE_MODES, np.int32)
+        kv = md.cdfs.kf_y_mode[0]
+        self.mode_rate = cdf_costs(kv[0, 0])[self.modes].astype(np.int64)
+        sk = cdf_costs(md.cdfs.skip[0][0])
+        self.skip0, self.skip1 = int(sk[0]), int(sk[1])
+        pvals = md.cdfs.partition[0]
+        self.part_costs = {blk: cdf_costs(pvals[_BSL_CTX[blk] * 4])
+                           for blk in (16, 32, 64)}
+        self.stats: dict = {}
+
+    # ---- analysis --------------------------------------------------------
+    def analyze(self) -> None:
+        import jax
+
+        from ..device.intra import intra_analysis, qp_row_for
+
+        src = self.md.pctx[0].src
+        h, w = src.shape
+        hp = (h + 63) & ~63
+        wp = (w + 63) & ~63
+        if hp != h or wp != w:
+            src = np.pad(src, ((0, hp - h), (0, wp - w)), mode="edge")
+        from ..device.intra import unpack_analysis
+
+        qp = qp_row_for(self.fr.base_q_idx, self.fr.delta_q_y_dc, 0,
+                        self.seq.bit_depth)
+        packed = intra_analysis(jax.device_put(src.astype(np.int32)),
+                                jax.device_put(qp), depths=self.DEPTHS,
+                                bit_depth=self.seq.bit_depth)
+        self.stats = unpack_analysis(np.asarray(packed), hp, wp, self.DEPTHS)
+
+    # ---- partition argmin ------------------------------------------------
+    def _leaf_j(self, blk: int, by: int, bx: int, rdmult: int):
+        """Best mode + J for one block from the device lattice."""
+        s = self.stats[blk]
+        dist = s["dist"][by, bx].astype(np.int64)
+        rate = s["rate"][by, bx].astype(np.int64)
+        sse = s["sse"][by, bx].astype(np.int64)
+        j_coded = (((rate + self.mode_rate + self.skip0) * rdmult) >> 9) \
+            + (dist << 7)
+        j_skip = (((self.mode_rate + self.skip1) * rdmult) >> 9) + (sse << 7)
+        j = np.minimum(j_coded, j_skip)
+        mi = int(np.argmin(j))
+        return int(j[mi]), int(self.modes[mi])
+
+    def pick(self, r: int, c: int, bsize: int, min_bsize: int,
+             rdmult: int):
+        """Quadtree argmin over the device lattice. Returns (J, plan);
+        plan = ('leaf', bsize, mode) | ('split', bsize, children4) |
+        ('oob', bsize)."""
+        if r >= self.mi_rows or c >= self.mi_cols:
+            return 0, ("oob", bsize)
+        blk = int(BLOCK_W[bsize])
+        bw4 = blk >> 2
+        inside = (r + bw4 <= self.mi_rows) and (c + bw4 <= self.mi_cols)
+        can_split = bsize > min_bsize
+        best = None
+        if inside:
+            by, bx = (r * 4) // blk, (c * 4) // blk
+            j, mode = self._leaf_j(blk, by, bx, rdmult)
+            if blk > 8:
+                j += (int(self.part_costs[blk][Partition.NONE]) * rdmult) >> 9
+            best = (j, ("leaf", bsize, mode))
+        if blk > 8 and (can_split or not inside):
+            from .constants import subsize
+
+            sub = subsize(Partition.SPLIT, bsize)
+            half = bw4 >> 1
+            j = (int(self.part_costs[blk][Partition.SPLIT]) * rdmult) >> 9 \
+                if inside else 0
+            children = []
+            for rr, cc in ((r, c), (r, c + half), (r + half, c),
+                           (r + half, c + half)):
+                jj, plan = self.pick(rr, cc, sub, min_bsize, rdmult)
+                j += jj
+                children.append(plan)
+            if best is None or j < best[0]:
+                best = (j, ("split", bsize, children))
+        assert best is not None
+        return best
+
+    # ---- conformant commit -----------------------------------------------
+    def encode_sb(self, r: int, c: int, sb_bsize: int, min_bsize: int) -> PartitionNode:
+        rdmult = self.md.rdmult
+        _, plan = self.pick(r, c, sb_bsize, min_bsize, rdmult)
+        return self._commit_plan(plan, r, c)
+
+    def _commit_plan(self, plan, r: int, c: int) -> PartitionNode:
+        kind, bsize = plan[0], plan[1]
+        if kind == "oob":
+            return PartitionNode(Partition.NONE, leaf=LeafBlock(bsize))
+        if kind == "split":
+            half = (int(BLOCK_W[bsize]) >> 2) >> 1
+            coords = ((r, c), (r, c + half), (r + half, c),
+                      (r + half, c + half))
+            children = [self._commit_plan(p, rr, cc)
+                        for p, (rr, cc) in zip(plan[2], coords)]
+            return PartitionNode(Partition.SPLIT, children=children)
+        leaf = self._commit_leaf(r, c, bsize, plan[2])
+        return PartitionNode(Partition.NONE, leaf=leaf)
+
+    def _commit_txb(self, pc, pred, x, y, tx_size, plane):
+        """One conformant txb: C kernel when available (DCT_DCT), else the
+        numpy chain. Updates pc.recon in place; returns (qcoeff, eob)."""
+        from ..native import commit as native_commit
+
+        fr = self.fr
+        dc_delta = fr.delta_q_y_dc if plane == 0 else fr.delta_q_u_dc
+        ac_delta = 0 if plane == 0 else fr.delta_q_u_ac
+        if native_commit.available():
+            return native_commit.txb_commit(
+                pc.src, pc.recon, pred, x, y, tx_size,
+                self.md.cur_qindex, dc_delta, ac_delta, self.seq.bit_depth)
+        qc, eob, rec, _ = self.md._txb_rd(pc, pred, x, y, tx_size,
+                                          TxType.DCT_DCT, plane)
+        pc.recon[y : y + rec.shape[0], x : x + rec.shape[1]] = rec
+        return qc, eob
+
+    def _commit_leaf(self, r: int, c: int, bsize: int, mode: int) -> LeafBlock:
+        """Conformant encode of the decided mode: recon-neighbor
+        prediction + exact transform/quant chain; no rate estimation."""
+        md = self.md
+        x, y = c * 4, r * 4
+        pc = md.pctx[0]
+        tx_size = int(MAX_TX_SIZE_RECT[bsize])
+        tx_w, tx_h = int(TX_W[tx_size]), int(TX_H[tx_size])
+        pred = md._predict(pc, x, y, tx_w, tx_h, r > 0, c > 0,
+                           IntraMode(mode))
+        qc, eob = self._commit_txb(pc, pred, x, y, tx_size, 0)
+        txbs = [{"plane": 0, "plane_bsize": bsize, "tx_size": tx_size,
+                 "tx_type": int(TxType.DCT_DCT), "qcoeff": qc, "eob": eob,
+                 "ux": x >> 2, "uy": y >> 2}]
+        bw4 = int(BLOCK_W[bsize]) >> 2
+        bh4 = int(BLOCK_H[bsize]) >> 2
+        if md._has_chroma(r, c, bw4, bh4):
+            ssx, ssy = md.pctx[1].ss_x, md.pctx[1].ss_y
+            cw_px = max(int(BLOCK_W[bsize]) >> ssx, 4)
+            ch_px = max(int(BLOCK_H[bsize]) >> ssy, 4)
+            uv_bsize = block_size_of(cw_px, ch_px)
+            uv_tx = int(MAX_TX_SIZE_RECT[uv_bsize])
+            cx, cy = x >> ssx, y >> ssy
+            for p in (1, 2):
+                pcc = md.pctx[p]
+                predc = md._predict(pcc, cx, cy, int(TX_W[uv_tx]),
+                                    int(TX_H[uv_tx]), cy > 0, cx > 0,
+                                    IntraMode.DC)
+                qcc, eobc = self._commit_txb(pcc, predc, cx, cy, uv_tx, p)
+                txbs.append({"plane": p, "plane_bsize": uv_bsize,
+                             "tx_size": uv_tx,
+                             "tx_type": int(TxType.DCT_DCT), "qcoeff": qcc,
+                             "eob": eobc, "ux": cx >> 2, "uy": cy >> 2})
+        skip = all(t["eob"] == 0 for t in txbs)
+        return LeafBlock(bsize, y_mode=mode, uv_mode=int(IntraMode.DC),
+                         skip=skip, coeffs=None if skip else txbs)
