@@ -487,3 +487,63 @@ int32_t svt_txb_commit(const int64_t *d,
     }
     return eob;
 }
+
+/* ---- whole-txb coefficient emission -----------------------------------
+ * Builds the levels buffer and the per-scan-position nz-map contexts in C
+ * (mirrors coeff_writer._nz_map_contexts), then runs svt_ec_coeffs — one
+ * host call per transform block instead of numpy context derivation +
+ * multi-array marshalling per block.
+ * nz_off: per-position (raster, cw*ch) class-specific ctx offsets,
+ * precomputed once per tx size/class on the Python side. */
+int64_t svt_ec_txb(EcEnc *e, const int32_t *flat, const int32_t *scan,
+                   int eob, int cw, int ch, int tx_class,
+                   const int32_t *nz_off,
+                   int32_t *base_v, int32_t *base_c,
+                   int32_t *beob_v, int32_t *beob_c,
+                   int32_t *br_v, int32_t *br_c,
+                   int32_t *dcs_v, int32_t *dcs_c, int dc_sign_ctx,
+                   int adapt) {
+    static int32_t levels[(32 + 4) * (32 + 4)];
+    static int32_t ctx[32 * 32];
+    const int stride = cw + 4;
+    memset(levels, 0, (size_t)(ch + 4) * stride * sizeof(int32_t));
+    for (int r = 0; r < ch; r++)
+        for (int c = 0; c < cw; c++) {
+            int32_t v = flat[r * cw + c];
+            if (v < 0) v = -v;
+            levels[r * stride + c] = v > 127 ? 127 : v;
+        }
+    const int n = cw * ch;
+    int bwl = 0;
+    while ((1 << bwl) < cw) bwl++;
+    for (int c = 0; c < eob; c++) {
+        int32_t pos = scan[c];
+        int row = pos >> bwl;
+        int col = pos - (row << bwl);
+        const int32_t *l = levels + row * stride + col;
+#define C3(x) ((x) < 3 ? (x) : 3)
+        int mag;
+        if (tx_class == TX_CLASS_2D) {
+            mag = C3(l[1]) + C3(l[stride]) + C3(l[stride + 1]) + C3(l[2]) +
+                  C3(l[2 * stride]);
+        } else if (tx_class == TX_CLASS_HORIZ) {
+            mag = C3(l[1]) + C3(l[stride]) + C3(l[2]) + C3(l[3]) + C3(l[4]);
+        } else { /* VERT */
+            mag = C3(l[1]) + C3(l[stride]) + C3(l[2 * stride]) +
+                  C3(l[3 * stride]) + C3(l[4 * stride]);
+        }
+#undef C3
+        mag = (mag + 1) >> 1;
+        if (mag > 4) mag = 4;
+        int cv = mag + nz_off[pos];
+        if (tx_class == 0 && row == 0 && col == 0) cv = 0;
+        ctx[c] = cv;
+    }
+    if (eob > 0) { /* eob-position context override */
+        int si = eob - 1;
+        ctx[eob - 1] = si == 0 ? 0 : (si <= n / 8 ? 1 : (si <= n / 4 ? 2 : 3));
+    }
+    return svt_ec_coeffs(e, scan, flat, ctx, eob, levels, stride, bwl,
+                         tx_class, base_v, base_c, beob_v, beob_c, br_v,
+                         br_c, dcs_v, dcs_c, dc_sign_ctx, adapt);
+}

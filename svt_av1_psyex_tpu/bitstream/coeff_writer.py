@@ -19,6 +19,7 @@ estimation in ops/.
 from __future__ import annotations
 
 import numpy as np
+from functools import lru_cache
 
 from ..codec.constants import BLOCK_H, BLOCK_W, TX_H, TX_W, TxType, tx_size_sqr, tx_size_sqr_up
 from .tables import scan_table
@@ -185,11 +186,14 @@ class CoeffWriter:
             for i in range(1, offset_bits):
                 tw.enc.encode_literal((eob_extra >> (offset_bits - 1 - i)) & 1, 1)
 
-        # levels buffer (padded right by 4, bottom by 4)
-        levels = np.zeros((ch + 4, cw + TX_PAD_HOR), np.int32)
-        levels[:ch, :cw] = np.minimum(np.abs(flat).reshape(ch, cw), 127)
-
-        coeff_ctx = self._nz_map_contexts(levels, scan, eob, cw, ch, full_w, full_h, tx_class)
+        native = hasattr(tw.enc, "txb")
+        if not (native and not hasattr(tw, "bits")):
+            # levels buffer (padded right by 4, bottom by 4); the native
+            # path builds these inside svt_ec_txb instead
+            levels = np.zeros((ch + 4, cw + TX_PAD_HOR), np.int32)
+            levels[:ch, :cw] = np.minimum(np.abs(flat).reshape(ch, cw), 127)
+            coeff_ctx = self._nz_map_contexts(levels, scan, eob, cw, ch,
+                                              full_w, full_h, tx_class)
 
         bwl = int(np.log2(cw))
         if FAST_RATE and hasattr(tw, "bits"):
@@ -200,18 +204,20 @@ class CoeffWriter:
                                            ptype, dc_sign_ctx)
             av_all = np.abs(flat[scan[:eob]].astype(np.int64))
             cul_level = min(COEFF_CONTEXT_MASK, int(av_all.sum()))
-        elif hasattr(tw.enc, "coeffs"):
-            # native backend: one C call emits base/br symbols, signs,
-            # golomb escapes (native/ecenc.c svt_ec_coeffs)
+        elif native:
+            # native backend: one C call builds levels/contexts and emits
+            # base/br symbols, signs, golomb escapes (svt_ec_txb)
             base = tw.cdfs.coeff_base
             beob = tw.cdfs.coeff_base_eob
             br = tw.cdfs.coeff_br
             dcs = tw.cdfs.dc_sign
-            flat32 = np.ascontiguousarray(flat, np.int32)
-            scan32 = np.ascontiguousarray(scan[:eob], np.int32)
-            ctx32 = np.ascontiguousarray(coeff_ctx, np.int32)
-            cul_level = tw.enc.coeffs(
-                scan32, flat32, ctx32, eob, levels, bwl, tx_class,
+            flat32 = flat if (flat.dtype == np.int32 and
+                              flat.flags.c_contiguous) \
+                else np.ascontiguousarray(flat, np.int32)
+            scan32 = _scan_i32(tx_size, _scan_kind(tx_type))
+            nz_off = _nz_offsets(tx_size, tx_class)
+            cul_level = tw.enc.txb(
+                flat32, scan32, eob, cw, ch, tx_class, nz_off,
                 base[0][ts_ctx, ptype], base[1][ts_ctx, ptype],
                 beob[0][ts_ctx, ptype], beob[1][ts_ctx, ptype],
                 br[0][min(ts_ctx, 3), ptype], br[1][min(ts_ctx, 3), ptype],
@@ -347,6 +353,27 @@ class CoeffWriter:
         eob_ctx = np.where(si == 0, 0, np.where(si <= n // 8, 1, np.where(si <= n // 4, 2, 3)))
         ctx[eob - 1] = eob_ctx[eob - 1]
         return ctx
+
+
+@lru_cache(maxsize=None)
+def _scan_i32(tx_size: int, kind: str) -> np.ndarray:
+    return np.ascontiguousarray(scan_table(tx_size, kind).astype(np.int32))
+
+
+@lru_cache(maxsize=None)
+def _nz_offsets(tx_size: int, tx_class: int) -> np.ndarray:
+    """Per-raster-position nz-map ctx offsets for svt_ec_txb."""
+    cw = min(int(TX_W[tx_size]), 32)
+    ch = min(int(TX_H[tx_size]), 32)
+    full_w, full_h = int(TX_W[tx_size]), int(TX_H[tx_size])
+    row, col = np.divmod(np.arange(ch * cw), cw)
+    if tx_class == TX_CLASS_2D:
+        off = _nz_ctx_offset_2d(row, col, full_w, full_h)
+    elif tx_class == TX_CLASS_VERT:
+        off = _NZ_CTX_OFFSET_1D[np.minimum(row, 31)]
+    else:
+        off = _NZ_CTX_OFFSET_1D[np.minimum(col, 31)]
+    return np.ascontiguousarray(off.astype(np.int32))
 
 
 def _scan_kind(tx_type: int) -> str:

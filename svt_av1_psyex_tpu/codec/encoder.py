@@ -144,10 +144,16 @@ class Av1Encoder:
         return self.encode_frame(planes, base_q_idx, force_key=True)
 
     def encode_frame(self, planes: list[np.ndarray] | None, base_q_idx: int = 80,
-                     force_key: bool = False, plan=None) -> bytes:
+                     force_key: bool = False, plan=None,
+                     _analysis_row=None, _group=None) -> bytes:
         """Encode one frame. `plan` (codec.gop.FramePlan) selects refs/
         refresh/show semantics; None = legacy low-delay IPPP (LAST in every
-        slot, refresh all)."""
+        slot, refresh all).
+
+        Group-pipeline hooks (encode_keyframes): `_analysis_row` is a
+        precomputed device MD lattice row; `_group` is a list collector —
+        when set, CDEF search and the bitstream pass are deferred (the
+        state dict is appended and returned instead of TU bytes)."""
         seq = self.seq
         if not hasattr(self, "slots"):
             self.slots = [None] * 8
@@ -311,7 +317,7 @@ class Av1Encoder:
             from .md_device import DeviceIntraMD
 
             dmd = DeviceIntraMD(md, seq, fr, sb_qmap)
-            dmd.analyze()
+            dmd.analyze(_analysis_row)
             for r in range(0, self.mi_rows, sb_mi):
                 for c in range(0, self.mi_cols, sb_mi):
                     if sb_qmap is not None:
@@ -353,28 +359,67 @@ class Av1Encoder:
                                       seq.subsampling_x, seq.subsampling_y,
                                       seq.bit_depth, txd_g=txd_g)
             if seq.enable_cdef:
-                from ..ops.cdef import cdef_search_frame
                 from .rd import rdcost
 
                 rdm = compute_rdmult(fr.base_q_idx, seq.bit_depth)
-                res = cdef_search_frame(
-                    [p.recon for p in pctx], [p.src for p in pctx], skip_g,
-                    self.mi_rows, self.mi_cols, fr.base_q_idx,
-                    lambda rate, dist: rdcost(rdm, rate, dist),
-                    level=self._cdef_search_level, bit_depth=seq.bit_depth)
-                fr.cdef_damping = 3 + (fr.base_q_idx >> 6)
-                if res is not None:
-                    bits, y_str, uv_str, fb_gi, _ = res
-                    fr.cdef_bits = bits
-                    fr.cdef_y_strengths = tuple(y_str)
-                    fr.cdef_uv_strengths = tuple(uv_str)
-                    tw.cdef_fb_map = fb_gi
-                else:
-                    fr.cdef_bits = 0
-                    fr.cdef_y_strengths = (0,)
-                    fr.cdef_uv_strengths = (0,)
+                rd_fn = lambda rate, dist: rdcost(rdm, rate, dist)  # noqa: E731
+                if _group is not None:
+                    # group pipeline: defer to one batched device call
+                    st = {"tw": tw, "fr": fr, "cdfs": cdfs,
+                          "sb_plans": sb_plans, "pctx": pctx,
+                          "cdef_job": dict(
+                              recon_planes=[p.recon for p in pctx],
+                              src_planes=[p.src for p in pctx],
+                              skip_g=skip_g, mi_rows=self.mi_rows,
+                              mi_cols=self.mi_cols,
+                              base_q_idx=fr.base_q_idx, rdcost_fn=rd_fn)}
+                    _group.append(st)
+                    return st
 
-        for node, r, c in sb_plans:
+                # device CDEF on a real accelerator; numpy path on CPU
+                # backends (tests) where XLA compile time would dominate
+                import jax as _jax
+
+                if (_jax.default_backend() != "cpu"
+                        and os.environ.get("SVT_TPU_HOST_CDEF") != "1"):
+                    from ..device.cdef import cdef_search_frame_device as _cdef
+                else:
+                    from ..ops.cdef import cdef_search_frame as _cdef
+
+                res = _cdef(
+                    [p.recon for p in pctx], [p.src for p in pctx], skip_g,
+                    self.mi_rows, self.mi_cols, fr.base_q_idx, rd_fn,
+                    level=self._cdef_search_level, bit_depth=seq.bit_depth)
+                self._apply_cdef_result(fr, tw, res)
+
+        st = {"tw": tw, "fr": fr, "cdfs": cdfs, "sb_plans": sb_plans,
+              "pctx": pctx, "cdef_job": None}
+        if _group is not None:
+            _group.append(st)
+            return st
+        return self._finalize_frame(st)
+
+    @staticmethod
+    def _apply_cdef_result(fr, tw, res) -> None:
+        fr.cdef_damping = 3 + (fr.base_q_idx >> 6)
+        if res is not None:
+            bits, y_str, uv_str, fb_gi, _ = res
+            fr.cdef_bits = bits
+            fr.cdef_y_strengths = tuple(y_str)
+            fr.cdef_uv_strengths = tuple(uv_str)
+            tw.cdef_fb_map = fb_gi
+        else:
+            fr.cdef_bits = 0
+            fr.cdef_y_strengths = (0,)
+            fr.cdef_uv_strengths = (0,)
+
+    def _finalize_frame(self, st: dict) -> bytes:
+        """Bitstream pass + packaging + DPB update (the tail of
+        encode_frame; split out so the group pipeline can defer it)."""
+        seq = self.seq
+        tw, fr, cdfs = st["tw"], st["fr"], st["cdfs"]
+        pctx = st["pctx"]
+        for node, r, c in st["sb_plans"]:
             tw.write_superblock(node, r, c)
         tile_payload = tw.finish()
         # frame-context save: keep adapted values, reset visit counters
@@ -403,6 +448,64 @@ class Av1Encoder:
             if fr.refresh_frame_flags & (1 << i):
                 self.slots[i] = entry
         return tu
+
+    def encode_keyframes(self, frames: list, base_q_idx: int = 80) -> list[bytes]:
+        """Group-encode consecutive keyframes (picture-level parallelism,
+        SURVEY §2.1): ONE batched device analysis call and ONE batched
+        device CDEF search/apply serve the whole group, amortizing the
+        per-transfer host<->device cost; the conformant commit and
+        entropy passes run per frame on host in between."""
+        import os
+
+        import jax
+
+        use_device = (self.preset >= 10
+                      and not self.seq.use_128x128_superblock
+                      and os.environ.get("SVT_TPU_HOST_MD") != "1")
+        if not use_device or len(frames) <= 1:
+            return [self.encode_frame(f, base_q_idx, force_key=True)
+                    for f in frames]
+        from ..device.intra import intra_analysis_batch, qp_row_for
+        from .md_device import DeviceIntraMD
+
+        lumas = np.stack([
+            DeviceIntraMD.pad_src(self._pad_plane(
+                np.asarray(f[0]), self.aligned_w,
+                self.aligned_h).astype(np.int32))
+            for f in frames])
+        qp = qp_row_for(int(np.clip(base_q_idx, 1, 255)), 0, 0,
+                        self.seq.bit_depth)
+        qps = np.broadcast_to(qp, (len(frames), 10))
+        rows = np.asarray(intra_analysis_batch(
+            jax.device_put(lumas), jax.device_put(qps),
+            depths=DeviceIntraMD.DEPTHS, bit_depth=self.seq.bit_depth))
+
+        group: list = []
+        for i, f in enumerate(frames):
+            self.encode_frame(f, base_q_idx, force_key=True,
+                              _analysis_row=rows[i], _group=group)
+        jobs = [st["cdef_job"] for st in group if st["cdef_job"] is not None]
+        if jobs:
+            if (jax.default_backend() != "cpu"
+                    and os.environ.get("SVT_TPU_HOST_CDEF") != "1"):
+                from ..device.cdef import cdef_group_device
+
+                results = cdef_group_device(jobs, self._cdef_search_level,
+                                            self.seq.bit_depth)
+            else:
+                from ..ops.cdef import cdef_search_frame as _cdef
+
+                results = [
+                    _cdef(j["recon_planes"], j["src_planes"], j["skip_g"],
+                          j["mi_rows"], j["mi_cols"], j["base_q_idx"],
+                          j["rdcost_fn"], level=self._cdef_search_level,
+                          bit_depth=self.seq.bit_depth)
+                    for j in jobs]
+            it = iter(results)
+            for st in group:
+                if st["cdef_job"] is not None:
+                    self._apply_cdef_result(st["fr"], st["tw"], next(it))
+        return [self._finalize_frame(st) for st in group]
 
     def _show_existing_tu(self, slot: int) -> bytes:
         """show_existing_frame TU (spec 5.9.2 first branch)."""

@@ -65,27 +65,40 @@ class DeviceIntraMD:
         self.part_costs = {blk: cdf_costs(pvals[_BSL_CTX[blk] * 4])
                            for blk in (16, 32, 64)}
         self.stats: dict = {}
+        self._commit_ctx = None
 
     # ---- analysis --------------------------------------------------------
-    def analyze(self) -> None:
-        import jax
-
-        from ..device.intra import intra_analysis, qp_row_for
-
-        src = self.md.pctx[0].src
+    @staticmethod
+    def pad_src(src: np.ndarray) -> np.ndarray:
         h, w = src.shape
         hp = (h + 63) & ~63
         wp = (w + 63) & ~63
         if hp != h or wp != w:
             src = np.pad(src, ((0, hp - h), (0, wp - w)), mode="edge")
-        from ..device.intra import unpack_analysis
+        return src
 
-        qp = qp_row_for(self.fr.base_q_idx, self.fr.delta_q_y_dc, 0,
-                        self.seq.bit_depth)
-        packed = intra_analysis(jax.device_put(src.astype(np.int32)),
-                                jax.device_put(qp), depths=self.DEPTHS,
-                                bit_depth=self.seq.bit_depth)
-        self.stats = unpack_analysis(np.asarray(packed), hp, wp, self.DEPTHS)
+    def analyze(self, packed_row: np.ndarray | None = None) -> None:
+        """Pull the device cost lattice. `packed_row` = precomputed row
+        from intra_analysis_batch (group pipeline); None = single-frame
+        device call."""
+        from ..device.intra import (
+            intra_analysis,
+            qp_row_for,
+            unpack_analysis,
+        )
+
+        src = self.pad_src(self.md.pctx[0].src)
+        hp, wp = src.shape
+        if packed_row is None:
+            import jax
+
+            qp = qp_row_for(self.fr.base_q_idx, self.fr.delta_q_y_dc, 0,
+                            self.seq.bit_depth)
+            packed_row = np.asarray(
+                intra_analysis(jax.device_put(src.astype(np.int32)),
+                               jax.device_put(qp), depths=self.DEPTHS,
+                               bit_depth=self.seq.bit_depth))
+        self.stats = unpack_analysis(packed_row, hp, wp, self.DEPTHS)
 
     # ---- partition argmin ------------------------------------------------
     def _leaf_j(self, blk: int, by: int, bx: int, rdmult: int):
@@ -160,15 +173,21 @@ class DeviceIntraMD:
     def _commit_txb(self, pc, pred, x, y, tx_size, plane):
         """One conformant txb: C kernel when available (DCT_DCT), else the
         numpy chain. Updates pc.recon in place; returns (qcoeff, eob)."""
-        from ..native import commit as native_commit
-
         fr = self.fr
         dc_delta = fr.delta_q_y_dc if plane == 0 else fr.delta_q_u_dc
         ac_delta = 0 if plane == 0 else fr.delta_q_u_ac
-        if native_commit.available():
-            return native_commit.txb_commit(
-                pc.src, pc.recon, pred, x, y, tx_size,
-                self.md.cur_qindex, dc_delta, ac_delta, self.seq.bit_depth)
+        ctx = self._commit_ctx
+        if ctx is None:
+            from ..native import commit as native_commit
+
+            if native_commit.available():
+                ctx = self._commit_ctx = native_commit.CommitCtx(
+                    self.seq.bit_depth)
+            else:
+                self._commit_ctx = False
+        if ctx:
+            return ctx.run(pc, pred, x, y, tx_size, self.md.cur_qindex,
+                           dc_delta, ac_delta)
         qc, eob, rec, _ = self.md._txb_rd(pc, pred, x, y, tx_size,
                                           TxType.DCT_DCT, plane)
         pc.recon[y : y + rec.shape[0], x : x + rec.shape[1]] = rec

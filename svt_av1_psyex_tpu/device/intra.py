@@ -240,6 +240,28 @@ def intra_analysis(luma: jnp.ndarray, qp_row: jnp.ndarray,
     return jnp.concatenate(parts)
 
 
+@partial(jax.jit, static_argnames=("depths", "bit_depth"))
+def intra_analysis_batch(lumas: jnp.ndarray, qp_rows: jnp.ndarray,
+                         depths: tuple = (64, 32, 16, 8),
+                         bit_depth: int = 8) -> jnp.ndarray:
+    """Group-of-frames analysis: lumas (F, Hp, Wp) uint8/int32, qp_rows
+    (F, 10). One device call + ONE host fetch for the whole group — the
+    host<->device link has a large per-transfer cost, so frames are
+    batched like the reference's picture-level parallelism (SURVEY §2.1
+    'Picture-level parallelism'). Returns (F, P) packed rows."""
+    lumas = lumas.astype(jnp.int32)
+
+    def one(luma, qp_row):
+        parts = []
+        for blk in depths:
+            d = _analyze_depth(luma, blk, qp_row, bit_depth)
+            parts.extend(d[f].astype(jnp.float32).reshape(-1)
+                         for f in FIELDS)
+        return jnp.concatenate(parts)
+
+    return jax.vmap(one)(lumas, qp_rows)
+
+
 def unpack_analysis(packed: np.ndarray, hp: int, wp: int,
                     depths: tuple = (64, 32, 16, 8)) -> dict:
     """Inverse of the packing in intra_analysis: {blk: {field: (nby, nbx,

@@ -127,3 +127,57 @@ def txb_commit(src: np.ndarray, recon: np.ndarray, pred: np.ndarray,
         pred.ctypes.data_as(_I32P), x, y,
         q10.ctypes.data_as(_I64P), qcoeff.ctypes.data_as(_I32P))
     return qcoeff.reshape(ch, cw), int(eob)
+
+
+class CommitCtx:
+    """Per-frame cache of descriptor/quant/plane pointers so the hot
+    commit loop does no dict lookups or repeated ctypes conversions."""
+
+    def __init__(self, bit_depth: int):
+        self.lib = _lib()
+        self.bit_depth = bit_depth
+        self._desc: dict = {}
+        self._q: dict = {}
+        self._planes: dict = {}
+
+    def _desc_ptr(self, tx_size: int):
+        e = self._desc.get(tx_size)
+        if e is None:
+            desc, keep = _descriptor(tx_size, self.bit_depth)
+            e = (desc.ctypes.data_as(_I64P), int(desc[41]),
+                 int(desc[0]), int(desc[1]), desc, keep)
+            self._desc[tx_size] = e
+        return e
+
+    def _q_ptr(self, qindex: int, dc_d: int, ac_d: int, ls: int):
+        key = (qindex, dc_d, ac_d, ls)
+        e = self._q.get(key)
+        if e is None:
+            q10 = _q10(qindex, dc_d, ac_d, self.bit_depth, ls)
+            e = (q10.ctypes.data_as(_I64P), q10)
+            self._q[key] = e
+        return e
+
+    def plane(self, pc):
+        key = id(pc)
+        e = self._planes.get(key)
+        if e is None:
+            e = (pc.src.ctypes.data_as(_I32P), pc.src.shape[1],
+                 pc.recon.ctypes.data_as(_I32P), pc.recon.shape[1])
+            self._planes[key] = e
+        return e
+
+    def run(self, pc, pred: np.ndarray, x: int, y: int, tx_size: int,
+            qindex: int, dc_d: int, ac_d: int):
+        dptr, ls, w, h, _d, _k = self._desc_ptr(tx_size)
+        qptr, _q = self._q_ptr(qindex, dc_d, ac_d, ls)
+        sptr, sstride, rptr, rstride = self.plane(pc)
+        if not (pred.flags.c_contiguous and pred.dtype == np.int32):
+            pred = np.ascontiguousarray(pred, np.int32)
+        cw, ch = min(w, 32), min(h, 32)
+        qcoeff = np.empty(ch * cw, np.int32)
+        eob = self.lib.svt_txb_commit(
+            dptr, sptr, sstride, rptr, rstride,
+            pred.ctypes.data_as(_I32P), x, y, qptr,
+            qcoeff.ctypes.data_as(_I32P))
+        return qcoeff.reshape(ch, cw), int(eob)

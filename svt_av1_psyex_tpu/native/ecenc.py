@@ -29,7 +29,8 @@ _I32P = ctypes.POINTER(ctypes.c_int32)
 
 
 def _build() -> None:
-    cmd = ["gcc", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)]
+    cmd = ["gcc", "-O3", "-march=native", "-shared", "-fPIC", str(_SRC),
+           "-o", str(_SO)]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -55,6 +56,9 @@ def get_lib():
             ctypes.c_int, _I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ] + [_I32P] * 8 + [ctypes.c_int, ctypes.c_int]
         lib.svt_ec_coeffs.restype = ctypes.c_int64
+        lib.svt_ec_txb.argtypes = [ctypes.c_void_p, _I32P, _I32P] + [
+            ctypes.c_int] * 4 + [_I32P] * 9 + [ctypes.c_int, ctypes.c_int]
+        lib.svt_ec_txb.restype = ctypes.c_int64
         # pointers passed as raw addresses (array lifetimes owned by the
         # caller's cache) to avoid per-call ctypes cast overhead
         lib.svt_net_run.argtypes = (
@@ -98,6 +102,18 @@ class NativeEntropyEncoder:
                      counter_row: np.ndarray, n: int, adapt: bool) -> None:
         self._lib.svt_ec_symbol(self._h, _ptr(values_row), _ptr(counter_row),
                                 n, int(symbol), 1 if adapt else 0)
+
+    def txb(self, flat, scan, eob, cw, ch, tx_class, nz_off,
+            base, base_cnt, beob, beob_cnt, br, br_cnt, dcs, dcs_cnt,
+            dc_sign_ctx, adapt) -> int:
+        """Whole-txb emission: levels + nz contexts + all coefficient
+        symbols in one C call (native/ecenc.c svt_ec_txb)."""
+        return int(self._lib.svt_ec_txb(
+            self._h, _ptr(flat), _ptr(scan), int(eob), int(cw), int(ch),
+            int(tx_class), _ptr(nz_off),
+            _ptr(base), _ptr(base_cnt), _ptr(beob), _ptr(beob_cnt),
+            _ptr(br), _ptr(br_cnt), _ptr(dcs), _ptr(dcs_cnt),
+            int(dc_sign_ctx), 1 if adapt else 0))
 
     def coeffs(self, scan, flat, coeff_ctx, eob, levels, bwl, tx_class,
                base, base_cnt, beob, beob_cnt, br, br_cnt, dcs, dcs_cnt,
