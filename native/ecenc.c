@@ -409,11 +409,13 @@ int32_t svt_txb_commit(const int64_t *d,
                 fcol.btf, fcol.clp, fcol.ns, (int)d[35], 0);
     vec_rshift(CBUF_A, w * h, (int)d[31]);
     transpose64(CBUF_A, CBUF_T, w, h); /* -> row-major (h, w) */
-    svt_net_run(CBUF_T, CBUF_B, h, w, frow.s0, frow.w0, frow.s1, frow.w1,
+    /* only the first ch coefficient rows are kept (64-class keeps the
+       top-left 32x32), so the row pass runs on ch lanes, not h */
+    svt_net_run(CBUF_T, CBUF_B, ch, w, frow.s0, frow.w0, frow.s1, frow.w1,
                 frow.btf, frow.clp, frow.ns, (int)d[36], 0);
-    vec_rshift(CBUF_T, w * h, (int)d[32]);
+    vec_rshift(CBUF_T, w * ch, (int)d[32]);
     if (d[40])
-        for (int i = 0; i < w * h; i++)
+        for (int i = 0; i < w * ch; i++)
             CBUF_T[i] = rshift64(CBUF_T[i] * SQRT2, 12);
 
     /* quantize top-left (ch, cw) */
@@ -460,18 +462,20 @@ int32_t svt_txb_commit(const int64_t *d,
         return 0;
     }
 
-    /* inverse: pad dq coeffs to (h, w) row-major */
+    /* inverse: pad dq coeffs to (h, w) row-major; rows >= ch are all
+       zero and the 1-D nets map zero to zero, so the row pass runs on
+       the first ch lanes only */
     memset(CBUF_T, 0, (size_t)w * h * sizeof(int64_t));
     for (int r = 0; r < ch; r++)
         for (int c = 0; c < cw; c++)
             CBUF_T[(size_t)r * w + c] = CBUF_A[r * cw + c];
     if (d[40])
-        for (int i = 0; i < w * h; i++)
+        for (int i = 0; i < w * ch; i++)
             CBUF_T[i] = rshift64(CBUF_T[i] * INV_SQRT2, 12);
-    vec_clamp(CBUF_T, w * h, (int)d[44]);
-    svt_net_run(CBUF_T, CBUF_B, h, w, irow.s0, irow.w0, irow.s1, irow.w1,
+    vec_clamp(CBUF_T, w * ch, (int)d[44]);
+    svt_net_run(CBUF_T, CBUF_B, ch, w, irow.s0, irow.w0, irow.s1, irow.w1,
                 irow.btf, irow.clp, irow.ns, (int)d[37], (int)d[38]);
-    vec_rshift(CBUF_T, w * h, (int)d[33]);
+    vec_rshift(CBUF_T, w * ch, (int)d[33]);
     transpose64(CBUF_T, CBUF_A, h, w); /* -> (w, h) column lanes */
     vec_clamp(CBUF_A, w * h, (int)d[45]);
     svt_net_run(CBUF_A, CBUF_B, w, h, icol.s0, icol.w0, icol.s1, icol.w1,

@@ -93,6 +93,7 @@ class CoeffWriter:
         self.tw = tile_writer
         self.ss_x = ss_x
         self.ss_y = ss_y
+        self._txb_ptr_cache: dict = {}
         self.above = [np.zeros(mi_cols, np.uint8),
                       np.zeros((mi_cols >> ss_x) + 1, np.uint8),
                       np.zeros((mi_cols >> ss_x) + 1, np.uint8)]
@@ -206,22 +207,35 @@ class CoeffWriter:
             cul_level = min(COEFF_CONTEXT_MASK, int(av_all.sum()))
         elif native:
             # native backend: one C call builds levels/contexts and emits
-            # base/br symbols, signs, golomb escapes (svt_ec_txb)
-            base = tw.cdfs.coeff_base
-            beob = tw.cdfs.coeff_base_eob
-            br = tw.cdfs.coeff_br
-            dcs = tw.cdfs.dc_sign
+            # base/br symbols, signs, golomb escapes (svt_ec_txb); CDF
+            # group/row addresses cached per (ts_ctx, ptype) for the
+            # writer's lifetime (rows are adapted in place)
+            key = (ts_ctx, ptype, tx_size, tx_class)
+            e = self._txb_ptr_cache.get(key)
+            if e is None:
+                base = tw.cdfs.coeff_base
+                beob = tw.cdfs.coeff_base_eob
+                br = tw.cdfs.coeff_br
+                dcs = tw.cdfs.dc_sign
+                rows = (base[0][ts_ctx, ptype], base[1][ts_ctx, ptype],
+                        beob[0][ts_ctx, ptype], beob[1][ts_ctx, ptype],
+                        br[0][min(ts_ctx, 3), ptype],
+                        br[1][min(ts_ctx, 3), ptype],
+                        dcs[0][ptype], dcs[1][ptype])
+                scan32 = _scan_i32(tx_size, _scan_kind(tx_type))
+                nz_off = _nz_offsets(tx_size, tx_class)
+                e = ([r.ctypes.data for r in rows],
+                     scan32.ctypes.data, nz_off.ctypes.data, rows,
+                     scan32, nz_off)
+                self._txb_ptr_cache[key] = e
+            ptrs, scan_p, nz_p = e[0], e[1], e[2]
             flat32 = flat if (flat.dtype == np.int32 and
                               flat.flags.c_contiguous) \
                 else np.ascontiguousarray(flat, np.int32)
-            scan32 = _scan_i32(tx_size, _scan_kind(tx_type))
-            nz_off = _nz_offsets(tx_size, tx_class)
-            cul_level = tw.enc.txb(
-                flat32, scan32, eob, cw, ch, tx_class, nz_off,
-                base[0][ts_ctx, ptype], base[1][ts_ctx, ptype],
-                beob[0][ts_ctx, ptype], beob[1][ts_ctx, ptype],
-                br[0][min(ts_ctx, 3), ptype], br[1][min(ts_ctx, 3), ptype],
-                dcs[0][ptype], dcs[1][ptype], dc_sign_ctx, tw.adapt)
+            cul_level = int(tw.enc._lib.svt_ec_txb(
+                tw.enc._h, flat32.ctypes.data, scan_p, eob, cw, ch,
+                tx_class, nz_p, *ptrs, dc_sign_ctx,
+                1 if tw.adapt else 0))
         else:
             for c in range(eob - 1, -1, -1):
                 pos = int(scan[c])

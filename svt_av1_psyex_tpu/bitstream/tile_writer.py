@@ -73,6 +73,8 @@ class TileWriter:
         from ..native.ecenc import make_entropy_encoder
 
         self.enc = make_entropy_encoder()
+        self._row_cache: dict = {}
+        self._sym_fast = hasattr(self.enc, "symbol_ptr")
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
         self.r0 = tile_mi_row_start
@@ -114,6 +116,22 @@ class TileWriter:
 
     # ---- symbol helper with adaptation --------------------------------------
     def _sym_at(self, symbol: int, cdf_pair, *idx) -> None:
+        if self._sym_fast:
+            # cache row addresses per (cdf family, index): the CDF arrays
+            # are per-frame objects mutated in place by adaptation, so the
+            # pointers stay valid for the writer's lifetime
+            key = (id(cdf_pair[0]), idx)
+            e = self._row_cache.get(key)
+            if e is None:
+                values, counters, nsyms = cdf_pair
+                if idx:
+                    row, cnt, n = values[idx], counters[idx], int(nsyms[idx])
+                else:
+                    row, cnt, n = values, counters, int(nsyms)
+                e = (row.ctypes.data, cnt.ctypes.data, n, row, cnt)
+                self._row_cache[key] = e
+            self.enc.symbol_ptr(symbol, e[0], e[1], e[2], self.adapt)
+            return
         values, counters, nsyms = cdf_pair
         if idx:
             row = values[idx]

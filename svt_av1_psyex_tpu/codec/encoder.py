@@ -376,16 +376,7 @@ class Av1Encoder:
                     _group.append(st)
                     return st
 
-                # device CDEF on a real accelerator; numpy path on CPU
-                # backends (tests) where XLA compile time would dominate
-                import jax as _jax
-
-                if (_jax.default_backend() != "cpu"
-                        and os.environ.get("SVT_TPU_HOST_CDEF") != "1"):
-                    from ..device.cdef import cdef_search_frame_device as _cdef
-                else:
-                    from ..ops.cdef import cdef_search_frame as _cdef
-
+                _cdef = self._pick_cdef()
                 res = _cdef(
                     [p.recon for p in pctx], [p.src for p in pctx], skip_g,
                     self.mi_rows, self.mi_cols, fr.base_q_idx, rd_fn,
@@ -398,6 +389,27 @@ class Av1Encoder:
             _group.append(st)
             return st
         return self._finalize_frame(st)
+
+    @staticmethod
+    def _pick_cdef():
+        """CDEF backend: native C (fastest on the serial host at small
+        frames), device (SVT_TPU_DEVICE_CDEF=1 or as part of group
+        batching at scale), numpy fallback. All share the full-grid
+        search contract."""
+        import os
+
+        if os.environ.get("SVT_TPU_DEVICE_CDEF") == "1":
+            from ..device.cdef import cdef_search_frame_device
+
+            return cdef_search_frame_device
+        if os.environ.get("SVT_TPU_HOST_CDEF") != "1":
+            from ..native import cdefc
+
+            if cdefc.available():
+                return cdefc.cdef_search_frame_c
+        from ..ops.cdef import cdef_search_frame
+
+        return cdef_search_frame
 
     @staticmethod
     def _apply_cdef_result(fr, tw, res) -> None:
@@ -468,16 +480,31 @@ class Av1Encoder:
         from ..device.intra import intra_analysis_batch, qp_row_for
         from .md_device import DeviceIntraMD
 
+        # narrow dtype for the upload (the link is bandwidth-bound)
+        lum_dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
         lumas = np.stack([
             DeviceIntraMD.pad_src(self._pad_plane(
                 np.asarray(f[0]), self.aligned_w,
-                self.aligned_h).astype(np.int32))
+                self.aligned_h).astype(lum_dt))
             for f in frames])
-        qp = qp_row_for(int(np.clip(base_q_idx, 1, 255)), 0, 0,
-                        self.seq.bit_depth)
+        q0 = int(np.clip(base_q_idx, 1, 255))
+        qp = qp_row_for(q0, 0, 0, self.seq.bit_depth)
         qps = np.broadcast_to(qp, (len(frames), 10))
+        # RD reduction constants (frame CDF snapshot costs)
+        from ..bitstream.tables import FrameCdfs
+        from ..device.intra import DEVICE_MODES
+        from .rd import cdf_costs, compute_rdmult
+
+        cdfs0 = FrameCdfs(q0)
+        mode_rate = cdf_costs(cdfs0.kf_y_mode[0][0, 0])[list(DEVICE_MODES)]
+        sk = cdf_costs(cdfs0.skip[0][0])
+        rd = np.concatenate([
+            [compute_rdmult(q0, self.seq.bit_depth), sk[0], sk[1]],
+            mode_rate]).astype(np.int32)
+        rd_rows = np.broadcast_to(rd, (len(frames), rd.size))
         rows = np.asarray(intra_analysis_batch(
             jax.device_put(lumas), jax.device_put(qps),
+            jax.device_put(rd_rows),
             depths=DeviceIntraMD.DEPTHS, bit_depth=self.seq.bit_depth))
 
         group: list = []
@@ -486,15 +513,13 @@ class Av1Encoder:
                               _analysis_row=rows[i], _group=group)
         jobs = [st["cdef_job"] for st in group if st["cdef_job"] is not None]
         if jobs:
-            if (jax.default_backend() != "cpu"
-                    and os.environ.get("SVT_TPU_HOST_CDEF") != "1"):
+            if os.environ.get("SVT_TPU_DEVICE_CDEF") == "1":
                 from ..device.cdef import cdef_group_device
 
                 results = cdef_group_device(jobs, self._cdef_search_level,
                                             self.seq.bit_depth)
             else:
-                from ..ops.cdef import cdef_search_frame as _cdef
-
+                _cdef = self._pick_cdef()
                 results = [
                     _cdef(j["recon_planes"], j["src_planes"], j["skip_g"],
                           j["mi_rows"], j["mi_cols"], j["base_q_idx"],

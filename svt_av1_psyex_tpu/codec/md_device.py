@@ -77,14 +77,22 @@ class DeviceIntraMD:
             src = np.pad(src, ((0, hp - h), (0, wp - w)), mode="edge")
         return src
 
+    def rd_row(self) -> np.ndarray:
+        """[rdmult, skip0, skip1, mode_costs...] for the on-device RD
+        reduction (frame-level rdmult; per-SB deltaq from variance boost
+        only re-weights the host partition rates)."""
+        return np.concatenate([
+            np.array([self.md.rdmult, self.skip0, self.skip1], np.int32),
+            self.mode_rate.astype(np.int32)])
+
     def analyze(self, packed_row: np.ndarray | None = None) -> None:
-        """Pull the device cost lattice. `packed_row` = precomputed row
-        from intra_analysis_batch (group pipeline); None = single-frame
-        device call."""
+        """Pull the device (J, mode) lattice. `packed_row` = precomputed
+        row from intra_analysis_batch (group pipeline); None = single-
+        frame device call."""
         from ..device.intra import (
-            intra_analysis,
+            intra_analysis_batch,
             qp_row_for,
-            unpack_analysis,
+            unpack_rd_analysis,
         )
 
         src = self.pad_src(self.md.pctx[0].src)
@@ -94,25 +102,18 @@ class DeviceIntraMD:
 
             qp = qp_row_for(self.fr.base_q_idx, self.fr.delta_q_y_dc, 0,
                             self.seq.bit_depth)
-            packed_row = np.asarray(
-                intra_analysis(jax.device_put(src.astype(np.int32)),
-                               jax.device_put(qp), depths=self.DEPTHS,
-                               bit_depth=self.seq.bit_depth))
-        self.stats = unpack_analysis(packed_row, hp, wp, self.DEPTHS)
+            packed_row = np.asarray(intra_analysis_batch(
+                jax.device_put(src.astype(np.int32)[None]),
+                jax.device_put(qp[None]),
+                jax.device_put(self.rd_row()[None]),
+                depths=self.DEPTHS, bit_depth=self.seq.bit_depth))[0]
+        self.stats = unpack_rd_analysis(packed_row, hp, wp, self.DEPTHS)
 
     # ---- partition argmin ------------------------------------------------
     def _leaf_j(self, blk: int, by: int, bx: int, rdmult: int):
-        """Best mode + J for one block from the device lattice."""
+        """Best mode + J for one block (reduced on device)."""
         s = self.stats[blk]
-        dist = s["dist"][by, bx].astype(np.int64)
-        rate = s["rate"][by, bx].astype(np.int64)
-        sse = s["sse"][by, bx].astype(np.int64)
-        j_coded = (((rate + self.mode_rate + self.skip0) * rdmult) >> 9) \
-            + (dist << 7)
-        j_skip = (((self.mode_rate + self.skip1) * rdmult) >> 9) + (sse << 7)
-        j = np.minimum(j_coded, j_skip)
-        mi = int(np.argmin(j))
-        return int(j[mi]), int(self.modes[mi])
+        return int(s["j"][by, bx]), int(self.modes[int(s["mode"][by, bx])])
 
     def pick(self, r: int, c: int, bsize: int, min_bsize: int,
              rdmult: int):

@@ -185,8 +185,11 @@ def _rate_dist(qabs, dq, resid, blk: int, bit_depth: int):
     return dist, rate.astype(jnp.int32), eob.astype(jnp.int32)
 
 
-def _analyze_depth(luma, blk: int, qp_row, bit_depth: int):
-    """All blocks of one depth: -> dict of (B, M) / (B,) arrays."""
+def _analyze_depth(luma, blk: int, qp_row, bit_depth: int,
+                   rd_row=None):
+    """All blocks of one depth: -> dict of (B, M) / (B,) arrays.
+    With rd_row (see intra_analysis_batch) the RD reduction happens on
+    device and only (jbest, mode_best) per block are returned."""
     tiles = _extract_blocks(luma, blk)
     above, left, tl = _block_neighbors(luma, blk)
     preds = _predict_modes(tiles, above, left, tl, blk)  # (M,B,blk,blk)
@@ -200,12 +203,26 @@ def _analyze_depth(luma, blk: int, qp_row, bit_depth: int):
         _rp2(qp_row[1], log_scale), _rp2(qp_row[6], log_scale),
         _rp2(qp_row[0], log_scale), _rp2(qp_row[5], log_scale), log_scale)
     dist, rate, eob = _rate_dist(qabs, dq, resid, blk, bit_depth)
-    return {
-        "dist": dist.reshape(m, b).T,      # (B, M) f32
-        "rate": rate.reshape(m, b).T,      # (B, M) i32, bits<<9
-        "sse": sse.reshape(m, b).T,        # (B, M) f32 — skip distortion
-        "eob": eob.reshape(m, b).T,        # (B, M) i32
-    }
+    if rd_row is None:
+        return {
+            "dist": dist.reshape(m, b).T,      # (B, M) f32
+            "rate": rate.reshape(m, b).T,      # (B, M) i32, bits<<9
+            "sse": sse.reshape(m, b).T,        # (B, M) f32 — skip distortion
+            "eob": eob.reshape(m, b).T,        # (B, M) i32
+        }
+    # on-device RD reduction: rd_row = [rdmult, skip0, skip1,
+    # mode_rate[0..M-1]] (1/512-bit costs from the frame CDFs)
+    rdmult = rd_row[0].astype(jnp.float32)
+    mode_rate = rd_row[3 : 3 + m].astype(jnp.float32)[:, None]
+    j_coded = ((rate.reshape(m, b).astype(jnp.float32) + mode_rate
+                + rd_row[1]) * rdmult / 512.0
+               + dist.reshape(m, b) * 128.0)
+    j_skip = ((mode_rate + rd_row[2]) * rdmult / 512.0
+              + sse.reshape(m, b) * 128.0)
+    j = jnp.minimum(j_coded, j_skip)  # (M, B)
+    mode_best = jnp.argmin(j, axis=0)
+    jbest = j.min(axis=0)
+    return {"j": jbest, "mode": mode_best.astype(jnp.float32)}
 
 
 def _rp2(x, n):
@@ -242,24 +259,45 @@ def intra_analysis(luma: jnp.ndarray, qp_row: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("depths", "bit_depth"))
 def intra_analysis_batch(lumas: jnp.ndarray, qp_rows: jnp.ndarray,
+                         rd_rows: jnp.ndarray,
                          depths: tuple = (64, 32, 16, 8),
                          bit_depth: int = 8) -> jnp.ndarray:
-    """Group-of-frames analysis: lumas (F, Hp, Wp) uint8/int32, qp_rows
-    (F, 10). One device call + ONE host fetch for the whole group — the
+    """Group-of-frames analysis with on-device RD reduction.
+
+    lumas (F, Hp, Wp) uint8/uint16, qp_rows (F, 10), rd_rows (F, 3+M) =
+    [rdmult, skip0_cost, skip1_cost, mode_costs...] in 1/512-bit units.
+    One device call + ONE compact host fetch for the whole group — the
     host<->device link has a large per-transfer cost, so frames are
-    batched like the reference's picture-level parallelism (SURVEY §2.1
-    'Picture-level parallelism'). Returns (F, P) packed rows."""
+    batched like the reference's picture-level parallelism (SURVEY §2.1)
+    and only (jbest, mode) per block leave the device.
+    Returns (F, P) packed rows; unpack with unpack_rd_analysis."""
     lumas = lumas.astype(jnp.int32)
 
-    def one(luma, qp_row):
+    def one(luma, qp_row, rd_row):
         parts = []
         for blk in depths:
-            d = _analyze_depth(luma, blk, qp_row, bit_depth)
-            parts.extend(d[f].astype(jnp.float32).reshape(-1)
-                         for f in FIELDS)
+            d = _analyze_depth(luma, blk, qp_row, bit_depth, rd_row)
+            parts.append(d["j"])
+            parts.append(d["mode"])
         return jnp.concatenate(parts)
 
-    return jax.vmap(one)(lumas, qp_rows)
+    return jax.vmap(one)(lumas, qp_rows, rd_rows)
+
+
+def unpack_rd_analysis(packed: np.ndarray, hp: int, wp: int,
+                       depths: tuple = (64, 32, 16, 8)) -> dict:
+    """{blk: {"j": (nby, nbx) f32, "mode": (nby, nbx) int}}."""
+    out = {}
+    pos = 0
+    for blk in depths:
+        nby, nbx = hp // blk, wp // blk
+        n = nby * nbx
+        j = packed[pos : pos + n].reshape(nby, nbx); pos += n
+        mode = packed[pos : pos + n].reshape(nby, nbx).astype(np.int32)
+        pos += n
+        out[blk] = {"j": j, "mode": mode}
+    assert pos == packed.size
+    return out
 
 
 def unpack_analysis(packed: np.ndarray, hp: int, wp: int,

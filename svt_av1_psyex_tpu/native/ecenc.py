@@ -19,7 +19,9 @@ from pathlib import Path
 
 import numpy as np
 
-_SRC = Path(__file__).resolve().parents[2] / "native" / "ecenc.c"
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_SRC = _NATIVE_DIR / "ecenc.c"
+_SRCS = [_SRC, _NATIVE_DIR / "cdef.c"]
 _SO = Path(__file__).parent / "_ecenc.so"
 
 _lib = None
@@ -29,8 +31,8 @@ _I32P = ctypes.POINTER(ctypes.c_int32)
 
 
 def _build() -> None:
-    cmd = ["gcc", "-O3", "-march=native", "-shared", "-fPIC", str(_SRC),
-           "-o", str(_SO)]
+    cmd = ["gcc", "-O3", "-march=native", "-shared", "-fPIC",
+           *[str(s) for s in _SRCS], "-o", str(_SO), "-lm"]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -39,13 +41,15 @@ def get_lib():
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _SO.exists() or any(_SO.stat().st_mtime < s.stat().st_mtime
+                                   for s in _SRCS):
             _build()
         lib = ctypes.CDLL(str(_SO))
         lib.svt_ec_create.restype = ctypes.c_void_p
         lib.svt_ec_free.argtypes = [ctypes.c_void_p]
-        lib.svt_ec_symbol.argtypes = [ctypes.c_void_p, _I32P, _I32P,
-                                      ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.svt_ec_symbol.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int]
         lib.svt_ec_literal.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
                                        ctypes.c_int]
         lib.svt_ec_done.argtypes = [ctypes.c_void_p,
@@ -56,8 +60,9 @@ def get_lib():
             ctypes.c_int, _I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ] + [_I32P] * 8 + [ctypes.c_int, ctypes.c_int]
         lib.svt_ec_coeffs.restype = ctypes.c_int64
-        lib.svt_ec_txb.argtypes = [ctypes.c_void_p, _I32P, _I32P] + [
-            ctypes.c_int] * 4 + [_I32P] * 9 + [ctypes.c_int, ctypes.c_int]
+        lib.svt_ec_txb.argtypes = ([ctypes.c_void_p] * 3 +
+            [ctypes.c_int] * 4 + [ctypes.c_void_p] * 9 +
+            [ctypes.c_int, ctypes.c_int])
         lib.svt_ec_txb.restype = ctypes.c_int64
         # pointers passed as raw addresses (array lifetimes owned by the
         # caller's cache) to avoid per-call ctypes cast overhead
@@ -102,6 +107,12 @@ class NativeEntropyEncoder:
                      counter_row: np.ndarray, n: int, adapt: bool) -> None:
         self._lib.svt_ec_symbol(self._h, _ptr(values_row), _ptr(counter_row),
                                 n, int(symbol), 1 if adapt else 0)
+
+    def symbol_ptr(self, symbol: int, vptr: int, cptr: int, n: int,
+                   adapt: bool) -> None:
+        """Raw-address variant for callers that cache row pointers."""
+        self._lib.svt_ec_symbol(self._h, vptr, cptr, n, int(symbol),
+                                1 if adapt else 0)
 
     def txb(self, flat, scan, eob, cw, ch, tx_class, nz_off,
             base, base_cnt, beob, beob_cnt, br, br_cnt, dcs, dcs_cnt,
