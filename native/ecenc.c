@@ -397,36 +397,44 @@ int32_t svt_txb_commit(const int64_t *d,
     net_from_desc(d + 16, &irow);
     net_from_desc(d + 23, &icol);
 
-    /* residual, transposed into column lanes: A[c*h + r] */
+    /* residual in lane-major layout for the column pass (batch = w
+       columns, lanes = h rows): x[i*batch + b] = resid[i][b], which is
+       plain row-major — the lane-major executor's inner loops then run
+       contiguously over the batch and vectorize */
     for (int r = 0; r < h; r++) {
         const int32_t *s = src + (size_t)(y0 + r) * src_stride + x0;
         const int32_t *p = pred + (size_t)r * w;
+        int64_t *o = CBUF_A + (size_t)r * w;
         for (int c = 0; c < w; c++)
-            CBUF_A[(size_t)c * h + r] = (int64_t)s[c] - p[c];
+            o[c] = (int64_t)s[c] - p[c];
     }
     vec_rshift(CBUF_A, w * h, (int)d[30]);
-    svt_net_run(CBUF_A, CBUF_B, w, h, fcol.s0, fcol.w0, fcol.s1, fcol.w1,
-                fcol.btf, fcol.clp, fcol.ns, (int)d[35], 0);
+    svt_net_run_T(CBUF_A, CBUF_B, w, h, fcol.s0, fcol.w0, fcol.s1, fcol.w1,
+                  fcol.btf, fcol.clp, fcol.ns, (int)d[35], 0);
     vec_rshift(CBUF_A, w * h, (int)d[31]);
-    transpose64(CBUF_A, CBUF_T, w, h); /* -> row-major (h, w) */
-    /* only the first ch coefficient rows are kept (64-class keeps the
-       top-left 32x32), so the row pass runs on ch lanes, not h */
-    svt_net_run(CBUF_T, CBUF_B, ch, w, frow.s0, frow.w0, frow.s1, frow.w1,
-                frow.btf, frow.clp, frow.ns, (int)d[36], 0);
+    /* row pass: lanes along w, batch = first ch coefficient rows (only
+       the top-left 32x32 is coded for the 64-class) */
+    for (int i = 0; i < w; i++)
+        for (int b = 0; b < ch; b++)
+            CBUF_T[(size_t)i * ch + b] = CBUF_A[(size_t)b * w + i];
+    svt_net_run_T(CBUF_T, CBUF_B, ch, w, frow.s0, frow.w0, frow.s1, frow.w1,
+                  frow.btf, frow.clp, frow.ns, (int)d[36], 0);
     vec_rshift(CBUF_T, w * ch, (int)d[32]);
     if (d[40])
         for (int i = 0; i < w * ch; i++)
             CBUF_T[i] = rshift64(CBUF_T[i] * SQRT2, 12);
 
-    /* quantize top-left (ch, cw) */
+    /* quantize top-left (ch, cw); coeff (r,c) lives at CBUF_T[c*ch + r].
+       dqcoeff goes back into CBUF_A lane-major (w, ch) for the inverse */
     const int32_t *scan = (const int32_t *)(intptr_t)d[42];
     const int n = cw * ch;
     int32_t eob = 0;
+    memset(CBUF_A, 0, (size_t)w * ch * sizeof(int64_t));
     for (int r = 0; r < ch; r++) {
         for (int c = 0; c < cw; c++) {
             const int i = r * cw + c;
             const int isdc = (i == 0);
-            const int64_t coeff = CBUF_T[(size_t)r * w + c];
+            const int64_t coeff = CBUF_T[(size_t)c * ch + r];
             const int64_t zbin = q10[isdc ? 0 : 5];
             const int64_t rnd = q10[isdc ? 1 : 6];
             const int64_t quant = q10[isdc ? 2 : 7];
@@ -444,7 +452,7 @@ int32_t svt_txb_commit(const int64_t *d,
                 dq = ((int64_t)q * deq) >> ls;
             }
             qcoeff[i] = coeff < 0 ? -q : q;
-            CBUF_A[i] = coeff < 0 ? -dq : dq; /* dqcoeff raster (ch,cw) */
+            CBUF_A[(size_t)c * ch + r] = coeff < 0 ? -dq : dq;
         }
     }
     for (int k = 0; k < n; k++)
@@ -462,30 +470,31 @@ int32_t svt_txb_commit(const int64_t *d,
         return 0;
     }
 
-    /* inverse: pad dq coeffs to (h, w) row-major; rows >= ch are all
-       zero and the 1-D nets map zero to zero, so the row pass runs on
-       the first ch lanes only */
-    memset(CBUF_T, 0, (size_t)w * h * sizeof(int64_t));
-    for (int r = 0; r < ch; r++)
-        for (int c = 0; c < cw; c++)
-            CBUF_T[(size_t)r * w + c] = CBUF_A[r * cw + c];
+    /* inverse row pass: lanes along w, batch = ch dq rows (rows >= ch
+       are zero and the 1-D nets map zero to zero) */
     if (d[40])
         for (int i = 0; i < w * ch; i++)
-            CBUF_T[i] = rshift64(CBUF_T[i] * INV_SQRT2, 12);
-    vec_clamp(CBUF_T, w * ch, (int)d[44]);
-    svt_net_run(CBUF_T, CBUF_B, ch, w, irow.s0, irow.w0, irow.s1, irow.w1,
-                irow.btf, irow.clp, irow.ns, (int)d[37], (int)d[38]);
-    vec_rshift(CBUF_T, w * ch, (int)d[33]);
-    transpose64(CBUF_T, CBUF_A, h, w); /* -> (w, h) column lanes */
-    vec_clamp(CBUF_A, w * h, (int)d[45]);
-    svt_net_run(CBUF_A, CBUF_B, w, h, icol.s0, icol.w0, icol.s1, icol.w1,
-                icol.btf, icol.clp, icol.ns, (int)d[37], (int)d[39]);
-    vec_rshift(CBUF_A, w * h, (int)d[34]);
+            CBUF_A[i] = rshift64(CBUF_A[i] * INV_SQRT2, 12);
+    vec_clamp(CBUF_A, w * ch, (int)d[44]);
+    svt_net_run_T(CBUF_A, CBUF_B, ch, w, irow.s0, irow.w0, irow.s1, irow.w1,
+                  irow.btf, irow.clp, irow.ns, (int)d[37], (int)d[38]);
+    vec_rshift(CBUF_A, w * ch, (int)d[33]);
+    /* inverse col pass: lanes along h, batch = w columns */
+    memset(CBUF_T, 0, (size_t)w * h * sizeof(int64_t));
+    for (int bcol = 0; bcol < w; bcol++)
+        for (int ir = 0; ir < ch; ir++)
+            CBUF_T[(size_t)ir * w + bcol] = CBUF_A[(size_t)bcol * ch + ir];
+    vec_clamp(CBUF_T, w * ch, (int)d[45]);
+    svt_net_run_T(CBUF_T, CBUF_B, w, h, icol.s0, icol.w0, icol.s1, icol.w1,
+                  icol.btf, icol.clp, icol.ns, (int)d[37], (int)d[39]);
+    vec_rshift(CBUF_T, w * h, (int)d[34]);
+    /* result is lane-major (h, w) == the image layout */
     for (int r = 0; r < h; r++) {
         int32_t *o = recon + (size_t)(y0 + r) * rec_stride + x0;
         const int32_t *p = pred + (size_t)r * w;
+        const int64_t *q = CBUF_T + (size_t)r * w;
         for (int c = 0; c < w; c++) {
-            int64_t v = p[c] + CBUF_A[(size_t)c * h + r];
+            int64_t v = p[c] + q[c];
             o[c] = v < 0 ? 0 : (v > pixmax ? (int32_t)pixmax : (int32_t)v);
         }
     }
@@ -550,4 +559,195 @@ int64_t svt_ec_txb(EcEnc *e, const int32_t *flat, const int32_t *scan,
     return svt_ec_coeffs(e, scan, flat, ctx, eob, levels, stride, bwl,
                          tx_class, base_v, base_c, beob_v, beob_c, br_v,
                          br_c, dcs_v, dcs_c, dc_sign_ctx, adapt);
+}
+
+/* Lane-major variant of svt_net_run: x[i*batch + b] for lane i, batch b.
+ * The inner loop runs contiguously over the batch for each output lane,
+ * so the compiler vectorizes it (the batch-major variant needs per-
+ * element indexed loads). Used by the commit kernel below. */
+void svt_net_run_T(int64_t *x, int64_t *tmp, int batch, int n,
+                   const int32_t *src0, const int64_t *w0,
+                   const int32_t *src1, const int64_t *w1,
+                   const uint8_t *is_btf, const uint8_t *do_clamp,
+                   int nstages, int cos_bit, int clamp_bit) {
+    const int64_t rnd = (int64_t)1 << (cos_bit - 1);
+    const int64_t lo = clamp_bit > 0 ? -((int64_t)1 << (clamp_bit - 1)) : 0;
+    const int64_t hi = clamp_bit > 0 ? ((int64_t)1 << (clamp_bit - 1)) - 1 : 0;
+    int64_t *cur = x, *nxt = tmp;
+    for (int s = 0; s < nstages; s++) {
+        const int32_t *s0 = src0 + (size_t)s * n;
+        const int32_t *s1 = src1 + (size_t)s * n;
+        const int64_t *a0 = w0 + (size_t)s * n;
+        const int64_t *a1 = w1 + (size_t)s * n;
+        const uint8_t *bt = is_btf + (size_t)s * n;
+        const uint8_t *cl = do_clamp + (size_t)s * n;
+        for (int i = 0; i < n; i++) {
+            const int64_t *r0 = cur + (size_t)s0[i] * batch;
+            const int64_t *r1 = cur + (size_t)s1[i] * batch;
+            int64_t *o = nxt + (size_t)i * batch;
+            const int64_t wa = a0[i], wb = a1[i];
+            if (bt[i]) {
+                for (int b = 0; b < batch; b++)
+                    o[b] = (r0[b] * wa + r1[b] * wb + rnd) >> cos_bit;
+            } else {
+                for (int b = 0; b < batch; b++)
+                    o[b] = r0[b] * wa + r1[b] * wb;
+            }
+            if (clamp_bit > 0 && cl[i]) {
+                for (int b = 0; b < batch; b++) {
+                    if (o[b] < lo) o[b] = lo;
+                    else if (o[b] > hi) o[b] = hi;
+                }
+            }
+        }
+        int64_t *t = cur; cur = nxt; nxt = t;
+    }
+    if (cur != x)
+        memcpy(x, cur, (size_t)batch * n * sizeof(int64_t));
+}
+
+/* ---- intra prediction (commit modes) -----------------------------------
+ * DC/V/H/SMOOTH/SMOOTH_V/SMOOTH_H/PAETH (the device MD mode set), exact
+ * ops/intra.py arithmetic. above: w+1 values including top-left at [0];
+ * left: h values. sm_w/sm_h: spec Sm_Weights slices for w and h. */
+void svt_intra_predict(int mode, const int32_t *above, const int32_t *left,
+                       int w, int h, int have_above, int have_left,
+                       int bit_depth, const int32_t *sm_w,
+                       const int32_t *sm_h, int32_t *out) {
+    const int32_t *ar = above + 1;
+    const int32_t tl = above[0];
+    switch (mode) {
+    case 0: { /* DC */
+        int64_t s = 0;
+        int32_t dc;
+        if (have_above && have_left) {
+            for (int i = 0; i < w; i++) s += ar[i];
+            for (int i = 0; i < h; i++) s += left[i];
+            dc = (int32_t)((s + ((w + h) >> 1)) / (w + h));
+        } else if (have_above) {
+            for (int i = 0; i < w; i++) s += ar[i];
+            int lw = 0; while ((1 << lw) < w) lw++;
+            dc = (int32_t)((s + (w >> 1)) >> lw);
+        } else if (have_left) {
+            for (int i = 0; i < h; i++) s += left[i];
+            int lh = 0; while ((1 << lh) < h) lh++;
+            dc = (int32_t)((s + (h >> 1)) >> lh);
+        } else {
+            dc = 1 << (bit_depth - 1);
+        }
+        for (int i = 0; i < w * h; i++) out[i] = dc;
+        break;
+    }
+    case 1: /* V */
+        for (int r = 0; r < h; r++)
+            memcpy(out + (size_t)r * w, ar, w * sizeof(int32_t));
+        break;
+    case 2: /* H */
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++)
+                out[r * w + c] = left[r];
+        break;
+    case 9: { /* SMOOTH */
+        const int64_t below = left[h - 1], right = ar[w - 1];
+        for (int r = 0; r < h; r++) {
+            const int64_t wh = sm_h[r];
+            for (int c = 0; c < w; c++) {
+                const int64_t ww = sm_w[c];
+                int64_t p = wh * ar[c] + (256 - wh) * below +
+                            ww * left[r] + (256 - ww) * right;
+                out[r * w + c] = (int32_t)((p + 256) >> 9);
+            }
+        }
+        break;
+    }
+    case 10: { /* SMOOTH_V */
+        const int64_t below = left[h - 1];
+        for (int r = 0; r < h; r++) {
+            const int64_t wh = sm_h[r];
+            for (int c = 0; c < w; c++)
+                out[r * w + c] =
+                    (int32_t)((wh * ar[c] + (256 - wh) * below + 128) >> 8);
+        }
+        break;
+    }
+    case 11: { /* SMOOTH_H */
+        const int64_t right = ar[w - 1];
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++) {
+                const int64_t ww = sm_w[c];
+                out[r * w + c] =
+                    (int32_t)((ww * left[r] + (256 - ww) * right + 128) >> 8);
+            }
+        break;
+    }
+    case 12: /* PAETH */
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++) {
+                int32_t a = ar[c], l = left[r], t = tl;
+                int32_t base = a + l - t;
+                int32_t pa = base - a; if (pa < 0) pa = -pa;
+                int32_t pl = base - l; if (pl < 0) pl = -pl;
+                int32_t pt = base - t; if (pt < 0) pt = -pt;
+                out[r * w + c] = (pl <= pa && pl <= pt) ? l
+                                 : (pa <= pt ? a : t);
+            }
+        break;
+    default:
+        for (int i = 0; i < w * h; i++) out[i] = 1 << (bit_depth - 1);
+    }
+}
+
+static int32_t PRED_BUF[64 * 64];
+
+/* predict + commit in one call: neighbors prepared on the host (fill
+ * rules incl. availability), everything else in C */
+int32_t svt_txb_commit_pred(const int64_t *d,
+                            const int32_t *src, int src_stride,
+                            int32_t *recon, int rec_stride,
+                            int mode, const int32_t *above,
+                            const int32_t *left, int have_above,
+                            int have_left, const int32_t *sm_w,
+                            const int32_t *sm_h,
+                            int x0, int y0, const int64_t *q10,
+                            int32_t *qcoeff) {
+    const int w = (int)d[0], h = (int)d[1];
+    svt_intra_predict(mode, above, left, w, h, have_above, have_left,
+                      (int)d[43], sm_w, sm_h, PRED_BUF);
+    return svt_txb_commit(d, src, src_stride, recon, rec_stride, PRED_BUF,
+                          x0, y0, q10, qcoeff);
+}
+
+/* ---- coefficient-context derivation (coeff_writer._txb_ctx) ----------- */
+int32_t svt_txb_skip_ctx(const uint8_t *above, const uint8_t *left,
+                         int tw_units, int th_units, int is_luma,
+                         int same_size, int ctx_offset) {
+    static const int8_t sgn[4] = {0, -1, 1, 0};
+    int dc = 0;
+    for (int i = 0; i < tw_units; i++) dc += sgn[above[i] >> 6];
+    for (int i = 0; i < th_units; i++) dc += sgn[left[i] >> 6];
+    int dc_sign_ctx = dc > 0 ? 2 : (dc < 0 ? 1 : 0);
+    int skip_ctx;
+    if (is_luma) {
+        if (same_size) {
+            skip_ctx = 0;
+        } else {
+            static const int8_t skip_tbl[5][5] = {
+                {1, 2, 2, 2, 3}, {1, 4, 4, 4, 5}, {1, 4, 4, 4, 5},
+                {1, 4, 4, 4, 5}, {1, 4, 4, 4, 6}};
+            int top = 0, lft = 0;
+            for (int i = 0; i < tw_units; i++) top |= above[i];
+            for (int i = 0; i < th_units; i++) lft |= left[i];
+            top &= COEFF_CONTEXT_MASK;
+            lft &= COEFF_CONTEXT_MASK;
+            int mx = top | lft; if (mx > 4) mx = 4;
+            int mn = top < lft ? top : lft; if (mn > 4) mn = 4;
+            skip_ctx = skip_tbl[mn][mx];
+        }
+    } else {
+        int a = 0, l = 0;
+        for (int i = 0; i < tw_units; i++) a |= above[i];
+        for (int i = 0; i < th_units; i++) l |= left[i];
+        skip_ctx = (a != 0) + (l != 0) + ctx_offset;
+    }
+    return skip_ctx | (dc_sign_ctx << 8);
 }

@@ -151,6 +151,30 @@ class CoeffWriter:
         self.left[plane][uy : uy + th_units] = cul_level
 
     # ---- txb write -----------------------------------------------------------
+    def _txb_ctx_native(self, plane: int, plane_bsize: int, tx_size: int,
+                        ux: int, uy: int):
+        """C-backed _txb_ctx (native/ecenc.c svt_txb_skip_ctx)."""
+        lib = self.tw.enc._lib
+        tw_units = int(TX_W[tx_size]) >> 2
+        th_units = int(TX_H[tx_size]) >> 2
+        a = self.above[plane]
+        l = self.left[plane]
+        if plane == 0:
+            bw, bh = int(BLOCK_W[plane_bsize]), int(BLOCK_H[plane_bsize])
+            same = bw == int(TX_W[tx_size]) and bh == int(TX_H[tx_size])
+            packed = lib.svt_txb_skip_ctx(
+                a.ctypes.data + ux, l.ctypes.data + uy,
+                min(tw_units, len(a) - ux), min(th_units, len(l) - uy),
+                1, 1 if same else 0, 0)
+        else:
+            bw, bh = int(BLOCK_W[plane_bsize]), int(BLOCK_H[plane_bsize])
+            off = 10 if bw * bh > int(TX_W[tx_size]) * int(TX_H[tx_size]) else 7
+            packed = lib.svt_txb_skip_ctx(
+                a.ctypes.data + ux, l.ctypes.data + uy,
+                min(tw_units, len(a) - ux), min(th_units, len(l) - uy),
+                0, 0, off)
+        return packed & 0xFF, packed >> 8
+
     def write_txb(self, plane: int, plane_bsize: int, tx_size: int, tx_type: int,
                   qcoeff: np.ndarray, eob: int, ux: int, uy: int,
                   write_tx_type_fn=None) -> None:
@@ -159,7 +183,12 @@ class CoeffWriter:
         cw = min(int(TX_W[tx_size]), 32)
         ch = min(int(TX_H[tx_size]), 32)
         ts_ctx = txs_ctx(tx_size)
-        skip_ctx, dc_sign_ctx = self._txb_ctx(plane, plane_bsize, tx_size, ux, uy)
+        if hasattr(tw.enc, "_lib"):
+            skip_ctx, dc_sign_ctx = self._txb_ctx_native(
+                plane, plane_bsize, tx_size, ux, uy)
+        else:
+            skip_ctx, dc_sign_ctx = self._txb_ctx(plane, plane_bsize,
+                                                  tx_size, ux, uy)
         ptype = 0 if plane == 0 else 1
 
         tw._sym_at(1 if eob == 0 else 0, tw.cdfs.txb_skip, ts_ctx, skip_ctx)

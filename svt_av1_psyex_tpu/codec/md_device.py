@@ -48,6 +48,11 @@ class DeviceIntraMD:
 
     DEPTHS = (64, 32, 16, 8)
 
+    # RD constant cache: keyframe CDFs are a pure function of base_q_idx,
+    # so the derived cost tables are too (inter/forwarded CDFs must not
+    # use this)
+    _rd_cache: dict = {}
+
     def __init__(self, md, seq, fr, sb_qmap=None):
         self.md = md
         self.seq = seq
@@ -57,13 +62,21 @@ class DeviceIntraMD:
         from ..device.intra import DEVICE_MODES
 
         self.modes = np.array(DEVICE_MODES, np.int32)
-        kv = md.cdfs.kf_y_mode[0]
-        self.mode_rate = cdf_costs(kv[0, 0])[self.modes].astype(np.int64)
-        sk = cdf_costs(md.cdfs.skip[0][0])
-        self.skip0, self.skip1 = int(sk[0]), int(sk[1])
-        pvals = md.cdfs.partition[0]
-        self.part_costs = {blk: cdf_costs(pvals[_BSL_CTX[blk] * 4])
-                           for blk in (16, 32, 64)}
+        cacheable = (fr.frame_is_intra
+                     and getattr(fr, "primary_ref_frame", 7) == 7)
+        key = fr.base_q_idx
+        ent = self._rd_cache.get(key) if cacheable else None
+        if ent is None:
+            kv = md.cdfs.kf_y_mode[0]
+            mode_rate = cdf_costs(kv[0, 0])[self.modes].astype(np.int64)
+            sk = cdf_costs(md.cdfs.skip[0][0])
+            pvals = md.cdfs.partition[0]
+            part_costs = {blk: cdf_costs(pvals[_BSL_CTX[blk] * 4])
+                          for blk in (16, 32, 64)}
+            ent = (mode_rate, int(sk[0]), int(sk[1]), part_costs)
+            if cacheable:
+                self._rd_cache[key] = ent
+        self.mode_rate, self.skip0, self.skip1, self.part_costs = ent
         self.stats: dict = {}
         self._commit_ctx = None
 
@@ -194,6 +207,41 @@ class DeviceIntraMD:
         pc.recon[y : y + rec.shape[0], x : x + rec.shape[1]] = rec
         return qc, eob
 
+    def _pred_commit(self, pc, mode: int, x: int, y: int, tx_size: int,
+                     plane: int, have_above: bool, have_left: bool):
+        """Fill neighbors (host, availability rules) + predict + commit
+        (C when available)."""
+        from ..ops import intra as intra_ops
+
+        md = self.md
+        fr = self.fr
+        tx_w, tx_h = int(TX_W[tx_size]), int(TX_H[tx_size])
+        ctx = self._commit_ctx
+        if ctx is None:
+            from ..native import commit as native_commit
+
+            if native_commit.available():
+                ctx = self._commit_ctx = native_commit.CommitCtx(
+                    self.seq.bit_depth)
+            else:
+                ctx = self._commit_ctx = False
+        if ctx:
+            above, left, flat = intra_ops.fill_neighbors(
+                pc.recon, x, y, tx_w, tx_h, have_above, have_left, mode,
+                self.seq.bit_depth)
+            dc_delta = fr.delta_q_y_dc if plane == 0 else fr.delta_q_u_dc
+            ac_delta = 0 if plane == 0 else fr.delta_q_u_ac
+            if flat is None:
+                return ctx.run_pred(pc, mode, above, left, have_above,
+                                    have_left, x, y, tx_size,
+                                    md.cur_qindex, dc_delta, ac_delta)
+            pred = np.full((tx_h, tx_w), flat, np.int32)
+            return ctx.run(pc, pred, x, y, tx_size, md.cur_qindex,
+                           dc_delta, ac_delta)
+        pred = md._predict(pc, x, y, tx_w, tx_h, have_above, have_left,
+                           IntraMode(mode))
+        return self._commit_txb(pc, pred, x, y, tx_size, plane)
+
     def _commit_leaf(self, r: int, c: int, bsize: int, mode: int) -> LeafBlock:
         """Conformant encode of the decided mode: recon-neighbor
         prediction + exact transform/quant chain; no rate estimation."""
@@ -201,10 +249,8 @@ class DeviceIntraMD:
         x, y = c * 4, r * 4
         pc = md.pctx[0]
         tx_size = int(MAX_TX_SIZE_RECT[bsize])
-        tx_w, tx_h = int(TX_W[tx_size]), int(TX_H[tx_size])
-        pred = md._predict(pc, x, y, tx_w, tx_h, r > 0, c > 0,
-                           IntraMode(mode))
-        qc, eob = self._commit_txb(pc, pred, x, y, tx_size, 0)
+        qc, eob = self._pred_commit(pc, mode, x, y, tx_size, 0,
+                                    r > 0, c > 0)
         txbs = [{"plane": 0, "plane_bsize": bsize, "tx_size": tx_size,
                  "tx_type": int(TxType.DCT_DCT), "qcoeff": qc, "eob": eob,
                  "ux": x >> 2, "uy": y >> 2}]
@@ -218,11 +264,9 @@ class DeviceIntraMD:
             uv_tx = int(MAX_TX_SIZE_RECT[uv_bsize])
             cx, cy = x >> ssx, y >> ssy
             for p in (1, 2):
-                pcc = md.pctx[p]
-                predc = md._predict(pcc, cx, cy, int(TX_W[uv_tx]),
-                                    int(TX_H[uv_tx]), cy > 0, cx > 0,
-                                    IntraMode.DC)
-                qcc, eobc = self._commit_txb(pcc, predc, cx, cy, uv_tx, p)
+                qcc, eobc = self._pred_commit(md.pctx[p], int(IntraMode.DC),
+                                              cx, cy, uv_tx, p,
+                                              cy > 0, cx > 0)
                 txbs.append({"plane": p, "plane_bsize": uv_bsize,
                              "tx_size": uv_tx,
                              "tx_type": int(TxType.DCT_DCT), "qcoeff": qcc,

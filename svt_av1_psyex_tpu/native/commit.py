@@ -33,8 +33,21 @@ def _lib():
             _I64P, _I32P, ctypes.c_int, _I32P, ctypes.c_int, _I32P,
             ctypes.c_int, ctypes.c_int, _I64P, _I32P,
         ]
+        lib.svt_txb_commit_pred.restype = ctypes.c_int32
+        lib.svt_txb_commit_pred.argtypes = (
+            [_I64P, _I32P, ctypes.c_int, _I32P, ctypes.c_int,
+             ctypes.c_int, _I32P, _I32P, ctypes.c_int, ctypes.c_int,
+             _I32P, _I32P, ctypes.c_int, ctypes.c_int, _I64P, _I32P])
         _registered = True
     return lib
+
+
+@lru_cache(maxsize=None)
+def _sm_weights_i32(n: int) -> np.ndarray:
+    from ..bitstream.tables import get
+
+    return np.ascontiguousarray(get("sm_weight_arrays")[n : 2 * n]
+                                .astype(np.int32))
 
 
 def _net_slots(net, cos_bit: int) -> tuple:
@@ -166,6 +179,26 @@ class CommitCtx:
                  pc.recon.ctypes.data_as(_I32P), pc.recon.shape[1])
             self._planes[key] = e
         return e
+
+    def run_pred(self, pc, mode: int, above: np.ndarray, left: np.ndarray,
+                 have_above: bool, have_left: bool, x: int, y: int,
+                 tx_size: int, qindex: int, dc_d: int, ac_d: int):
+        """Predict (C, non-directional commit modes) + commit in one call.
+        above: (w+1,) int32 incl. top-left; left: (h,) int32."""
+        dptr, ls, w, h, _d, _k = self._desc_ptr(tx_size)
+        qptr, _q = self._q_ptr(qindex, dc_d, ac_d, ls)
+        sptr, sstride, rptr, rstride = self.plane(pc)
+        cw, ch = min(w, 32), min(h, 32)
+        qcoeff = np.empty(ch * cw, np.int32)
+        smw = _sm_weights_i32(w)
+        smh = _sm_weights_i32(h)
+        eob = self.lib.svt_txb_commit_pred(
+            dptr, sptr, sstride, rptr, rstride, mode,
+            above.ctypes.data_as(_I32P), left.ctypes.data_as(_I32P),
+            1 if have_above else 0, 1 if have_left else 0,
+            smw.ctypes.data_as(_I32P), smh.ctypes.data_as(_I32P),
+            x, y, qptr, qcoeff.ctypes.data_as(_I32P))
+        return qcoeff.reshape(ch, cw), int(eob)
 
     def run(self, pc, pred: np.ndarray, x: int, y: int, tx_size: int,
             qindex: int, dc_d: int, ac_d: int):

@@ -64,6 +64,9 @@ def get_lib():
             [ctypes.c_int] * 4 + [ctypes.c_void_p] * 9 +
             [ctypes.c_int, ctypes.c_int])
         lib.svt_ec_txb.restype = ctypes.c_int64
+        lib.svt_txb_skip_ctx.restype = ctypes.c_int32
+        lib.svt_txb_skip_ctx.argtypes = ([ctypes.c_void_p] * 2 +
+                                         [ctypes.c_int] * 5)
         # pointers passed as raw addresses (array lifetimes owned by the
         # caller's cache) to avoid per-call ctypes cast overhead
         lib.svt_net_run.argtypes = (
