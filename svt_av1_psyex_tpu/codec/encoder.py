@@ -294,6 +294,18 @@ class Av1Encoder:
                 slot = self.slots[slot_idx]
                 assert slot is not None, f"ref {name} slot {slot_idx} empty"
                 ref_planes[name] = crop(slot["recon"])
+        # device full-pel motion field: ONE batched HME/ME call over all
+        # refs replaces the per-block host raster (device/me.py)
+        me_field = None
+        if ref_planes:
+            import os as _os
+
+            if _os.environ.get("SVT_TPU_HOST_ME") != "1":
+                from ..device.me import run_device_me
+
+                me_field = run_device_me(
+                    pctx[0].src, {n: p[0] for n, p in ref_planes.items()},
+                    bit_depth=seq.bit_depth)
         md = ModeDecision(seq, fr, pctx, self.mi_rows, self.mi_cols,
                           rdmult=compute_rdmult(fr.base_q_idx, seq.bit_depth),
                           min_bsize=self._min_partition_bsize,
@@ -301,7 +313,7 @@ class Av1Encoder:
                           angle_deltas=self.preset <= 9,
                           ref_planes=ref_planes,
                           try_rect=self.preset <= 8,
-                          cdfs=cdfs.clone())
+                          cdfs=cdfs.clone(), me_field=me_field)
         if md.mi_state is not None:
             md.mi_state.sign_bias = sign_bias
         # device MD path: intra frames at the faster presets run the

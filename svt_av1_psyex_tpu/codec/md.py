@@ -93,11 +93,15 @@ class ModeDecision:
     def __init__(self, seq, fr, pctx: list, mi_rows: int, mi_cols: int,
                  rdmult: int, min_bsize: int, n_full_rd: int = 2,
                  angle_deltas: bool = False, ref_planes: list | None = None,
-                 try_rect: bool = False, cdfs: FrameCdfs | None = None):
+                 try_rect: bool = False, cdfs: FrameCdfs | None = None,
+                 me_field=None):
         self.angle_deltas = angle_deltas
         self.try_rect = try_rect
         # inter: padded reference planes (LAST) + MVP mi-state
         self.ref_planes = ref_planes
+        # device full-pel motion field (device.me.FrameMotionField);
+        # None falls back to the host raster search
+        self.me_field = me_field
         from .mvp import MiState
 
         self.mi_state = MiState(mi_rows, mi_cols) if not fr.frame_is_intra else None
@@ -455,8 +459,9 @@ class ModeDecision:
     def _motion_search(self, x: int, y: int, w: int, h: int,
                        start_mv: tuple[int, int],
                        ref_id: int = 1) -> tuple[int, int]:
-        """Full-pel raster search (+-8) around start, then quarter-pel
-        refinement; returns an MV in 1/8-pel units with even components."""
+        """Full-pel stage (device motion field when available, host
+        raster fallback), then quarter-pel refinement; returns an MV in
+        1/8-pel units with even components."""
         from ..ops.mc import _patch, mc_block
 
         src = self.pctx[0].src[y : y + h, x : x + w].astype(np.int32)
@@ -464,6 +469,10 @@ class ModeDecision:
         # full-pel center from the predictor
         cy = int(np.clip(round(start_mv[0] / 8), -48, 48))
         cx = int(np.clip(round(start_mv[1] / 8), -48, 48))
+
+        def sad_at(fy, fx):
+            cand = _patch(ref, x + fx, y + fy, w, h)
+            return int(np.abs(src - cand).sum())
 
         def raster(cy0, cx0, rng, step):
             best = None
@@ -476,14 +485,28 @@ class ModeDecision:
                         best = (sad, cy0 + dy, cx0 + dx)
             return best
 
-        # coarse wide sweep (distant refs need reach), then fine raster
-        _, gy, gx = raster(cy, cx, 24, 4)
-        best = raster(gy, gx, 4, 1)
-        # also keep the predictor-centered fine result (cheap insurance)
-        if abs(gy - cy) > 4 or abs(gx - cx) > 4:
-            b2 = raster(cy, cx, 4, 1)
-            if b2[0] < best[0]:
-                best = b2
+        dev_mv = None
+        if self.me_field is not None:
+            dev_mv = self.me_field.lookup(ref_id, x, y, w, h)
+        if dev_mv is not None:
+            # device full-pel winner vs the MVP-predicted position, then
+            # a tight +-1 full-pel polish around the better one
+            dy, dx = dev_mv[0] // 8, dev_mv[1] // 8
+            best = (sad_at(dy, dx), dy, dx)
+            if (cy, cx) != (dy, dx):
+                s = sad_at(cy, cx)
+                if s < best[0]:
+                    best = (s, cy, cx)
+            best = raster(best[1], best[2], 1, 1)
+        else:
+            # coarse wide sweep (distant refs need reach), then fine raster
+            _, gy, gx = raster(cy, cx, 24, 4)
+            best = raster(gy, gx, 4, 1)
+            # also keep the predictor-centered fine result (cheap insurance)
+            if abs(gy - cy) > 4 or abs(gx - cx) > 4:
+                b2 = raster(cy, cx, 4, 1)
+                if b2[0] < best[0]:
+                    best = b2
         _, fy, fx = best
         mv = (fy * 8, fx * 8)
         # quarter-pel refinement (two rounds of +-1 quarter step = 2/8)

@@ -26,7 +26,6 @@ _SOURCES = [
     "Lib/Codec/cdef.c",
     "Lib/C_DEFAULT/encode_txb_ref_c.c",
 ]
-_EXTRA_SOURCES = ["/root/repo/.refbuild/ctx_wrappers.c"]
 _INCLUDES = ["Lib/Codec", "API", "Lib/Globals", "Lib/C_DEFAULT"]
 
 _lib = None
@@ -41,7 +40,7 @@ def _build() -> None:
     library loads eagerly (the stubs are never called by the _c kernels)."""
     BUILD.mkdir(exist_ok=True)
     base = ["gcc", "-O2", "-DNDEBUG", "-shared", "-fPIC", "-fvisibility=default"]
-    base += [str(REF / s) for s in _SOURCES] + _EXTRA_SOURCES
+    base += [str(REF / s) for s in _SOURCES]
     base += [f"-I{REF / i}" for i in _INCLUDES]
     subprocess.run(base + ["-o", str(SO)], check=True, capture_output=True)
     nm = subprocess.run(["nm", "-u", str(SO)], check=True, capture_output=True, text=True)
