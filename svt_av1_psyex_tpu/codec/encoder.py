@@ -294,13 +294,21 @@ class Av1Encoder:
                 slot = self.slots[slot_idx]
                 assert slot is not None, f"ref {name} slot {slot_idx} empty"
                 ref_planes[name] = crop(slot["recon"])
-        # device full-pel motion field: ONE batched HME/ME call over all
-        # refs replaces the per-block host raster (device/me.py)
-        me_field = None
-        if ref_planes:
-            import os as _os
+        import os
 
-            if _os.environ.get("SVT_TPU_HOST_ME") != "1":
+        # device-MD eligibility (shared gates): fused inter lattice for
+        # inter frames, intra lattice for key frames
+        dev_ok = (self.preset >= 10 and not fr.tx_mode_select
+                  and not seq.use_128x128_superblock
+                  and os.environ.get("SVT_TPU_HOST_MD") != "1")
+        use_device_inter = dev_ok and not fr.frame_is_intra and bool(ref_planes)
+
+        # device full-pel motion field: ONE batched HME/ME call over all
+        # refs replaces the per-block host raster (device/me.py); skipped
+        # when the fused inter lattice (which embeds ME) will run
+        me_field = None
+        if ref_planes and not use_device_inter:
+            if os.environ.get("SVT_TPU_HOST_ME") != "1":
                 from ..device.me import run_device_me
 
                 me_field = run_device_me(
@@ -316,20 +324,22 @@ class Av1Encoder:
                           cdfs=cdfs.clone(), me_field=me_field)
         if md.mi_state is not None:
             md.mi_state.sign_bias = sign_bias
-        # device MD path: intra frames at the faster presets run the
-        # whole-frame candidate analysis on TPU, host does argmin + commit
-        import os
-
-        use_device = (fr.frame_is_intra and self.preset >= 10
-                      and not fr.tx_mode_select
-                      and not seq.use_128x128_superblock
-                      and os.environ.get("SVT_TPU_HOST_MD") != "1")
+        # device MD path: whole-frame candidate analysis on TPU (intra
+        # lattice for key frames, fused ME+inter lattice for inter
+        # frames), host does argmin + conformant commit
+        use_device = dev_ok and fr.frame_is_intra
         sb_plans = []
-        if use_device:
-            from .md_device import DeviceIntraMD
+        if use_device or use_device_inter:
+            from .md_device import DeviceInterMD, DeviceIntraMD
 
-            dmd = DeviceIntraMD(md, seq, fr, sb_qmap)
-            dmd.analyze(_analysis_row)
+            if use_device_inter:
+                fr.reference_select = False  # single-ref candidates only
+                dmd = DeviceInterMD(md, seq, fr, sb_qmap,
+                                    ref_names=sorted(ref_planes))
+                dmd.analyze()
+            else:
+                dmd = DeviceIntraMD(md, seq, fr, sb_qmap)
+                dmd.analyze(_analysis_row)
             for r in range(0, self.mi_rows, sb_mi):
                 for c in range(0, self.mi_cols, sb_mi):
                     if sb_qmap is not None:

@@ -508,10 +508,18 @@ class ModeDecision:
                 if b2[0] < best[0]:
                     best = b2
         _, fy, fx = best
-        mv = (fy * 8, fx * 8)
-        # quarter-pel refinement (two rounds of +-1 quarter step = 2/8)
+        return self._subpel_refine(x, y, w, h, (fy * 8, fx * 8), ref_id)
+
+    def _subpel_refine(self, x: int, y: int, w: int, h: int, mv,
+                       ref_id: int = 1) -> tuple[int, int]:
+        """Quarter-pel refinement (two rounds of +-1 quarter step) around
+        a 1/8-pel MV; keeps components even."""
+        from ..ops.mc import mc_block
+
+        src = self.pctx[0].src[y : y + h, x : x + w].astype(np.int32)
+        ref = self.ref_planes[ref_id][0]
         best_sse = None
-        best_mv = mv
+        best_mv = tuple(mv)
         for _ in range(2):
             improved = False
             for dmv in ((0, 0), (-2, 0), (2, 0), (0, -2), (0, 2)):

@@ -274,3 +274,185 @@ class DeviceIntraMD:
         skip = all(t["eob"] == 0 for t in txbs)
         return LeafBlock(bsize, y_mode=mode, uv_mode=int(IntraMode.DC),
                          skip=skip, coeffs=None if skip else txbs)
+
+
+class DeviceInterMD(DeviceIntraMD):
+    """Device MD for INTER frames: the fused ME + candidate lattice
+    (device/inter.py) decides intra-vs-inter, mode/ref and the full-pel
+    MV for every block; the host maps winning MVs onto the real MVP
+    stack (NEAREST/NEAR/GLOBAL/NEW), runs quarter-pel refinement on the
+    chosen NEWMV leaves only, and commits conformantly in coding order.
+
+    Counterpart: product_coding_loop.c inter MD classes + the Encode
+    Pass — reformulated per SURVEY §7 (device candidate costs, host
+    argmin + exact syntax)."""
+
+    def __init__(self, md, seq, fr, sb_qmap=None, ref_names=None):
+        self.md = md
+        self.seq = seq
+        self.fr = fr
+        self.sb_qmap = sb_qmap
+        self.mi_rows, self.mi_cols = md.mi_rows, md.mi_cols
+        self.ref_names = ref_names  # lattice ref index -> named ref (1..7)
+        from ..device.intra import DEVICE_MODES
+
+        self.modes = np.array(DEVICE_MODES, np.int32)
+        self.stats = {}
+        self._commit_ctx = None
+        # partition costs (shared shape with the intra path)
+        pvals = md.cdfs.partition[0]
+        self.part_costs = {blk: cdf_costs(pvals[_BSL_CTX[blk] * 4])
+                           for blk in (16, 32, 64)}
+        sk = cdf_costs(md.cdfs.skip[0][0])
+        self.skip0, self.skip1 = int(sk[0]), int(sk[1])
+
+    def rd_row(self) -> np.ndarray:
+        """[rdmult, skip0, skip1, intra mode costs x M, NEWMV base x 8,
+        zero-MV base x 8] — neutral-context snapshot costs (the exact
+        neighbor-dependent rates only re-weight the host tree walk)."""
+        md = self.md
+        from .constants import SIZE_GROUP
+        from .rd import cdf_costs as cc
+
+        ii = cc(md.cdfs.intra_inter[0][0])
+        # intra mode rates on inter frames: y_mode cdf, mid size group
+        ym = cc(md.cdfs.y_mode[0][1])[self.modes].astype(np.int64)
+        mode_rate = ym + int(ii[0])
+        newmv_c = cc(md.cdfs.newmv[0][0])
+        zeromv_c = cc(md.cdfs.zeromv[0][0])
+        refmv_c = cc(md.cdfs.refmv[0][0])
+        new_base = np.zeros(8, np.int64)
+        zero_base = np.zeros(8, np.int64)
+        for ri, name in enumerate(self.ref_names):
+            rr = md._single_ref_rate(0, 0, 0, name)
+            new_base[ri] = int(ii[1]) + rr + int(newmv_c[0])
+            zero_base[ri] = (int(ii[1]) + rr + int(newmv_c[1])
+                             + int(zeromv_c[0]))
+        return np.concatenate([
+            np.array([md.rdmult, self.skip0, self.skip1], np.int64),
+            mode_rate, new_base, zero_base]).astype(np.int32)
+
+    def analyze(self) -> None:
+        import jax
+
+        from ..device.inter import inter_analysis, unpack_inter_analysis
+        from ..device.intra import qp_row_for
+
+        src = self.pad_src(self.md.pctx[0].src)
+        hp, wp = src.shape
+
+        def pad64(p):
+            h, w = p.shape
+            if h != hp or w != wp:
+                p = np.pad(p, ((0, hp - h), (0, wp - w)), mode="edge")
+            return p
+
+        refs = np.stack([pad64(np.ascontiguousarray(
+            self.md.ref_planes[n][0])) for n in self.ref_names])
+        qp = qp_row_for(self.fr.base_q_idx, self.fr.delta_q_y_dc, 0,
+                        self.seq.bit_depth)
+        row = np.asarray(inter_analysis(
+            jax.device_put(src.astype(np.int32)),
+            jax.device_put(refs.astype(np.int32)),
+            jax.device_put(qp), jax.device_put(self.rd_row()),
+            depths=self.DEPTHS, bit_depth=self.seq.bit_depth))
+        self.stats = unpack_inter_analysis(row, hp, wp, self.DEPTHS)
+
+    # ---- argmin leaf payload ---------------------------------------------
+    def _leaf_j(self, blk: int, by: int, bx: int, rdmult: int):
+        s = self.stats[blk]
+        j = int(s["j"][by, bx])
+        cand = int(s["cand"][by, bx])
+        if cand < 10:
+            return j, int(self.modes[cand])
+        ri, is_zero = divmod(cand - 10, 2)
+        mv = (0, 0) if is_zero else (int(s["mv_y"][by, bx]) * 8,
+                                     int(s["mv_x"][by, bx]) * 8)
+        return j, ("inter", self.ref_names[ri], mv)
+
+    # ---- conformant commit -----------------------------------------------
+    def _commit_leaf(self, r: int, c: int, bsize: int, payload) -> LeafBlock:
+        if not isinstance(payload, tuple):
+            leaf = super()._commit_leaf(r, c, bsize, payload)
+            self.md.mi_state.set_block(r, c, bsize, -1, (0, 0), False)
+            return leaf
+        _, ref_id, mv = payload
+        return self._commit_inter_leaf(r, c, bsize, ref_id, mv)
+
+    def _commit_inter_leaf(self, r: int, c: int, bsize: int, ref_id: int,
+                           mv) -> LeafBlock:
+        from ..ops.mc import mc_block
+        from .constants import InterMode, mode_has_newmv
+        from .mvp import find_mv_stack
+
+        md = self.md
+        fr = self.fr
+        x, y = c * 4, r * 4
+        stack = find_mv_stack(md.mi_state, r, c, bsize, ref_id)
+        bw_px, bh_px = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+        if mv != (0, 0):
+            mv = md._subpel_refine(x, y, bw_px, bh_px, mv, ref_id)
+        # map the MV onto the cheapest legal mode
+        if tuple(mv) == tuple(stack.mvs[0]):
+            mode = InterMode.NEARESTMV
+        elif stack.count >= 2 and tuple(mv) == tuple(stack.mvs[1]):
+            mode = InterMode.NEARMV
+        elif tuple(mv) == (0, 0):
+            mode = InterMode.GLOBALMV
+        else:
+            mode = InterMode.NEWMV
+
+        ctx = self._commit_ctx
+        if ctx is None:
+            from ..native import commit as native_commit
+
+            if native_commit.available():
+                ctx = self._commit_ctx = native_commit.CommitCtx(
+                    self.seq.bit_depth)
+            else:
+                ctx = self._commit_ctx = False
+
+        ref_pl = md.ref_planes[ref_id]
+        tx_size = int(MAX_TX_SIZE_RECT[bsize])
+        pred = mc_block(ref_pl[0], x, y, bw_px, bh_px, mv[0], mv[1], 0, 0,
+                        bit_depth=self.seq.bit_depth)
+        qc, eob = self._commit_pred(md.pctx[0], pred, x, y, tx_size, 0, ctx)
+        txbs = [{"plane": 0, "plane_bsize": bsize, "tx_size": tx_size,
+                 "tx_type": int(TxType.DCT_DCT), "qcoeff": qc, "eob": eob,
+                 "ux": x >> 2, "uy": y >> 2}]
+        bw4, bh4 = bw_px >> 2, bh_px >> 2
+        if md._has_chroma(r, c, bw4, bh4):
+            ssx, ssy = md.pctx[1].ss_x, md.pctx[1].ss_y
+            cw_px = max(bw_px >> ssx, 4)
+            ch_px = max(bh_px >> ssy, 4)
+            uv_bsize = block_size_of(cw_px, ch_px)
+            uv_tx = int(MAX_TX_SIZE_RECT[uv_bsize])
+            cx, cy = x >> ssx, y >> ssy
+            for p in (1, 2):
+                predc = mc_block(ref_pl[p], cx, cy, int(TX_W[uv_tx]),
+                                 int(TX_H[uv_tx]), mv[0], mv[1], ssx, ssy,
+                                 bit_depth=self.seq.bit_depth)
+                qcc, eobc = self._commit_pred(md.pctx[p], predc, cx, cy,
+                                              uv_tx, p, ctx)
+                txbs.append({"plane": p, "plane_bsize": uv_bsize,
+                             "tx_size": uv_tx,
+                             "tx_type": int(TxType.DCT_DCT), "qcoeff": qcc,
+                             "eob": eobc, "ux": cx >> 2, "uy": cy >> 2})
+        skip = all(t["eob"] == 0 for t in txbs)
+        md.mi_state.set_block(r, c, bsize, ref_id, mv,
+                              mode_has_newmv(int(mode)))
+        return LeafBlock(bsize, skip=skip, is_inter=True, ref_frame=ref_id,
+                         inter_mode=int(mode), mv=tuple(mv), drl_index=0,
+                         coeffs=None if skip else txbs)
+
+    def _commit_pred(self, pc, pred, x, y, tx_size, plane, ctx):
+        fr = self.fr
+        dc_delta = fr.delta_q_y_dc if plane == 0 else fr.delta_q_u_dc
+        ac_delta = 0 if plane == 0 else fr.delta_q_u_ac
+        if ctx:
+            return ctx.run(pc, np.ascontiguousarray(pred, np.int32), x, y,
+                           tx_size, self.md.cur_qindex, dc_delta, ac_delta)
+        qc, eob, rec, _ = self.md._txb_rd(pc, pred, x, y, tx_size,
+                                          TxType.DCT_DCT, plane)
+        pc.recon[y : y + rec.shape[0], x : x + rec.shape[1]] = rec
+        return qc, eob

@@ -128,10 +128,12 @@ def _tiles(plane: jnp.ndarray, blk: int) -> jnp.ndarray:
             .transpose(0, 2, 1, 3).reshape(-1, blk, blk))
 
 
-def _me_one_ref(src: jnp.ndarray, ref: jnp.ndarray,
-                maxpix: int) -> jnp.ndarray:
-    """Full-pel ME of src against one reference. Both (H, W) int32 with
-    H, W multiples of 64. Returns the packed per-geometry result row."""
+def fullpel_lattice(src: jnp.ndarray, ref: jnp.ndarray, maxpix: int):
+    """HME pyramid + dual-anchor full-pel search. Returns
+    (sad8_h, sad8_z, cyf, cxf): 8x8-granular SAD lattices (nSB, O2, 8, 8)
+    for the HME-centered and zero-centered windows, plus the full-pel
+    window centers (nSB, 1, 1). Shared by the packed ME entry point and
+    the fused inter-MD analysis (device/inter.py)."""
     h, w = src.shape
     nby, nbx = h // 64, w // 64
     nsb = nby * nbx
@@ -192,23 +194,40 @@ def _me_one_ref(src: jnp.ndarray, ref: jnp.ndarray,
     # window centers in full-pel units, broadcast helpers
     cyf = (cy * 4)[:, None, None]
     cxf = (cx * 4)[:, None, None]
+    return sad8_h, sad8_z, cyf, cxf
 
+
+def geometry_best(sad8_h, sad8_z, cyf, cxf, gh: int, gw: int):
+    """Aggregate the 8x8 lattices to geometry (gh, gw) and pick the best
+    (mv_y, mv_x, sad) per block over both anchors: (nSB, nh, nw) each."""
+    n2 = 2 * R2 + 1
+    th, tw = gh // 8, gw // 8
+
+    def agg_min(sad8):
+        agg = sad8.reshape(sad8.shape[0], n2 * n2, 8 // th, th,
+                           8 // tw, tw).sum(axis=(3, 5))
+        idx = jnp.argmin(agg, axis=1).astype(jnp.int32)
+        return idx, jnp.min(agg, axis=1)
+
+    idx_h, best_h = agg_min(sad8_h)
+    idx_z, best_z = agg_min(sad8_z)
+    use_z = best_z <= best_h
+    best = jnp.where(use_z, best_z, best_h)
+    mv_y = jnp.where(use_z, idx_z // n2 - R2, cyf + idx_h // n2 - R2)
+    mv_x = jnp.where(use_z, idx_z % n2 - R2, cxf + idx_h % n2 - R2)
+    return mv_y, mv_x, best
+
+
+def _me_one_ref(src: jnp.ndarray, ref: jnp.ndarray,
+                maxpix: int) -> jnp.ndarray:
+    """Full-pel ME of src against one reference. Both (H, W) int32 with
+    H, W multiples of 64. Returns the packed per-geometry result row."""
+    h, w = src.shape
+    nby, nbx = h // 64, w // 64
+    sad8_h, sad8_z, cyf, cxf = fullpel_lattice(src, ref, maxpix)
     parts = []
     for gh, gw in GEOMETRIES:
-        th, tw = gh // 8, gw // 8
-
-        def agg_min(sad8):
-            agg = sad8.reshape(-1, n2 * n2, 8 // th, th, 8 // tw, tw).sum(
-                axis=(3, 5))                          # (nSB, O2, nh, nw)
-            idx = jnp.argmin(agg, axis=1).astype(jnp.int32)
-            return idx, jnp.min(agg, axis=1)
-
-        idx_h, best_h = agg_min(sad8_h)
-        idx_z, best_z = agg_min(sad8_z)
-        use_z = best_z <= best_h
-        best = jnp.where(use_z, best_z, best_h)
-        mv_y = jnp.where(use_z, idx_z // n2 - R2, cyf + idx_h // n2 - R2)
-        mv_x = jnp.where(use_z, idx_z % n2 - R2, cxf + idx_h % n2 - R2)
+        mv_y, mv_x, best = geometry_best(sad8_h, sad8_z, cyf, cxf, gh, gw)
         nh, nw = 64 // gh, 64 // gw
         for a in (mv_y, mv_x, best):
             g = a.reshape(nby, nbx, nh, nw).transpose(0, 2, 1, 3)
