@@ -24,13 +24,13 @@ _PENDING_FIELDS = frozenset({
     "rc_stats_buffer", "luminance_qp_bias", "psy_rd", "spy_rd", "sharp_tx",
     "hbd_mds", "complex_hvs", "adaptive_film_grain",
     "noise_adaptive_filtering", "noise_norm_strength", "tf_strength",
-    "kf_tf_strength", "qp_scale_compress_strength", "max_32_tx_size",
+    "kf_tf_strength", "max_32_tx_size",
     "min_chroma_qm_level", "max_chroma_qm_level", "low_q_taper", "lossless",
     "avif", "enable_restoration_filtering", "enable_mfmv", "enable_overlays",
     "screen_content_mode", "enable_qm", "min_qm_level", "max_qm_level",
     "film_grain_denoise_strength", "film_grain_denoise_apply",
     "superres_mode", "resize_mode", "enable_dg", "startup_mg_size",
-    "enable_tpl_la", "scene_change_detection", "look_ahead_distance",
+    "scene_change_detection", "look_ahead_distance",
     "mastering_display", "content_light_level", "tile_columns", "tile_rows",
 })
 
@@ -97,7 +97,7 @@ class EncoderConfig:
     noise_norm_strength: int = 0  # [pending]
     tf_strength: int = 1  # [pending TF]
     kf_tf_strength: int = 1  # [pending]
-    qp_scale_compress_strength: float = 1.0  # [pending TPL]
+    qp_scale_compress_strength: float = 1.0  # TPL qstep-ratio compression
     max_32_tx_size: bool = False  # [pending]
     min_chroma_qm_level: int = 8  # [pending QM]
     max_chroma_qm_level: int = 15
@@ -131,7 +131,7 @@ class EncoderConfig:
     fast_decode: int = 0
     enable_dg: bool = True  # dynamic gop [pending]
     startup_mg_size: int = 0  # [pending]
-    enable_tpl_la: int = 1  # [pending TPL]
+    enable_tpl_la: int = 1  # TPL lookahead q ladder (codec/tpl.py)
     scene_change_detection: bool = False  # [pending]
     look_ahead_distance: int = -1  # auto [pending]
 

@@ -186,8 +186,22 @@ class SvtAv1Encoder:
             disp0 = self._in_q[0][1]
             if self._in_q[0][2] or self._keyframe_due(disp0):
                 planes, pts, _ = self._in_q.popleft()
-                q = (self._rc.pick_qindex(True, 0) if self._rc
-                     else self.config.qindex)
+                if self._rc:
+                    q = self._rc.pick_qindex(True, 0)
+                else:
+                    q = self.config.qindex
+                    if self._tpl_on():
+                        from ..codec.tpl import run_tpl, tpl_frame_qindex
+
+                        look = [planes[0]] + [p[0] for p, _, _ in
+                                              list(self._in_q)[:11]]
+                        tpl = run_tpl(look, q,
+                                      self.config.encoder_bit_depth)
+                        q = tpl_frame_qindex(
+                            q, tpl.r0(0), 0, 2, True,
+                            self.config.encoder_bit_depth,
+                            self.config.qp_scale_compress_strength)
+                        self._kf_q = q
                 tu = self._enc.encode_frame(planes, q, plan=plan_key(pts))
                 if self._rc:
                     self._rc.update(len(tu) * 8)
@@ -224,12 +238,38 @@ class SvtAv1Encoder:
                 srcs[arf] = temporal_filter(
                     srcs[arf], nbrs, self.config.qindex,
                     self.config.encoder_bit_depth)
+            # TPL over the mini-GOP + queued lookahead: the display-order
+            # chain lets future frames propagate dependency back into
+            # this group's ARF (its group index = length-1)
+            tpl_q = None
+            if self._tpl_on() and not self._rc and length > 1:
+                from ..codec.tpl import run_tpl, tpl_frame_qindex
+
+                ordered = [srcs[d][0] for d in sorted(srcs)]
+                look = ordered + [p[0] for p, _, _ in list(self._in_q)[:8]]
+                tpl = run_tpl(look, self.config.qindex,
+                              self.config.encoder_bit_depth)
+                hl = max(length.bit_length() - 1, 1)  # 4 -> 2 layers
+                arf_q = tpl_frame_qindex(
+                    self.config.qindex, tpl.r0(length - 1), 0, hl, False,
+                    self.config.encoder_bit_depth,
+                    self.config.qp_scale_compress_strength)
+                tpl_q = {0: arf_q}
+                for layer in range(1, hl + 1):
+                    tpl_q[layer] = tpl_frame_qindex(
+                        self.config.qindex, 1.0, layer, hl, False,
+                        self.config.encoder_bit_depth,
+                        self.config.qp_scale_compress_strength,
+                        arf_q=arf_q)
             for pl in plans:
                 src = srcs.get(pl.disp_idx)
                 is_se = pl.show_existing_slot is not None
                 if self._rc and not is_se:
                     q = self._rc.pick_qindex(False, pl.layer)
                     pl.q_offset = 0  # RC owns the per-layer allocation
+                elif tpl_q is not None and not is_se:
+                    q = tpl_q.get(pl.layer, self.config.qindex)
+                    pl.q_offset = 0  # TPL owns the per-layer ladder
                 else:
                     q = self.config.qindex
                 tu = self._enc.encode_frame(None if is_se else src, q, plan=pl)
@@ -239,6 +279,9 @@ class SvtAv1Encoder:
                 self._emit(tu, pl.disp_idx, 1, shown=shown)
             if length > 1:
                 self._anchor_slot = future
+
+    def _tpl_on(self) -> bool:
+        return bool(self.config.enable_tpl_la) and self.config.enc_mode <= 11
 
     def _emit(self, tu: bytes, pts: int, ftype: int, shown: bool) -> None:
         self._out_q.append(Packet(tu, pts, self._dts, frame_type=ftype))

@@ -1,0 +1,257 @@
+"""TPL synthesizer + r0/beta and the TPL-driven q ladder (host side).
+
+Consumes the per-block stats grids produced by the device dispenser
+(device/tpl.py) and reproduces the reference's temporal-dependency
+model:
+
+  * backprop — tpl_model_update_b (src_ops_process.c:1483): each inter
+    block propagates (recrf - srcrf) distortion/rate into the up-to-4
+    reference blocks it straddles, proportional to overlap area;
+  * r0 / per-SB beta — svt_aom_generate_r0beta (src_ops_process.c:1585)
+    and generate_lambda_scaling_factor (:178);
+  * frame q from r0 — the qstep-ratio scaling of crf_qindex_calc
+    (rc_process.c:781-975): qstep_ratio = sqrt(r0) * weight *
+    (1 + qp_scale_compress_strength/8), frame qindex picked so its AC
+    qstep hits that ratio; non-base layers interpolate toward the worst
+    quality per temporal layer (rc_process.c:900-912).
+
+Propagation runs over the display-order chain (block in frame i
+predicts from frame i-1), matching the device dispenser's reference
+structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.tables import ac_q
+from .rd import compute_rdmult
+
+BLK = 16
+PIX = BLK * BLK
+TPL_RDMULT_SCALING_FACTOR = 6       # src_ops_process.c:376
+TPL_DEP_COST_SCALE_LOG2 = 4         # definitions.h:49
+RDDIV_BITS = 7
+PROB_COST_SHIFT = 9
+
+# rc_process.c:44-48 (indexed by hierarchical_levels)
+_ISLICE_DIV = (1, 2, 2, 1, 1, 0.7)
+_BASE_DIV = (1, 3, 3, 2, 1, 1)
+_W_REF = (100, 100, 100, 100, 100, 100)
+_W_WQ = (100, 100, 300, 100, 100, 100)
+_R0_WEIGHT = (0.75, 0.9, 1.0)       # I / BASE / NON-BASE (rc_process.c:775)
+
+
+def _rdcost(rdmult: int, rate, dist):
+    return ((rate.astype(np.int64) * rdmult + (1 << (PROB_COST_SHIFT - 1)))
+            >> PROB_COST_SHIFT) + (dist.astype(np.int64) << RDDIV_BITS)
+
+
+def _delta_rate_cost(mc_dep_rate, recrf_dist, srcrf_dist, pix_num: int):
+    """delta_rate_cost (src_ops_process.c:1452), vectorized."""
+    out = mc_dep_rate.astype(np.float64).copy()
+    valid = srcrf_dist > 128
+    beta = np.where(recrf_dist > 0,
+                    srcrf_dist / np.maximum(recrf_dist, 1), 1.0)
+    beta = np.maximum(beta, 1e-12)
+    dr = (mc_dep_rate / (1 << (TPL_DEP_COST_SCALE_LOG2 + PROB_COST_SHIFT))
+          / pix_num)
+    log_den = np.log2(beta) + 2.0 * dr
+    big = log_den > np.log2(10.0)
+    rc_big = np.log2(1.0 / beta) * pix_num / 2.0
+    num = np.exp2(np.minimum(log_den, 30))
+    den = num * beta + (1 - beta) * beta
+    rc_gen = pix_num * np.log2(np.maximum(num / np.maximum(den, 1e-12),
+                                          1e-12)) / 2.0
+    rate_cost = np.where(big, rc_big, rc_gen)
+    rate_cost = rate_cost * (1 << (TPL_DEP_COST_SCALE_LOG2
+                                   + PROB_COST_SHIFT))
+    return np.where(valid, rate_cost, out)
+
+
+class TplModel:
+    """Host model over one lookahead group's device stats."""
+
+    def __init__(self, stats: np.ndarray, base_qindex: int,
+                 bit_depth: int = 8, compute_rate: bool = True):
+        # stats (F, 7, nh, nw) f32 — see device.tpl.STAT_FIELDS
+        self.f, _, self.nh, self.nw = stats.shape
+        self.srcrf_dist = stats[:, 0].astype(np.int64)
+        self.recrf_dist = stats[:, 1].astype(np.int64)
+        self.srcrf_rate = stats[:, 2].astype(np.int64)
+        self.recrf_rate = stats[:, 3].astype(np.int64)
+        self.mv_y = stats[:, 4].astype(np.int32)
+        self.mv_x = stats[:, 5].astype(np.int32)
+        self.is_inter = stats[:, 6] > 0.5
+        self.mc_dep_dist = np.zeros_like(self.srcrf_dist)
+        self.mc_dep_rate = np.zeros_like(self.srcrf_rate)
+        self.base_qindex = base_qindex
+        self.bit_depth = bit_depth
+        self.base_rdmult = max(
+            1, compute_rdmult(base_qindex, 8) // TPL_RDMULT_SCALING_FACTOR)
+        self.compute_rate = compute_rate
+        self._synthesize()
+
+    # ---- synthesizer (tpl_model_update_b, vectorized scatter) -----------
+    def _synthesize(self) -> None:
+        nh, nw = self.nh, self.nw
+        by = np.repeat(np.arange(nh), nw)
+        bx = np.tile(np.arange(nw), nh)
+        for i in range(self.f - 1, 0, -1):
+            m = self.is_inter[i].reshape(-1)
+            if not m.any():
+                continue
+            rec = self.recrf_dist[i].reshape(-1)
+            src = self.srcrf_dist[i].reshape(-1)
+            cur_dep = rec - src
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mc_dep = np.where(
+                    rec > 0,
+                    self.mc_dep_dist[i].reshape(-1) * cur_dep
+                    // np.maximum(rec, 1), 0)
+            delta_rate = (self.recrf_rate[i] - self.srcrf_rate[i]).reshape(-1)
+            if self.compute_rate:
+                mc_rate = _delta_rate_cost(
+                    self.mc_dep_rate[i].reshape(-1).astype(np.float64),
+                    rec.astype(np.float64), src.astype(np.float64),
+                    PIX).astype(np.int64)
+            else:
+                mc_rate = np.zeros_like(delta_rate)
+
+            dist_prop = cur_dep + mc_dep
+            rate_prop = delta_rate + mc_rate
+            ref_y = by * BLK + self.mv_y[i].reshape(-1)
+            ref_x = bx * BLK + self.mv_x[i].reshape(-1)
+            g_y = np.floor_divide(ref_y, BLK) * BLK
+            g_x = np.floor_divide(ref_x, BLK) * BLK
+            for block in range(4):
+                gy = g_y + BLK * (block >> 1)
+                gx = g_x + BLK * (block & 1)
+                # overlap area (get_overlap_area, src_ops_process.c:1413)
+                if block == 0:
+                    ww = gx + BLK - ref_x; hh = gy + BLK - ref_y
+                elif block == 1:
+                    ww = ref_x + BLK - gx; hh = gy + BLK - ref_y
+                elif block == 2:
+                    ww = gx + BLK - ref_x; hh = ref_y + BLK - gy
+                else:
+                    ww = ref_x + BLK - gx; hh = ref_y + BLK - gy
+                ov = ww * hh
+                ok = (m & (gy >= 0) & (gy < nh * BLK)
+                      & (gx >= 0) & (gx < nw * BLK) & (ov > 0))
+                if not ok.any():
+                    continue
+                iy = (gy[ok] // BLK)
+                ix = (gx[ok] // BLK)
+                np.add.at(self.mc_dep_dist[i - 1], (iy, ix),
+                          dist_prop[ok] * ov[ok] // PIX)
+                np.add.at(self.mc_dep_rate[i - 1], (iy, ix),
+                          rate_prop[ok] * ov[ok] // PIX)
+
+    # ---- r0 / beta (svt_aom_generate_r0beta) -----------------------------
+    def r0(self, i: int) -> float:
+        rec_sum = int(self.recrf_dist[i].sum())
+        delta = _rdcost(self.base_rdmult, self.mc_dep_rate[i],
+                        self.mc_dep_dist[i])
+        delta_sum = int(delta.sum())
+        base = (rec_sum << RDDIV_BITS) + delta_sum
+        if base == 0:
+            return 1.0
+        r0 = (rec_sum << RDDIV_BITS) / base
+        count = delta.size
+        mx = int(delta.max())
+        if count and mx > (delta_sum / max(count, 1)) * 100 \
+                and mx > delta_sum * 9 / 10:
+            return 1.0
+        return r0
+
+    def sb_rdmult_scale(self, i: int, width: int, height: int,
+                        sb: int = 64) -> np.ndarray:
+        """Per-SB lambda scaling factors = 1.2 + rk/r0
+        (generate_lambda_scaling_factor, src_ops_process.c:178)."""
+        r0 = self.r0(i)
+        nsy = (height + sb - 1) // sb
+        nsx = (width + sb - 1) // sb
+        g = sb // BLK
+        out = np.full((nsy, nsx), 1.2)
+        delta = _rdcost(self.base_rdmult, self.mc_dep_rate[i],
+                        self.mc_dep_dist[i])
+        for sy in range(nsy):
+            for sx in range(nsx):
+                rs = self.recrf_dist[i][sy * g : (sy + 1) * g,
+                                        sx * g : (sx + 1) * g].sum()
+                ds = delta[sy * g : (sy + 1) * g,
+                           sx * g : (sx + 1) * g].sum()
+                if rs > 0:
+                    rk = (int(rs) << RDDIV_BITS) / ((int(rs) << RDDIV_BITS)
+                                                    + int(ds))
+                    out[sy, sx] = 1.2 + rk / max(r0, 1e-9)
+        return out
+
+
+def qindex_from_qstep_ratio(leaf_qindex: int, ratio: float,
+                            bit_depth: int) -> int:
+    """svt_av1_get_q_index_from_qstep_ratio: the qindex whose AC qstep
+    best matches ratio * qstep(leaf_qindex)."""
+    target = ac_q(leaf_qindex, bit_depth) * ratio
+    best, best_d = leaf_qindex, None
+    for q in range(256):
+        d = abs(ac_q(q, bit_depth) - target)
+        if best_d is None or d < best_d:
+            best, best_d = q, d
+    return best
+
+
+def tpl_frame_qindex(base_qindex: int, r0: float, layer: int,
+                     hierarchical_levels: int, is_intra: bool,
+                     bit_depth: int = 8,
+                     qp_scale_compress_strength: float = 1.0,
+                     arf_q: int | None = None) -> int:
+    """crf_qindex_calc's qstep-ratio core (rc_process.c:823-932)."""
+    hl = min(hierarchical_levels, 5)
+    if is_intra:
+        r0 = r0 / _ISLICE_DIV[hl]
+        weight = _R0_WEIGHT[0]
+    elif layer == 0:
+        r0 = r0 / _BASE_DIV[hl]
+        weight = _R0_WEIGHT[1]
+    else:
+        # non-base: interpolate the base (arf) q toward the worst q per
+        # temporal-layer step (rc_process.c:900-912)
+        assert arf_q is not None
+        w1, w2 = _W_REF[hl], _W_WQ[hl]
+        abq = arf_q
+        for _ in range(layer):
+            abq = (w1 * abq + w2 * base_qindex + (w1 + w2) // 2) // (w1 + w2)
+        return int(np.clip(max(abq, arf_q), 1, base_qindex))
+
+    qstep_ratio = np.sqrt(r0) * weight \
+        * (1.0 + qp_scale_compress_strength * 0.125)
+    if qp_scale_compress_strength:
+        qstep_ratio = min(weight, qstep_ratio)
+    q = qindex_from_qstep_ratio(base_qindex, qstep_ratio, bit_depth)
+    return int(np.clip(q, 1, base_qindex))
+
+
+def run_tpl(group_lumas: list, base_qindex: int,
+            bit_depth: int = 8) -> TplModel:
+    """Pad + stack the group's source lumas, run the device dispenser,
+    build the host model."""
+    import jax
+
+    from ..device.intra import qp_row_for
+    from ..device.tpl import tpl_group_stats
+
+    def pad64(p):
+        h, w = p.shape
+        hp, wp = (h + 63) & ~63, (w + 63) & ~63
+        if hp != h or wp != w:
+            p = np.pad(p, ((0, hp - h), (0, wp - w)), mode="edge")
+        return p
+
+    srcs = np.stack([pad64(np.asarray(p)) for p in group_lumas])
+    qp = qp_row_for(int(np.clip(base_qindex, 1, 255)), 0, 0, bit_depth)
+    stats = np.asarray(tpl_group_stats(
+        jax.device_put(srcs.astype(np.int32)), jax.device_put(qp),
+        bit_depth=bit_depth))
+    return TplModel(stats, base_qindex, bit_depth)
