@@ -17,11 +17,11 @@ from dataclasses import dataclass, field, fields
 # Fields accepted (API parity) but not yet consumed by the pipeline.
 # Shrinks as consumers land; SvtAv1Encoder.init warns when a user sets one.
 _PENDING_FIELDS = frozenset({
-    "hierarchical_levels", "sframe_dist", "sframe_mode", "use_qp_file",
+    "sframe_dist", "sframe_mode", "use_qp_file",
     "max_bit_rate", "vbv_bufsize", "over_shoot_pct", "under_shoot_pct",
     "recode_loop", "vbr_bias_pct", "vbr_min_section_pct",
     "vbr_max_section_pct", "enable_adaptive_quantization", "pass_",
-    "rc_stats_buffer", "luminance_qp_bias", "psy_rd", "spy_rd", "sharp_tx",
+    "rc_stats_buffer", "luminance_qp_bias", "spy_rd", "sharp_tx",
     "hbd_mds", "complex_hvs", "adaptive_film_grain",
     "noise_adaptive_filtering", "noise_norm_strength", "tf_strength",
     "kf_tf_strength", "max_32_tx_size",
@@ -52,7 +52,7 @@ class EncoderConfig:
     enc_mode: int = 10  # preset -3..13
     intra_period_length: int = -2  # -2 auto, -1 infinite, >=0 period
     intra_refresh_type: int = 2  # 1 FWD_FRAME (open GOP), 2 KEY_FRAME (closed)
-    hierarchical_levels: int = 0  # 0 => auto [pending: >0 inter structures]
+    hierarchical_levels: int = 0  # 0 auto; 1-4 = mini-GOP 2^n (codec/gop.py)
     pred_structure: int = 2  # 1 low delay, 2 random access [pending]
     force_key_frames: bool = False
     sframe_dist: int = 0  # [pending]
@@ -87,7 +87,8 @@ class EncoderConfig:
     tune: int = 1  # 0 VQ, 1 PSNR, 2 SSIM, 3 Subjective SSIM, 4 Still [partial]
     sharpness: int = 0
     luminance_qp_bias: int = 0  # [pending]
-    psy_rd: float = 0.5  # [pending]
+    psy_rd: float = 1.0  # SA8D energy-delta distortion (ops/psy_dist.py);
+    # reference default 1.0 (enc_settings.c:1108); inert under tune 1
     spy_rd: int = 0  # [pending]
     sharp_tx: int = 1  # [pending]
     hbd_mds: int = 0  # [pending]

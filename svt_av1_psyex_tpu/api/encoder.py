@@ -114,7 +114,8 @@ class SvtAv1Encoder:
             enable_variance_boost=cfg.enable_variance_boost,
             variance_boost_strength=cfg.variance_boost_strength,
             variance_octile=cfg.variance_octile,
-            variance_boost_curve=cfg.variance_boost_curve)
+            variance_boost_curve=cfg.variance_boost_curve,
+            psy_rd=cfg.psy_rd, tune=cfg.tune)
         self._initialized = True
 
     def stream_header(self) -> bytes:
@@ -210,11 +211,12 @@ class SvtAv1Encoder:
                 continue
             gap = self._gap_to_next_key(disp0)
             avail = len(self._in_q)
-            if avail < min(4, gap) and not self._eos_sent:
+            max_mg = self._max_minigop()
+            if avail < min(max_mg, gap) and not self._eos_sent:
                 return  # wait for more lookahead
-            length = min(4, gap, avail)
-            if length == 3:
-                length = 2  # dyadic lengths only; the leftover follows
+            length = min(max_mg, gap, avail)
+            while length & (length - 1):
+                length &= length - 1  # dyadic lengths only; leftover follows
             if length == 0:
                 return
             future = 1 - self._anchor_slot
@@ -279,6 +281,15 @@ class SvtAv1Encoder:
                 self._emit(tu, pl.disp_idx, 1, shown=shown)
             if length > 1:
                 self._anchor_slot = future
+
+    def _max_minigop(self) -> int:
+        """Mini-GOP size from hierarchical_levels (0 = auto by preset;
+        the reference scales pyramid depth down at the fastest presets,
+        pd_process.c mini-GOP assembly)."""
+        hl = self.config.hierarchical_levels
+        if hl > 0:
+            return 1 << min(hl, 4)
+        return 16 if self.config.enc_mode <= 10 else 8
 
     def _tpl_on(self) -> bool:
         return bool(self.config.enable_tpl_la) and self.config.enc_mode <= 11

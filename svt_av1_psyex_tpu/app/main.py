@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--frames", type=int, default=0, help="max frames (0=all)")
     p.add_argument("--tune", type=int, default=1)
     p.add_argument("--sharpness", type=int, default=0)
+    p.add_argument("--psy-rd", type=float, default=None, dest="psy_rd")
+    p.add_argument("--hierarchical-levels", type=int, default=0,
+                   dest="hierarchical_levels", help="0 auto, 1-4 = 2^n GOP")
+    p.add_argument("--enable-tpl-la", type=int, default=1, dest="enable_tpl_la")
     p.add_argument("--enable-variance-boost", type=int, default=1)
     p.add_argument("--enable-tf", type=int, default=1,
                    help="alt-ref temporal filtering (RA anchors)")
@@ -72,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
     cfg.intra_period_length = args.keyint
     cfg.tune = args.tune
     cfg.sharpness = args.sharpness
+    if args.psy_rd is not None:
+        cfg.psy_rd = args.psy_rd
+    cfg.hierarchical_levels = args.hierarchical_levels
+    cfg.enable_tpl_la = args.enable_tpl_la
     cfg.enable_variance_boost = bool(args.enable_variance_boost)
     cfg.enable_tf = bool(args.enable_tf)
     cfg.variance_boost_strength = args.variance_boost_strength
@@ -90,15 +98,27 @@ def main(argv: list[str] | None = None) -> int:
     n = 0
     t0 = time.perf_counter()
     sum_psnr = np.zeros(3)
+    n_psnr = 0
+    srcs: dict[int, list] = {}  # pts -> planes, until recon arrives
+
+    def drain_recons() -> None:
+        # recons arrive in coded order; match by pts (RA reorders)
+        nonlocal n_psnr
+        while (rec := handle.get_recon()) is not None:
+            planes = srcs.pop(rec.pts, None)
+            if planes is None:
+                continue
+            for i in range(min(3, len(planes))):
+                ph, pw = planes[i].shape
+                sum_psnr[i] += psnr(rec.planes[i][:ph, :pw], planes[i],
+                                    fmt.bit_depth)
+            n_psnr += 1
+
     for planes in reader.frames():
         handle.send_picture(planes, n)
         if cfg.stat_report:
-            rec = handle.get_recon()
-            if rec is not None:
-                for i in range(min(3, len(planes))):
-                    ph, pw = planes[i].shape
-                    sum_psnr[i] += psnr(rec.planes[i][:ph, :pw], planes[i],
-                                        fmt.bit_depth)
+            srcs[n] = planes
+            drain_recons()
         while (pkt := handle.get_packet()) is not None:
             if not pkt.is_eos:
                 ivf.write_frame(pkt.data, pkt.pts)
@@ -111,13 +131,15 @@ def main(argv: list[str] | None = None) -> int:
     while (pkt := handle.get_packet()) is not None:
         if not pkt.is_eos:
             ivf.write_frame(pkt.data, pkt.pts)
+    if cfg.stat_report:
+        drain_recons()
     ivf.close()
     out.close()
     dt = time.perf_counter() - t0
     print(f"\n{n} frames in {dt:.2f}s ({n / dt:.2f} fps)", file=sys.stderr)
-    if cfg.stat_report and n:
-        print(f"PSNR Y {sum_psnr[0]/n:.2f}  U {sum_psnr[1]/n:.2f}  V {sum_psnr[2]/n:.2f}",
-              file=sys.stderr)
+    if cfg.stat_report and n_psnr:
+        print(f"PSNR Y {sum_psnr[0]/n_psnr:.2f}  U {sum_psnr[1]/n_psnr:.2f}"
+              f"  V {sum_psnr[2]/n_psnr:.2f}", file=sys.stderr)
     handle.deinit()
     handle.deinit_handle()
     return 0

@@ -91,9 +91,12 @@ class Av1Encoder:
     def __init__(self, seq: SequenceConfig, preset: int = 10,
                  enable_variance_boost: bool = False,
                  variance_boost_strength: int = 2, variance_octile: int = 6,
-                 variance_boost_curve: int = 0, enable_dlf: bool = True):
+                 variance_boost_curve: int = 0, enable_dlf: bool = True,
+                 psy_rd: float = 0.0, tune: int = 1):
         self.seq = seq
         self.preset = preset
+        # psy-rd acts whenever set and tune is not PSNR (enc_settings.c:1270)
+        self.psy_rd = psy_rd if tune != 1 else 0.0
         self.enable_dlf = enable_dlf
         self.enable_variance_boost = enable_variance_boost
         self.vb_strength = variance_boost_strength
@@ -314,6 +317,12 @@ class Av1Encoder:
                 me_field = run_device_me(
                     pctx[0].src, {n: p[0] for n, p in ref_planes.items()},
                     bit_depth=seq.bit_depth)
+        psy_factor = 0.0
+        if self.psy_rd > 0.0:
+            from ..ops.psy_dist import hvs_modulation_factor
+
+            psy_factor = hvs_modulation_factor(self.psy_rd, is_key,
+                                               plan.layer)
         md = ModeDecision(seq, fr, pctx, self.mi_rows, self.mi_cols,
                           rdmult=compute_rdmult(fr.base_q_idx, seq.bit_depth),
                           min_bsize=self._min_partition_bsize,
@@ -321,7 +330,8 @@ class Av1Encoder:
                           angle_deltas=self.preset <= 9,
                           ref_planes=ref_planes,
                           try_rect=self.preset <= 8,
-                          cdfs=cdfs.clone(), me_field=me_field)
+                          cdfs=cdfs.clone(), me_field=me_field,
+                          psy_factor=psy_factor)
         if md.mi_state is not None:
             md.mi_state.sign_bias = sign_bias
         # device MD path: whole-frame candidate analysis on TPU (intra
@@ -520,14 +530,21 @@ class Av1Encoder:
         cdfs0 = FrameCdfs(q0)
         mode_rate = cdf_costs(cdfs0.kf_y_mode[0][0, 0])[list(DEVICE_MODES)]
         sk = cdf_costs(cdfs0.skip[0][0])
+        psy_fixed = 0
+        if self.psy_rd > 0.0:
+            from ..ops.psy_dist import hvs_modulation_factor
+
+            psy_fixed = int(round(
+                hvs_modulation_factor(self.psy_rd, True, 0) * 256))
         rd = np.concatenate([
             [compute_rdmult(q0, self.seq.bit_depth), sk[0], sk[1]],
-            mode_rate]).astype(np.int32)
+            mode_rate, [psy_fixed]]).astype(np.int32)
         rd_rows = np.broadcast_to(rd, (len(frames), rd.size))
         rows = np.asarray(intra_analysis_batch(
             jax.device_put(lumas), jax.device_put(qps),
             jax.device_put(rd_rows),
-            depths=DeviceIntraMD.DEPTHS, bit_depth=self.seq.bit_depth))
+            depths=DeviceIntraMD.DEPTHS, bit_depth=self.seq.bit_depth,
+            psy=psy_fixed > 0))
 
         group: list = []
         for i, f in enumerate(frames):

@@ -1,14 +1,17 @@
 """Hierarchical GOP planning: dyadic mini-GOPs with backward references.
 
 Counterpart: the reference's picture-decision process
-(picture_decision_process.c: mini-GOP construction, pred structure
-PRED_RANDOM_ACCESS) reduced to its dyadic core: an anchor chain at layer 0
-plus B-layers referencing past (LAST) and future (BWDREF/ALTREF) anchors,
-emitted in coded order with show_existing_frame for the delayed anchor.
+(pd_process.c mini-GOP construction, pred structure PRED_RANDOM_ACCESS,
+pred_structure.c 2-6 hierarchical levels) as a recursive dyadic planner:
+an anchor chain at layer 0 plus a B-pyramid referencing its nearest past
+and future coded frames, emitted in coded order with show_existing_frame
+for every out-of-display-order frame.
 
-Slots: 0 = last key/anchor ("LAST pool"), 1 = mini-GOP future anchor
-(ALTREF), 2 = mid frame (BWDREF). Per-layer qindex offsets follow the
-reference's hierarchical ladder shape.
+Mini-GOP lengths are powers of two up to 16 (5 hierarchical layers).
+Slots: 0/1 alternate as the anchor chain ("LAST pool" / mini-GOP ARF);
+2 + layer hold the B-pyramid's internal anchors, reused per level as the
+recursion unwinds (the reference's DPB virtual-buffer discipline,
+pd_process.c ref assignment).
 """
 
 from __future__ import annotations
@@ -17,6 +20,8 @@ from dataclasses import dataclass, field
 
 # named reference indices (spec): LAST=1 ... ALTREF=7
 LAST, LAST2, LAST3, GOLDEN, BWDREF, ALTREF2, ALTREF = 1, 2, 3, 4, 5, 6, 7
+
+MAX_MINIGOP = 16
 
 
 @dataclass
@@ -32,63 +37,67 @@ class FramePlan:
     q_offset: int = 0
 
 
-# per-layer qindex offsets (hierarchical ladder shape; anchors lowest)
-_LAYER_QOFF = [0, 10, 16, 20]
+# per-layer qindex offsets (hierarchical ladder shape; anchors lowest).
+# Used when neither RC nor TPL owns the allocation.
+_LAYER_QOFF = [0, 8, 12, 16, 20, 24]
+
+
+def _qoff(layer: int) -> int:
+    return _LAYER_QOFF[min(layer, len(_LAYER_QOFF) - 1)]
 
 
 def plan_minigop(anchor_slot: int, start_disp: int, length: int,
-                 future_slot: int, mid_slot: int) -> list[FramePlan]:
-    """Coded-order plans for one dyadic mini-GOP of `length` (1, 2 or 4)
-    displayed frames start_disp .. start_disp+length-1, referencing the
-    anchor in `anchor_slot`."""
+                 future_slot: int, mid_slot: int = 2) -> list[FramePlan]:
+    """Coded-order plans for one dyadic mini-GOP of `length` (power of 2,
+    <= 16) displayed frames start_disp .. start_disp+length-1, referencing
+    the previous anchor in `anchor_slot`. The mini-GOP's ARF lands in
+    `future_slot`; pyramid levels use slots mid_slot + layer - 1."""
+    assert length & (length - 1) == 0 and 1 <= length <= MAX_MINIGOP
     if length == 1:
         return [FramePlan(start_disp, 1, True,
                           refs={LAST: anchor_slot, ALTREF: anchor_slot},
-                          refresh_flags=0xFF ^ 0,  # becomes the next anchor
+                          refresh_flags=0xFF,  # becomes the next anchor
                           primary_ref_name=LAST, layer=0,
-                          q_offset=_LAYER_QOFF[0])]
-    # shown frames must be emitted in display order (AV1 has no output
-    # reordering); every out-of-order frame is coded no-show and displayed
-    # later via show_existing_frame
-    plans = []
-    d = start_disp
-    if length == 2:
-        plans.append(FramePlan(d + 1, 1, False,
-                               refs={LAST: anchor_slot, ALTREF: anchor_slot},
-                               refresh_flags=1 << future_slot,
-                               primary_ref_name=LAST, layer=0,
-                               q_offset=_LAYER_QOFF[0]))
-        plans.append(FramePlan(d, 1, True,
-                               refs={LAST: anchor_slot, ALTREF: future_slot},
-                               refresh_flags=0,
-                               primary_ref_name=LAST, layer=1,
-                               q_offset=_LAYER_QOFF[1]))
-        plans.append(FramePlan(d + 1, 1, show_existing_slot=future_slot))
-        return plans
-    assert length == 4
-    plans.append(FramePlan(d + 3, 1, False,
+                          q_offset=_qoff(0))]
+    plans: list[FramePlan] = []
+    arf_disp = start_disp + length - 1
+    # ARF: coded first, displayed last (no-show + show_existing at the end)
+    plans.append(FramePlan(arf_disp, 1, False,
                            refs={LAST: anchor_slot, ALTREF: anchor_slot},
                            refresh_flags=1 << future_slot,
                            primary_ref_name=LAST, layer=0,
-                           q_offset=_LAYER_QOFF[0]))
-    plans.append(FramePlan(d + 1, 1, False,
-                           refs={LAST: anchor_slot, ALTREF: future_slot},
-                           refresh_flags=1 << mid_slot,
-                           primary_ref_name=LAST, layer=1,
-                           q_offset=_LAYER_QOFF[1]))
-    plans.append(FramePlan(d, 1, True,
-                           refs={LAST: anchor_slot, BWDREF: mid_slot,
-                                 ALTREF: future_slot},
-                           refresh_flags=0,
-                           primary_ref_name=LAST, layer=2,
-                           q_offset=_LAYER_QOFF[2]))
-    plans.append(FramePlan(d + 1, 1, show_existing_slot=mid_slot))
-    plans.append(FramePlan(d + 2, 1, True,
-                           refs={LAST: mid_slot, ALTREF: future_slot},
-                           refresh_flags=0,
-                           primary_ref_name=LAST, layer=2,
-                           q_offset=_LAYER_QOFF[2]))
-    plans.append(FramePlan(d + 3, 1, show_existing_slot=future_slot))
+                           q_offset=_qoff(0)))
+
+    def make_refs(past: int, future: int) -> dict:
+        """Nearest past (LAST), nearest future (BWDREF), mini-GOP ARF
+        (ALTREF) — collapsed when the nearest future IS the ARF."""
+        if future == future_slot:
+            return {LAST: past, ALTREF: future}
+        return {LAST: past, BWDREF: future, ALTREF: future_slot}
+
+    def rec(lo: int, hi: int, past: int, future: int, layer: int) -> None:
+        """Plan displayed frames lo..hi (exclusive of the anchors that
+        bound them), shown in display order."""
+        if lo > hi:
+            return
+        if lo == hi:
+            plans.append(FramePlan(lo, 1, True, refs=make_refs(past, future),
+                                   refresh_flags=0,
+                                   primary_ref_name=LAST, layer=layer,
+                                   q_offset=_qoff(layer)))
+            return
+        mid = (lo + hi) // 2
+        slot = mid_slot + layer - 1
+        plans.append(FramePlan(mid, 1, False, refs=make_refs(past, future),
+                               refresh_flags=1 << slot,
+                               primary_ref_name=LAST, layer=layer,
+                               q_offset=_qoff(layer)))
+        rec(lo, mid - 1, past, slot, layer + 1)
+        plans.append(FramePlan(mid, 1, show_existing_slot=slot))
+        rec(mid + 1, hi, slot, future, layer + 1)
+
+    rec(start_disp, arf_disp - 1, anchor_slot, future_slot, 1)
+    plans.append(FramePlan(arf_disp, 1, show_existing_slot=future_slot))
     return plans
 
 

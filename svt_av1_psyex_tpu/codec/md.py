@@ -94,7 +94,10 @@ class ModeDecision:
                  rdmult: int, min_bsize: int, n_full_rd: int = 2,
                  angle_deltas: bool = False, ref_planes: list | None = None,
                  try_rect: bool = False, cdfs: FrameCdfs | None = None,
-                 me_field=None):
+                 me_field=None, psy_factor: float = 0.0):
+        # layer-modulated psy-rd strength (0 = off); adds the SA8D energy
+        # delta to every txb's distortion (full_loop.c:2285-2536 hook)
+        self.psy_factor = psy_factor
         self.angle_deltas = angle_deltas
         self.try_rect = try_rect
         # inter: padded reference planes (LAST) + MVP mi-state
@@ -1009,6 +1012,10 @@ class ModeDecision:
         else:
             rec = np.clip(pred, 0, (1 << bd) - 1)
         dist = int(((src - rec).astype(np.int64) ** 2).sum())
+        if self.psy_factor > 0.0:
+            from ..ops.psy_dist import psy_distortion
+
+            dist += int(psy_distortion(src, rec, bd) * self.psy_factor)
         return qcoeff.reshape(ch, cw), eob, rec, dist
 
     def _commit_block(self, leaf: LeafBlock, txbs, r, c, bsize, x, y, has_chroma):

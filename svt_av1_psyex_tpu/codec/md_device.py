@@ -62,9 +62,10 @@ class DeviceIntraMD:
         from ..device.intra import DEVICE_MODES
 
         self.modes = np.array(DEVICE_MODES, np.int32)
+        self.psy_fixed = int(round(getattr(md, "psy_factor", 0.0) * 256))
         cacheable = (fr.frame_is_intra
                      and getattr(fr, "primary_ref_frame", 7) == 7)
-        key = fr.base_q_idx
+        key = (fr.base_q_idx, self.psy_fixed)
         ent = self._rd_cache.get(key) if cacheable else None
         if ent is None:
             kv = md.cdfs.kf_y_mode[0]
@@ -91,12 +92,13 @@ class DeviceIntraMD:
         return src
 
     def rd_row(self) -> np.ndarray:
-        """[rdmult, skip0, skip1, mode_costs...] for the on-device RD
-        reduction (frame-level rdmult; per-SB deltaq from variance boost
-        only re-weights the host partition rates)."""
+        """[rdmult, skip0, skip1, mode_costs..., psy_factor<<8] for the
+        on-device RD reduction (frame-level rdmult; per-SB deltaq from
+        variance boost only re-weights the host partition rates)."""
         return np.concatenate([
             np.array([self.md.rdmult, self.skip0, self.skip1], np.int32),
-            self.mode_rate.astype(np.int32)])
+            self.mode_rate.astype(np.int32),
+            np.array([self.psy_fixed], np.int32)])
 
     def analyze(self, packed_row: np.ndarray | None = None) -> None:
         """Pull the device (J, mode) lattice. `packed_row` = precomputed
@@ -119,7 +121,8 @@ class DeviceIntraMD:
                 jax.device_put(src.astype(np.int32)[None]),
                 jax.device_put(qp[None]),
                 jax.device_put(self.rd_row()[None]),
-                depths=self.DEPTHS, bit_depth=self.seq.bit_depth))[0]
+                depths=self.DEPTHS, bit_depth=self.seq.bit_depth,
+                psy=self.psy_fixed > 0))[0]
         self.stats = unpack_rd_analysis(packed_row, hp, wp, self.DEPTHS)
 
     # ---- partition argmin ------------------------------------------------
@@ -305,11 +308,13 @@ class DeviceInterMD(DeviceIntraMD):
                            for blk in (16, 32, 64)}
         sk = cdf_costs(md.cdfs.skip[0][0])
         self.skip0, self.skip1 = int(sk[0]), int(sk[1])
+        self.psy_fixed = int(round(getattr(md, "psy_factor", 0.0) * 256))
 
     def rd_row(self) -> np.ndarray:
         """[rdmult, skip0, skip1, intra mode costs x M, NEWMV base x 8,
-        zero-MV base x 8] — neutral-context snapshot costs (the exact
-        neighbor-dependent rates only re-weight the host tree walk)."""
+        zero-MV base x 8, psy_factor<<8] — neutral-context snapshot costs
+        (the exact neighbor-dependent rates only re-weight the host tree
+        walk)."""
         md = self.md
         from .constants import SIZE_GROUP
         from .rd import cdf_costs as cc
@@ -330,7 +335,8 @@ class DeviceInterMD(DeviceIntraMD):
                              + int(zeromv_c[0]))
         return np.concatenate([
             np.array([md.rdmult, self.skip0, self.skip1], np.int64),
-            mode_rate, new_base, zero_base]).astype(np.int32)
+            mode_rate, new_base, zero_base,
+            np.array([self.psy_fixed], np.int64)]).astype(np.int32)
 
     def analyze(self) -> None:
         import jax
@@ -355,7 +361,8 @@ class DeviceInterMD(DeviceIntraMD):
             jax.device_put(src.astype(np.int32)),
             jax.device_put(refs.astype(np.int32)),
             jax.device_put(qp), jax.device_put(self.rd_row()),
-            depths=self.DEPTHS, bit_depth=self.seq.bit_depth))
+            depths=self.DEPTHS, bit_depth=self.seq.bit_depth,
+            psy=self.psy_fixed > 0))
         self.stats = unpack_inter_analysis(row, hp, wp, self.DEPTHS)
 
     # ---- argmin leaf payload ---------------------------------------------

@@ -73,7 +73,8 @@ def _mc_tiles(ref: jnp.ndarray, mv_y: jnp.ndarray, mv_x: jnp.ndarray,
 
 
 def _txrd(resid: jnp.ndarray, blk: int, qp_row, bit_depth: int):
-    """Exact-DCT analysis RD of a residual batch: (dist, rate, sse)."""
+    """Exact-DCT analysis RD of a residual batch:
+    (dist, rate, sse, inv_residual)."""
     sse = (resid.astype(jnp.float32) ** 2).sum(axis=(1, 2))
     coeffs = _fwd_dct2d(resid, blk)
     log_scale = 2 if blk == 64 else (1 if blk == 32 else 0)
@@ -81,12 +82,12 @@ def _txrd(resid: jnp.ndarray, blk: int, qp_row, bit_depth: int):
         coeffs, qp_row[4], qp_row[9],
         _rp2(qp_row[1], log_scale), _rp2(qp_row[6], log_scale),
         _rp2(qp_row[0], log_scale), _rp2(qp_row[5], log_scale), log_scale)
-    dist, rate, _eob = _rate_dist(qabs, dq, resid, blk, bit_depth)
-    return dist, rate, sse
+    dist, rate, _eob, inv = _rate_dist(qabs, dq, resid, blk, bit_depth)
+    return dist, rate, sse, inv
 
 
 def _inter_depth(tiles, ref, mvs, blk: int, qp_row, rd_row, ri: int,
-                 bit_depth: int, sb_mv):
+                 bit_depth: int, sb_mv, psy: bool = False):
     """J lattice for one (depth, ref): NEWMV at the ME MV and the zero
     MV. tiles: (B, blk, blk) source; mvs: (mv_y, mv_x) grids.
     Returns (j, cand, mv_y8, mv_x8) flattened per block."""
@@ -113,7 +114,17 @@ def _inter_depth(tiles, ref, mvs, blk: int, qp_row, rd_row, ri: int,
     ):
         pred = _mc_tiles(ref, my, mx, blk)
         resid = tiles - pred
-        dist, rate, sse = _txrd(resid, blk, qp_row, bit_depth)
+        dist, rate, sse, inv = _txrd(resid, blk, qp_row, bit_depth)
+        if psy:
+            from .intra import psy_energy
+
+            maxpix = (1 << bit_depth) - 1
+            scale = 0.5 if bit_depth == 8 else 4.0
+            factor = rd_row[-1].astype(jnp.float32) / 256.0 * scale
+            e_src = psy_energy(tiles, blk)
+            recon = jnp.clip(pred + inv, 0, maxpix)
+            dist = dist + jnp.abs(e_src - psy_energy(recon, blk)) * factor
+            sse = sse + jnp.abs(e_src - psy_energy(pred, blk)) * factor
         j_coded = (rate.astype(jnp.float32) + crate + skip0) \
             * rdmult / 512.0 + dist * 128.0
         j_skip = (crate + skip1) * rdmult / 512.0 + sse * 128.0
@@ -124,11 +135,11 @@ def _inter_depth(tiles, ref, mvs, blk: int, qp_row, rd_row, ri: int,
     return out
 
 
-@partial(jax.jit, static_argnames=("depths", "bit_depth"))
+@partial(jax.jit, static_argnames=("depths", "bit_depth", "psy"))
 def inter_analysis(src: jnp.ndarray, refs: jnp.ndarray,
                    qp_row: jnp.ndarray, rd_row: jnp.ndarray,
                    depths: tuple = (64, 32, 16, 8),
-                   bit_depth: int = 8) -> jnp.ndarray:
+                   bit_depth: int = 8, psy: bool = False) -> jnp.ndarray:
     """src (H, W) int, refs (R, H, W) int, H/W multiples of 64.
 
     qp_row: (10,) luma quantizer row (device.intra.qp_row_for).
@@ -167,7 +178,7 @@ def inter_analysis(src: jnp.ndarray, refs: jnp.ndarray,
     for blk in depths:
         tiles = _extract_blocks(src, blk)
         # intra candidates (device.intra RD reduction)
-        d = _analyze_depth(src, blk, qp_row, bit_depth, rd_row)
+        d = _analyze_depth(src, blk, qp_row, bit_depth, rd_row, psy)
         cands = [(d["j"], d["mode"],
                   jnp.zeros_like(d["j"]), jnp.zeros_like(d["j"]))]
         for ri in range(refs.shape[0]):
@@ -175,7 +186,7 @@ def inter_analysis(src: jnp.ndarray, refs: jnp.ndarray,
                 else per_ref[ri][blk]
             cands.extend(_inter_depth(tiles, refs[ri], per_ref[ri][blk],
                                       blk, qp_row, rd_row, ri, bit_depth,
-                                      sb_mv))
+                                      sb_mv, psy))
         js = jnp.stack([c[0] for c in cands])          # (C, B)
         cd = jnp.stack([c[1] for c in cands])
         mys = jnp.stack([c[2] for c in cands])

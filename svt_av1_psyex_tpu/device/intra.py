@@ -162,9 +162,39 @@ def _scan_idx(n: int) -> np.ndarray:
     return scan_table(tx, "default").astype(np.int32)
 
 
+_HAD8 = None
+
+
+def _had8():
+    global _HAD8
+    if _HAD8 is None:
+        h = np.array([[1]], np.int64)
+        while h.shape[0] < 8:
+            h = np.block([[h, h], [h, -h]])
+        _HAD8 = h.astype(np.float32)
+    return _HAD8
+
+
+def psy_energy(x: jnp.ndarray, blk: int) -> jnp.ndarray:
+    """(B, blk, blk) -> (B,) summed per-8x8-tile SA8D energy
+    (SA8D - SAD/4 vs zero; psy_rd.c:135 svt_psy_distortion's per-tile
+    term, float analysis-tier — the conformant commit never re-rates)."""
+    b = x.shape[0]
+    n8 = blk // 8
+    t = (x.reshape(b, n8, 8, n8, 8).transpose(0, 1, 3, 2, 4)
+         .reshape(-1, 8, 8).astype(jnp.float32))
+    h = jnp.asarray(_had8())
+    tr = jnp.einsum("ij,bjk,lk->bil", h, t, h)
+    sa8d = jnp.floor((jnp.abs(tr).sum(axis=(1, 2)) + 2) / 4)
+    sad = jnp.abs(t).sum(axis=(1, 2))
+    e = sa8d - jnp.floor(sad / 4)
+    return e.reshape(b, n8 * n8).sum(axis=1)
+
+
 def _rate_dist(qabs, dq, resid, blk: int, bit_depth: int):
     """Coefficient-rate proxy + exact recon distortion for one mode batch.
-    qabs/dq: (B, cn, cn); resid: (B, blk, blk)."""
+    qabs/dq: (B, cn, cn); resid: (B, blk, blk). Also returns the inverse-
+    transformed residual (for recon-domain psy)."""
     b = qabs.shape[0]
     cn = qabs.shape[-1]
     inv = _inv_dct2d(dq, blk, bit_depth)
@@ -182,14 +212,16 @@ def _rate_dist(qabs, dq, resid, blk: int, bit_depth: int):
             + (RATE_LOG2 * jnp.where(nzmask, log2q, 0.0).sum(axis=1)).astype(jnp.int32)
             + RATE_ZERO * jnp.maximum(eob - nnz, 0)
             + (RATE_EOB * jnp.log2(1.0 + eob.astype(jnp.float32))).astype(jnp.int32))
-    return dist, rate.astype(jnp.int32), eob.astype(jnp.int32)
+    return dist, rate.astype(jnp.int32), eob.astype(jnp.int32), inv
 
 
 def _analyze_depth(luma, blk: int, qp_row, bit_depth: int,
-                   rd_row=None):
+                   rd_row=None, psy: bool = False):
     """All blocks of one depth: -> dict of (B, M) / (B,) arrays.
     With rd_row (see intra_analysis_batch) the RD reduction happens on
-    device and only (jbest, mode_best) per block are returned."""
+    device and only (jbest, mode_best) per block are returned. With
+    psy=True, the SA8D energy delta (scaled by rd_row[-1]/256) is added
+    to both the coded and skip distortions (psy_rd.c full-loop hook)."""
     tiles = _extract_blocks(luma, blk)
     above, left, tl = _block_neighbors(luma, blk)
     preds = _predict_modes(tiles, above, left, tl, blk)  # (M,B,blk,blk)
@@ -202,7 +234,16 @@ def _analyze_depth(luma, blk: int, qp_row, bit_depth: int,
         coeffs, qp_row[4], qp_row[9],
         _rp2(qp_row[1], log_scale), _rp2(qp_row[6], log_scale),
         _rp2(qp_row[0], log_scale), _rp2(qp_row[5], log_scale), log_scale)
-    dist, rate, eob = _rate_dist(qabs, dq, resid, blk, bit_depth)
+    dist, rate, eob, inv = _rate_dist(qabs, dq, resid, blk, bit_depth)
+    if psy:
+        maxpix = (1 << bit_depth) - 1
+        scale = 0.5 if bit_depth == 8 else 4.0
+        factor = rd_row[-1].astype(jnp.float32) / 256.0 * scale
+        pflat = preds.reshape(m * b, blk, blk)
+        recon = jnp.clip(pflat + inv, 0, maxpix)
+        e_src = jnp.tile(psy_energy(tiles, blk), m)
+        dist = dist + jnp.abs(e_src - psy_energy(recon, blk)) * factor
+        sse = sse + jnp.abs(e_src - psy_energy(pflat, blk)) * factor
     if rd_row is None:
         return {
             "dist": dist.reshape(m, b).T,      # (B, M) f32
@@ -257,11 +298,11 @@ def intra_analysis(luma: jnp.ndarray, qp_row: jnp.ndarray,
     return jnp.concatenate(parts)
 
 
-@partial(jax.jit, static_argnames=("depths", "bit_depth"))
+@partial(jax.jit, static_argnames=("depths", "bit_depth", "psy"))
 def intra_analysis_batch(lumas: jnp.ndarray, qp_rows: jnp.ndarray,
                          rd_rows: jnp.ndarray,
                          depths: tuple = (64, 32, 16, 8),
-                         bit_depth: int = 8) -> jnp.ndarray:
+                         bit_depth: int = 8, psy: bool = False) -> jnp.ndarray:
     """Group-of-frames analysis with on-device RD reduction.
 
     lumas (F, Hp, Wp) uint8/uint16, qp_rows (F, 10), rd_rows (F, 3+M) =
@@ -276,7 +317,7 @@ def intra_analysis_batch(lumas: jnp.ndarray, qp_rows: jnp.ndarray,
     def one(luma, qp_row, rd_row):
         parts = []
         for blk in depths:
-            d = _analyze_depth(luma, blk, qp_row, bit_depth, rd_row)
+            d = _analyze_depth(luma, blk, qp_row, bit_depth, rd_row, psy)
             parts.append(d["j"])
             parts.append(d["mode"])
         return jnp.concatenate(parts)

@@ -57,8 +57,7 @@ def _txrd16(resid: jnp.ndarray, qp_row, bit_depth: int):
         coeffs, qp_row[4], qp_row[9],
         _rp2(qp_row[1], 0), _rp2(qp_row[6], 0),
         _rp2(qp_row[0], 0), _rp2(qp_row[5], 0), 0)
-    dist, rate, _ = _rate_dist(qabs, dq, resid, BLK, bit_depth)
-    inv = _inv_dct2d(dq, BLK, bit_depth)
+    dist, rate, _eob, inv = _rate_dist(qabs, dq, resid, BLK, bit_depth)
     return dist, rate, inv
 
 

@@ -24,6 +24,7 @@ _SOURCES = [
     "Lib/Codec/transforms.c",
     "Lib/Codec/deblocking_common.c",
     "Lib/Codec/cdef.c",
+    "Lib/Codec/psy_rd.c",
     "Lib/C_DEFAULT/encode_txb_ref_c.c",
 ]
 _INCLUDES = ["Lib/Codec", "API", "Lib/Globals", "Lib/C_DEFAULT"]
@@ -186,6 +187,27 @@ def cdef_filter_block(in16: np.ndarray, pri: int, sec: int, dir: int,
     fn(dst, None, w, np.ascontiguousarray(buf[2 * S + 2 :]), pri, sec, dir,
        pri_damping, sec_damping, bsize, 0, 1)
     return dst.reshape(h, w)
+
+
+def psy_distortion(src: np.ndarray, recon: np.ndarray,
+                   bit_depth: int = 8) -> int:
+    """Reference svt_psy_distortion(_hbd) on one (h, w) block."""
+    lib = get_lib()
+    h, w = src.shape
+    if bit_depth == 8:
+        fn = lib.svt_psy_distortion
+        a = np.ascontiguousarray(src, np.uint8)
+        b = np.ascontiguousarray(recon, np.uint8)
+        ptr = _U8P
+    else:
+        fn = lib.svt_psy_distortion_hbd
+        a = np.ascontiguousarray(src, np.uint16)
+        b = np.ascontiguousarray(recon, np.uint16)
+        ptr = _U16P
+    fn.restype = ctypes.c_uint64
+    fn.argtypes = [ptr, ctypes.c_uint32, ptr, ctypes.c_uint32,
+                   ctypes.c_uint32, ctypes.c_uint32]
+    return int(fn(a.ravel(), w, b.ravel(), w, w, h))
 
 
 def cdef_find_dir(img: np.ndarray) -> tuple[int, int]:

@@ -1,0 +1,107 @@
+"""PSY distortion kernels: bit-exact vs the reference C (oracle fuzz)."""
+
+import numpy as np
+import pytest
+
+import oracle
+from svt_av1_psyex_tpu.ops.psy_dist import (
+    hvs_modulation_factor,
+    psy_distortion,
+)
+
+pytestmark = pytest.mark.skipif(not oracle.available(),
+                                reason="reference tree unavailable")
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (16, 16), (32, 32), (64, 64),
+                                   (8, 16), (32, 8), (4, 4), (4, 8),
+                                   (16, 4), (8, 4)])
+def test_psy_distortion_bitexact_8bit(shape):
+    rng = np.random.default_rng(hash(shape) & 0xFFFF)
+    for trial in range(8):
+        src = rng.integers(0, 256, shape).astype(np.uint8)
+        rec = np.clip(src.astype(int)
+                      + rng.integers(-24, 25, shape), 0, 255).astype(np.uint8)
+        assert psy_distortion(src, rec, 8) == oracle.psy_distortion(src, rec, 8)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (16, 32), (4, 4)])
+def test_psy_distortion_bitexact_10bit(shape):
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        src = rng.integers(0, 1024, shape).astype(np.uint16)
+        rec = np.clip(src.astype(int)
+                      + rng.integers(-64, 65, shape), 0, 1023).astype(np.uint16)
+        assert psy_distortion(src, rec, 10) == \
+            oracle.psy_distortion(src, rec, 10)
+
+
+def test_modulation_ladder():
+    assert hvs_modulation_factor(1.0, True, 0) == 0.4
+    assert hvs_modulation_factor(1.0, False, 0) == 0.75
+    assert hvs_modulation_factor(1.0, False, 3) == 1.0
+
+
+def test_psy_rd_changes_output():
+    """--psy-rd with tune 0 must change the encoded stream (VERDICT r1:
+    no silent no-op), host MD path and device MD path both. Content mixes
+    hard diagonal edges with textured stripes — the regime where the
+    SA8D energy delta actually reorders candidates."""
+    from svt_av1_psyex_tpu.bitstream.headers import SequenceConfig
+    from svt_av1_psyex_tpu.codec.encoder import Av1Encoder
+
+    rng = np.random.default_rng(2)
+    yy, xx = np.mgrid[0:96, 0:128]
+    y = ((yy + xx) % 32 < 16).astype(np.uint8) * 120 + 60
+    y = np.clip(y + rng.integers(-50, 51, y.shape)
+                * ((xx // 32) % 2), 0, 255).astype(np.uint8)
+    u = np.full((48, 64), 128, np.uint8)
+    v = np.full((48, 64), 128, np.uint8)
+    outs = []
+    for psy in (0.0, 6.0):
+        seq = SequenceConfig(width=128, height=96)
+        enc = Av1Encoder(seq, preset=8, psy_rd=psy, tune=0)
+        outs.append(enc.encode_keyframe([y.copy(), u.copy(), v.copy()], 100))
+    assert outs[0] != outs[1]
+
+
+def test_psy_rd_shifts_device_lattice():
+    """Device MD path: the SA8D energy delta must enter the on-device RD
+    reduction (J lattices shift when psy is enabled)."""
+    import jax
+
+    from svt_av1_psyex_tpu.bitstream.tables import FrameCdfs
+    from svt_av1_psyex_tpu.codec.rd import cdf_costs, compute_rdmult
+    from svt_av1_psyex_tpu.device.intra import (
+        DEVICE_MODES,
+        intra_analysis_batch,
+        qp_row_for,
+        unpack_rd_analysis,
+    )
+
+    rng = np.random.default_rng(2)
+    src = rng.integers(0, 256, (128, 128)).astype(np.int32)
+    qp = qp_row_for(140, 0, 0, 8)
+    cdfs0 = FrameCdfs(140)
+    mode_rate = cdf_costs(cdfs0.kf_y_mode[0][0, 0])[list(DEVICE_MODES)]
+    sk = cdf_costs(cdfs0.skip[0][0])
+    js = []
+    for psy_fixed in (0, 614):
+        rd = np.concatenate([[compute_rdmult(140, 8), sk[0], sk[1]],
+                             mode_rate, [psy_fixed]]).astype(np.int32)
+        row = np.asarray(intra_analysis_batch(
+            jax.device_put(src[None]), jax.device_put(qp[None]),
+            jax.device_put(rd[None]), depths=(64, 32, 16, 8),
+            bit_depth=8, psy=psy_fixed > 0))[0]
+        js.append(unpack_rd_analysis(row, 128, 128, (64, 32, 16, 8)))
+    for blk in (64, 32, 16, 8):
+        assert (js[1][blk]["j"] > js[0][blk]["j"]).any(), blk
+
+
+def test_psy_rd_inert_under_tune_psnr():
+    from svt_av1_psyex_tpu.bitstream.headers import SequenceConfig
+    from svt_av1_psyex_tpu.codec.encoder import Av1Encoder
+
+    seq = SequenceConfig(width=128, height=96)
+    assert Av1Encoder(seq, psy_rd=2.0, tune=1).psy_rd == 0.0
+    assert Av1Encoder(seq, psy_rd=2.0, tune=0).psy_rd == 2.0
