@@ -26,7 +26,7 @@ _PENDING_FIELDS = frozenset({
     "noise_adaptive_filtering", "noise_norm_strength", "tf_strength",
     "kf_tf_strength", "max_32_tx_size",
     "min_chroma_qm_level", "max_chroma_qm_level", "low_q_taper", "lossless",
-    "avif", "enable_restoration_filtering", "enable_mfmv", "enable_overlays",
+    "avif", "enable_mfmv", "enable_overlays",
     "screen_content_mode", "enable_qm", "min_qm_level", "max_qm_level",
     "film_grain_denoise_strength", "film_grain_denoise_apply",
     "superres_mode", "resize_mode", "enable_dg", "startup_mg_size",
@@ -110,7 +110,7 @@ class EncoderConfig:
     # ---- features ----
     enable_dlf_flag: int = 1
     cdef_level: int = -1  # -1 auto (preset-derived search level)
-    enable_restoration_filtering: int = -1  # [pending LR]
+    enable_restoration_filtering: int = -1  # -1 auto (on at preset<=6)
     enable_mfmv: int = -1  # [pending]
     enable_overlays: bool = False  # [pending]
     tile_columns: int = 0

@@ -115,7 +115,9 @@ class SvtAv1Encoder:
             variance_boost_strength=cfg.variance_boost_strength,
             variance_octile=cfg.variance_octile,
             variance_boost_curve=cfg.variance_boost_curve,
-            psy_rd=cfg.psy_rd, tune=cfg.tune)
+            psy_rd=cfg.psy_rd, tune=cfg.tune,
+            enable_restoration=(None if cfg.enable_restoration_filtering < 0
+                                else bool(cfg.enable_restoration_filtering)))
         self._initialized = True
 
     def stream_header(self) -> bytes:

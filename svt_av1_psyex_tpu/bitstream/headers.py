@@ -255,6 +255,12 @@ class FrameConfig:
     cdef_bits: int = 0
     cdef_y_strengths: tuple = (0,)
     cdef_uv_strengths: tuple = (0,)
+    # loop restoration (lr_params): per-plane frame restoration types
+    # (0 NONE / 1 WIENER / 2 SGRPROJ / 3 SWITCHABLE), luma RU size,
+    # chroma shift (uv size = luma size >> lr_uv_shift)
+    lr_frame_types: tuple | None = None
+    lr_unit_size: int = 64
+    lr_uv_shift: int = 0
     tile: TileInfo | None = None
 
     @property
@@ -337,8 +343,24 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig, w: BitWriter) -> No
         w.f(0, 1)  # delta_lf_present
     _write_loop_filter_params(w, seq, fr)
     _write_cdef_params(w, seq, fr)
-    # lr_params: enable_restoration off => nothing
-    assert not seq.enable_restoration
+    # lr_params (spec 5.9.20; entropy_coding.c:2168 encode_restoration_mode)
+    if seq.enable_restoration and not fr.allow_intrabc:
+        lr_types = fr.lr_frame_types or (0, 0, 0)
+        uses_lr = any(t != 0 for t in lr_types)
+        uses_chroma_lr = any(t != 0 for t in lr_types[1:])
+        for t in lr_types[: (1 if seq.mono_chrome else 3)]:
+            # 2-bit lr_type: NONE=00 SWITCHABLE=01 WIENER=10 SGRPROJ=11
+            code = {0: 0, 3: 1, 1: 2, 2: 3}[t]
+            w.f(code >> 1, 1)
+            w.f(code & 1, 1)
+        if uses_lr:
+            size = fr.lr_unit_size
+            if not seq.use_128x128_superblock:
+                w.f(1 if size > 64 else 0, 1)
+            if size > 64:
+                w.f(1 if size > 128 else 0, 1)
+        if uses_chroma_lr and seq.subsampling_x and seq.subsampling_y:
+            w.f(1 if fr.lr_uv_shift else 0, 1)
     # read_tx_mode
     w.f(1 if fr.tx_mode_select else 0, 1)
     # frame_reference_mode

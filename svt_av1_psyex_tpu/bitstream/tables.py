@@ -133,6 +133,11 @@ class FrameCdfs:
         self.intrabc = self._wrap(clone("default_intrabc_cdf")) if "default_intrabc_cdf" in t else None
         self.delta_q = self._wrap(clone("default_delta_q_cdf"))
 
+        # loop restoration unit types (spec read_lr_unit)
+        self.switchable_restore = self._wrap(clone("default_switchable_restore_cdf"))
+        self.wiener_restore = self._wrap(clone("default_wiener_restore_cdf"))
+        self.sgrproj_restore = self._wrap(clone("default_sgrproj_restore_cdf"))
+
         # inter
         self.intra_inter = self._wrap(clone("default_intra_inter_cdf"))
         self.single_ref = self._wrap(clone("default_single_ref_cdf"))

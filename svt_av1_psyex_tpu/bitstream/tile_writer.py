@@ -113,6 +113,15 @@ class TileWriter:
         self.txi_left = np.full(mi_rows, 255, dtype=np.uint8)
         self.txp_above = np.full(mi_cols, 255, dtype=np.uint8)
         self.txp_left = np.full(mi_rows, 255, dtype=np.uint8)
+        # loop restoration: per-plane RestorationInfo (set by the encoder
+        # after the LR search) + per-plane running refs for delta coding
+        # (svt_av1_reset_loop_restoration, entropy_coding.c:3923)
+        self.lr_infos = None
+        from ..ops.restoration import WIENER_TAPS_MID
+        # per-plane [ref_vtaps, ref_htaps] (WienerInfo keeps both)
+        self._lr_ref_wiener = [[list(WIENER_TAPS_MID), list(WIENER_TAPS_MID)]
+                               for _ in range(3)]
+        self._lr_ref_sgr = [[-32, 31] for _ in range(3)]  # mid xqd
 
     # ---- symbol helper with adaptation --------------------------------------
     def _sym_at(self, symbol: int, cdf_pair, *idx) -> None:
@@ -147,7 +156,147 @@ class TileWriter:
         sb_bsize = 15 if self.seq.use_128x128_superblock else 12  # B128X128 / B64X64
         self._cur_sb = (mi_row, mi_col)
         self._cdef_coded = False  # clear_cdef: one cdef_idx per 64x64 unit
+        self._write_lr(mi_row, mi_col)
         self._write_partition_tree(node, mi_row, mi_col, sb_bsize)
+
+    # ---- loop restoration units (spec 5.11.57 read_lr mirror) ----------------
+    def _write_lr(self, mi_row: int, mi_col: int) -> None:
+        """Emit restoration unit info for every RU whose top-left corner
+        falls inside this superblock (entropy_coding.c:5329 +
+        svt_av1_loop_restoration_corners_in_sb restoration.c:1427)."""
+        if self.lr_infos is None or self.fr.allow_intrabc:
+            return
+        from ..ops.restoration import RESTORE_NONE, count_units
+
+        sb_mi = 32 if self.seq.use_128x128_superblock else 16
+        for plane, info in enumerate(self.lr_infos):
+            if info is None or info.frame_type == RESTORE_NONE:
+                continue
+            ss_x = 0 if plane == 0 else self.seq.subsampling_x
+            ss_y = 0 if plane == 0 else self.seq.subsampling_y
+            pw = (self.seq.width + ss_x) >> ss_x
+            ph = (self.seq.height + ss_y) >> ss_y
+            size = info.unit_size
+            hu = count_units(size, pw)
+            vu = count_units(size, ph)
+            mi_szx = 4 >> ss_x
+            mi_szy = 4 >> ss_y
+            rcol0 = (mi_col * mi_szx + size - 1) // size
+            rrow0 = (mi_row * mi_szy + size - 1) // size
+            rcol1 = min(((mi_col + sb_mi) * mi_szx + size - 1) // size, hu)
+            rrow1 = min(((mi_row + sb_mi) * mi_szy + size - 1) // size, vu)
+            for rr in range(rrow0, rrow1):
+                for rc in range(rcol0, rcol1):
+                    self._write_lr_unit(plane, info, rr * hu + rc)
+
+    def _write_lr_unit(self, plane: int, info, idx: int) -> None:
+        from ..ops.restoration import (
+            RESTORE_NONE,
+            RESTORE_SGRPROJ,
+            RESTORE_SWITCHABLE,
+            RESTORE_WIENER,
+        )
+
+        rtype, params, _rate = info.units[idx]
+        if info.frame_type == RESTORE_SWITCHABLE:
+            self._sym_at(rtype, self.cdfs.switchable_restore)
+            if rtype == RESTORE_WIENER:
+                self._write_wiener(plane, params)
+            elif rtype == RESTORE_SGRPROJ:
+                self._write_sgrproj(plane, params)
+        elif info.frame_type == RESTORE_WIENER:
+            self._sym_at(int(rtype != RESTORE_NONE), self.cdfs.wiener_restore)
+            if rtype != RESTORE_NONE:
+                self._write_wiener(plane, params)
+        else:
+            self._sym_at(int(rtype != RESTORE_NONE), self.cdfs.sgrproj_restore)
+            if rtype != RESTORE_NONE:
+                self._write_sgrproj(plane, params)
+
+    def _write_wiener(self, plane: int, params) -> None:
+        """write_wiener_filter (entropy_coding.c:3930): vfilter taps then
+        hfilter taps, signed-subexp vs the per-plane running ref."""
+        from ..codec.restoration import _recenter_finite
+        from ..ops.restoration import (
+            WIENER_TAPS_K,
+            WIENER_TAPS_MAX,
+            WIENER_TAPS_MIN,
+        )
+
+        htaps, vtaps = params
+        refs = self._lr_ref_wiener[plane]
+        first = 1 if plane > 0 else 0  # chroma: 5-tap, tap0 not coded
+        for pi, taps in enumerate((vtaps, htaps)):
+            ref = refs[pi]
+            for j in range(first, 3):
+                n = WIENER_TAPS_MAX[j] - WIENER_TAPS_MIN[j] + 1
+                self._w_subexpfin(
+                    n, WIENER_TAPS_K[j],
+                    _recenter_finite(n, ref[j] - WIENER_TAPS_MIN[j],
+                                     taps[j] - WIENER_TAPS_MIN[j]))
+        refs[0][:] = list(vtaps)
+        refs[1][:] = list(htaps)
+
+    def _write_sgrproj(self, plane: int, params) -> None:
+        """write_sgrproj_filter (entropy_coding.c:3971)."""
+        from ..codec.restoration import _recenter_finite
+        from ..ops.restoration import (
+            SGR_PARAMS,
+            SGRPROJ_PRJ_MAX0,
+            SGRPROJ_PRJ_MAX1,
+            SGRPROJ_PRJ_MIN0,
+            SGRPROJ_PRJ_MIN1,
+            SGRPROJ_PRJ_SUBEXP_K,
+        )
+
+        ep, xqd = params
+        self.enc.encode_literal(ep, 4)
+        r0, r1, _, _ = SGR_PARAMS[ep]
+        ref = self._lr_ref_sgr[plane]
+        if r0:
+            n = SGRPROJ_PRJ_MAX0 - SGRPROJ_PRJ_MIN0 + 1
+            self._w_subexpfin(
+                n, SGRPROJ_PRJ_SUBEXP_K,
+                _recenter_finite(n, ref[0] - SGRPROJ_PRJ_MIN0,
+                                 xqd[0] - SGRPROJ_PRJ_MIN0))
+        if r1:
+            n = SGRPROJ_PRJ_MAX1 - SGRPROJ_PRJ_MIN1 + 1
+            self._w_subexpfin(
+                n, SGRPROJ_PRJ_SUBEXP_K,
+                _recenter_finite(n, ref[1] - SGRPROJ_PRJ_MIN1,
+                                 xqd[1] - SGRPROJ_PRJ_MIN1))
+        ref[0], ref[1] = int(xqd[0]), int(xqd[1])
+
+    def _wq_quniform(self, n: int, v: int) -> None:
+        """aom_write_primitive_quniform (range-coder literal bits)."""
+        if n <= 1:
+            return
+        l = n.bit_length()  # noqa: E741  (get_msb(n) + 1)
+        m = (1 << l) - n
+        if v < m:
+            self.enc.encode_literal(v, l - 1)
+        else:
+            self.enc.encode_literal(m + ((v - m) >> 1), l - 1)
+            self.enc.encode_literal((v - m) & 1, 1)
+
+    def _w_subexpfin(self, n: int, k: int, v: int) -> None:
+        """svt_aom_write_primitive_subexpfin (entropy_coding.c:2875)."""
+        i = 0
+        mk = 0
+        while True:
+            b = k + i - 1 if i else k
+            a = 1 << b
+            if n <= mk + 3 * a:
+                self._wq_quniform(n - mk, v - mk)
+                break
+            t = 1 if v >= mk + a else 0
+            self.enc.encode_literal(t, 1)
+            if t:
+                i += 1
+                mk += a
+            else:
+                self.enc.encode_literal(v - mk, b)
+                break
 
     def _write_cdef(self, r: int, c: int, skip: int) -> None:
         """read_cdef mirror (entropy_coding.c:3884 write_cdef): emit the

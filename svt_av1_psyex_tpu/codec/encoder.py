@@ -92,9 +92,15 @@ class Av1Encoder:
                  enable_variance_boost: bool = False,
                  variance_boost_strength: int = 2, variance_octile: int = 6,
                  variance_boost_curve: int = 0, enable_dlf: bool = True,
-                 psy_rd: float = 0.0, tune: int = 1):
+                 psy_rd: float = 0.0, tune: int = 1,
+                 enable_restoration: bool | None = None):
         self.seq = seq
         self.preset = preset
+        # loop restoration defaults on at the slower presets (the
+        # reference enables it for enc_mode <= M6-class configs)
+        if enable_restoration is None:
+            enable_restoration = preset <= 6
+        seq.enable_restoration = bool(enable_restoration)
         # psy-rd acts whenever set and tune is not PSNR (enc_settings.c:1270)
         self.psy_rd = psy_rd if tune != 1 else 0.0
         self.enable_dlf = enable_dlf
@@ -368,9 +374,11 @@ class Av1Encoder:
                     sb_plans.append((node, r, c))
 
         # in-loop filters on the final recon: DLF (spec 7.14) then CDEF
-        # (spec 7.15); intra prediction above already used the unfiltered
-        # recon, references/output use the filtered one.
-        if self.enable_dlf or seq.enable_cdef:
+        # (spec 7.15) then loop restoration (spec 7.17); intra prediction
+        # above already used the unfiltered recon, references/output use
+        # the filtered one.
+        deblock_planes = None
+        if self.enable_dlf or seq.enable_cdef or seq.enable_restoration:
             from ..ops.dlf import (
                 collect_lf_grids,
                 loop_filter_frame,
@@ -390,6 +398,11 @@ class Av1Encoder:
                                       bsize_g, skip_inter_g,
                                       seq.subsampling_x, seq.subsampling_y,
                                       seq.bit_depth, txd_g=txd_g)
+            if seq.enable_restoration:
+                # loop restoration reads 2 deblocked rows at each stripe
+                # boundary (save_deblock_boundary_lines); snapshot the
+                # pre-CDEF recon
+                deblock_planes = [p.recon.copy() for p in pctx]
             if seq.enable_cdef:
                 from .rd import rdcost
 
@@ -399,6 +412,7 @@ class Av1Encoder:
                     # group pipeline: defer to one batched device call
                     st = {"tw": tw, "fr": fr, "cdfs": cdfs,
                           "sb_plans": sb_plans, "pctx": pctx,
+                          "deblock": deblock_planes,
                           "cdef_job": dict(
                               recon_planes=[p.recon for p in pctx],
                               src_planes=[p.src for p in pctx],
@@ -416,7 +430,7 @@ class Av1Encoder:
                 self._apply_cdef_result(fr, tw, res)
 
         st = {"tw": tw, "fr": fr, "cdfs": cdfs, "sb_plans": sb_plans,
-              "pctx": pctx, "cdef_job": None}
+              "pctx": pctx, "cdef_job": None, "deblock": deblock_planes}
         if _group is not None:
             _group.append(st)
             return st
@@ -463,6 +477,8 @@ class Av1Encoder:
         seq = self.seq
         tw, fr, cdfs = st["tw"], st["fr"], st["cdfs"]
         pctx = st["pctx"]
+        if seq.enable_restoration and st.get("deblock") is not None:
+            self._search_apply_lr(st)
         for node, r, c in st["sb_plans"]:
             tw.write_superblock(node, r, c)
         tile_payload = tw.finish()
@@ -492,6 +508,47 @@ class Av1Encoder:
             if fr.refresh_frame_flags & (1 << i):
                 self.slots[i] = entry
         return tu
+
+    def _search_apply_lr(self, st: dict) -> None:
+        """Loop restoration (spec 7.17): per-RU Wiener/SGR search on the
+        post-CDEF recon, exact striped apply; updates recon in place and
+        fills the lr_params header + per-SB unit syntax state. Match:
+        rest_process.c:523 + restoration_pick.c rest_finish_search."""
+        from .rd import compute_rdmult
+        from .restoration import search_plane, type_cost_tables
+
+        seq = self.seq
+        fr, tw, pctx = st["fr"], st["tw"], st["pctx"]
+        deblock = st["deblock"]
+        rdm = compute_rdmult(fr.base_q_idx, seq.bit_depth)
+        tc = type_cost_tables(st["cdfs"])
+        unit_y = 256
+        uv_shift = 1 if (seq.subsampling_x and seq.subsampling_y
+                         and not seq.mono_chrome) else 0
+        infos = []
+        types = []
+        nplanes = 1 if seq.mono_chrome else 3
+        for i in range(nplanes):
+            p = pctx[i]
+            ss_x, ss_y = p.ss_x, p.ss_y
+            pw = (seq.width + ss_x) >> ss_x
+            ph = (seq.height + ss_y) >> ss_y
+            unit = unit_y if i == 0 else unit_y >> uv_shift
+            info, restored = search_plane(
+                p.src, p.recon, deblock[i], pw, ph, ss_y, unit,
+                seq.bit_depth, rdm, chroma=i > 0, preset=self.preset,
+                type_costs=tc)
+            infos.append(info)
+            types.append(info.frame_type)
+            if restored is not None:
+                p.recon[:restored.shape[0], :restored.shape[1]] = restored
+        while len(types) < 3:
+            infos.append(None)
+            types.append(0)
+        fr.lr_frame_types = tuple(types)
+        fr.lr_unit_size = unit_y
+        fr.lr_uv_shift = uv_shift
+        tw.lr_infos = infos
 
     def encode_keyframes(self, frames: list, base_q_idx: int = 80) -> list[bytes]:
         """Group-encode consecutive keyframes (picture-level parallelism,

@@ -25,6 +25,8 @@ _SOURCES = [
     "Lib/Codec/deblocking_common.c",
     "Lib/Codec/cdef.c",
     "Lib/Codec/psy_rd.c",
+    "Lib/Codec/restoration.c",
+    "Lib/Codec/convolve.c",
     "Lib/C_DEFAULT/encode_txb_ref_c.c",
 ]
 _INCLUDES = ["Lib/Codec", "API", "Lib/Globals", "Lib/C_DEFAULT"]
@@ -219,3 +221,81 @@ def cdef_find_dir(img: np.ndarray) -> tuple[int, int]:
     var = ctypes.c_int32(0)
     d = fn(np.ascontiguousarray(img, np.uint16).ravel(), 8, ctypes.byref(var), 0)
     return int(d), int(var.value)
+
+
+def wiener_convolve(src_padded: np.ndarray, htaps3, vtaps3,
+                    bit_depth: int = 8) -> np.ndarray:
+    """Reference svt_av1_wiener_convolve_add_src_c (convolve.c:100) /
+    _highbd_ variant. src_padded: (h+6, w+6) context block; returns (h, w)."""
+    lib = get_lib()
+    h, w = src_padded.shape[0] - 6, src_padded.shape[1] - 6
+    # differential kernel storage: center = -2*sum (the C convolve's
+    # add-src term contributes the 128 identity gain)
+    t0, t1, t2 = (int(t) for t in htaps3)
+    hf = np.array([t0, t1, t2, -2 * (t0 + t1 + t2), t2, t1, t0, 0],
+                  np.int16)
+    t0, t1, t2 = (int(t) for t in vtaps3)
+    vf = np.array([t0, t1, t2, -2 * (t0 + t1 + t2), t2, t1, t0, 0],
+                  np.int16)
+
+    class ConvParams(ctypes.Structure):
+        _fields_ = [("do_average", ctypes.c_int32), ("dst", ctypes.c_void_p),
+                    ("dst_stride", ctypes.c_int32), ("round_0", ctypes.c_int32),
+                    ("round_1", ctypes.c_int32), ("plane", ctypes.c_int32),
+                    ("is_compound", ctypes.c_int32), ("use_dist_wtd_comp_avg", ctypes.c_int32),
+                    ("fwd_offset", ctypes.c_int32), ("bck_offset", ctypes.c_int32),
+                    ("use_jnt_comp_avg", ctypes.c_int32)]
+
+    cp = ConvParams()
+    cp.round_0 = 3 + (2 if bit_depth == 12 else 0)
+    cp.round_1 = 11 - (2 if bit_depth == 12 else 0)
+    stride = w + 6
+    if bit_depth == 8:
+        fn = lib.svt_av1_wiener_convolve_add_src_c
+        src = np.ascontiguousarray(src_padded, np.uint8)
+        dst = np.zeros((h, w), np.uint8)
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_ssize_t, ctypes.c_void_p,
+                       ctypes.c_ssize_t, _I16P, _I16P, ctypes.c_int32,
+                       ctypes.c_int32, ctypes.POINTER(ConvParams)]
+        fn(src.ctypes.data + 3 * stride + 3, stride, dst.ctypes.data, w,
+           hf, vf, w, h, ctypes.byref(cp))
+        return dst.astype(np.int64)
+    fn = lib.svt_av1_highbd_wiener_convolve_add_src_c
+    src = np.ascontiguousarray(src_padded, np.uint16)
+    dst = np.zeros((h, w), np.uint16)
+    fn.argtypes = [ctypes.c_void_p, ctypes.c_ssize_t, ctypes.c_void_p,
+                   ctypes.c_ssize_t, _I16P, _I16P, ctypes.c_int32,
+                   ctypes.c_int32, ctypes.POINTER(ConvParams), ctypes.c_int32]
+    # CONVERT_TO_BYTEPTR pointer tagging: the C untags with <<1
+    fn((src.ctypes.data >> 1) + 3 * stride + 3, stride,
+       dst.ctypes.data >> 1, w, hf, vf, w, h, ctypes.byref(cp), bit_depth)
+    return dst.astype(np.int64)
+
+
+def apply_sgr(src_padded: np.ndarray, ep: int, xqd,
+              bit_depth: int = 8) -> np.ndarray:
+    """Reference svt_apply_selfguided_restoration_c (restoration.c:963).
+    src_padded: (h+6, w+6); returns (h, w)."""
+    lib = get_lib()
+    h, w = src_padded.shape[0] - 6, src_padded.shape[1] - 6
+    fn = lib.svt_apply_selfguided_restoration_c
+    xqd_arr = np.array(xqd, np.int32)
+    tmp = np.zeros(2 * (256 * 256 * 9 // 4 + 256 * 9), np.int32)
+    stride = w + 6
+    if bit_depth == 8:
+        src = np.ascontiguousarray(src_padded, np.uint8)
+        dst = np.zeros((h, w), np.uint8)
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+                       ctypes.c_int32, ctypes.c_int32, _I32P, ctypes.c_void_p,
+                       ctypes.c_int32, _I32P, ctypes.c_int32, ctypes.c_int32]
+        fn(src.ctypes.data + 3 * stride + 3, w, h, stride, ep, xqd_arr,
+           dst.ctypes.data, w, tmp, bit_depth, 0)
+        return dst.astype(np.int64)
+    src = np.ascontiguousarray(src_padded, np.uint16)
+    dst = np.zeros((h, w), np.uint16)
+    fn.argtypes = [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+                   ctypes.c_int32, ctypes.c_int32, _I32P, ctypes.c_void_p,
+                   ctypes.c_int32, _I32P, ctypes.c_int32, ctypes.c_int32]
+    fn((src.ctypes.data >> 1) + 3 * stride + 3, w, h, stride, ep, xqd_arr,
+       dst.ctypes.data >> 1, w, tmp, bit_depth, 1)
+    return dst.astype(np.int64)

@@ -320,6 +320,17 @@ def main() -> None:
     print(f"inter_prediction.c: {len(sp)} subpel filter tables")
     tables.update(sp)
 
+    # recursive filter-intra taps (spec 7.11.2.3 Intra_Filter_Taps)
+    fi = _strip_comments(
+        (REF.parent / "C_DEFAULT" / "filterintra_c.c").read_text())
+    m = re.search(r"eb_av1_filter_intra_taps\[FILTER_INTRA_MODES\]\[8\]\[8\]\)\s*=\s*\{", fi)
+    assert m
+    block, _ = _balanced_braces(fi, m.end() - 1)
+    arr = np.array(_parse_init(block), dtype=np.int32)
+    assert arr.shape == (5, 8, 8), arr.shape
+    tables["filter_intra_taps"] = arr
+    print("filterintra_c.c: filter_intra_taps")
+
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT_DIR / "av1_tables.npz", **tables)
     manifest = {k: list(v.shape) for k, v in sorted(tables.items())}
