@@ -54,6 +54,8 @@ class LeafBlock:
     mv1: tuple = (0, 0)  # second-ref MV (compound)
     drl_index: int = 0
     tx_depth: int = 0  # luma tx split depth from max-rect (TX_MODE_SELECT)
+    use_filter_intra: bool = False  # recursive filter intra (y DC only)
+    filter_intra_mode: int = 0
 
 
 @dataclass
@@ -429,7 +431,16 @@ class TileWriter:
             self._write_inter_mode_info(leaf, r, c, bsize, avail_u, avail_l,
                                         use_angle, has_chroma)
 
-        # filter_intra: seq gate off
+        # filter_intra_mode_info (spec 5.11.20): flag for every eligible
+        # DC luma block when the sequence gate is on
+        if (self.seq.enable_filter_intra and not leaf.is_inter
+                and leaf.y_mode == IntraMode.DC
+                and max(int(BLOCK_W[bsize]), int(BLOCK_H[bsize])) <= 32):
+            self._sym_at(int(leaf.use_filter_intra), self.cdfs.filter_intra,
+                         bsize)
+            if leaf.use_filter_intra:
+                self._sym_at(leaf.filter_intra_mode,
+                             self.cdfs.filter_intra_mode)
         # palette: screen content off
 
         # block tx size (TX_MODE_SELECT) — av1_code_tx_size mirror
@@ -895,7 +906,15 @@ class TileWriter:
             else:  # 4x4/8x8: DTT4_IDTX_1DDCT (7)
                 eset = 1
                 ind = {9: 0, 0: 1, 10: 2, 11: 3, 3: 4, 1: 5, 2: 6}[tx_type]
-            self._sym_at(ind, self.cdfs.intra_ext_tx, eset, sqr, leaf.y_mode)
+            # CDF context is the intra DIRECTION: filter-intra blocks map
+            # their filter mode (spec Filter_Intra_Mode_To_Intra_Dir)
+            if leaf.use_filter_intra:
+                from ..ops.intra import FI_MODE_TO_INTRA_DIR
+
+                intra_dir = int(FI_MODE_TO_INTRA_DIR[leaf.filter_intra_mode])
+            else:
+                intra_dir = leaf.y_mode
+            self._sym_at(ind, self.cdfs.intra_ext_tx, eset, sqr, intra_dir)
 
         return write
 

@@ -101,6 +101,9 @@ class Av1Encoder:
         if enable_restoration is None:
             enable_restoration = preset <= 6
         seq.enable_restoration = bool(enable_restoration)
+        # recursive filter intra searched (and therefore signaled) at the
+        # slower presets (sig_deriv md_filter_intra_level gating)
+        seq.enable_filter_intra = preset <= 6
         # psy-rd acts whenever set and tune is not PSNR (enc_settings.c:1270)
         self.psy_rd = psy_rd if tune != 1 else 0.0
         self.enable_dlf = enable_dlf
@@ -337,7 +340,8 @@ class Av1Encoder:
                           ref_planes=ref_planes,
                           try_rect=self.preset <= 8,
                           cdfs=cdfs.clone(), me_field=me_field,
-                          psy_factor=psy_factor)
+                          psy_factor=psy_factor,
+                          filter_intra=seq.enable_filter_intra)
         if md.mi_state is not None:
             md.mi_state.sign_bias = sign_bias
         # device MD path: whole-frame candidate analysis on TPU (intra

@@ -94,10 +94,13 @@ class ModeDecision:
                  rdmult: int, min_bsize: int, n_full_rd: int = 2,
                  angle_deltas: bool = False, ref_planes: list | None = None,
                  try_rect: bool = False, cdfs: FrameCdfs | None = None,
-                 me_field=None, psy_factor: float = 0.0):
+                 me_field=None, psy_factor: float = 0.0,
+                 filter_intra: bool = False):
         # layer-modulated psy-rd strength (0 = off); adds the SA8D energy
         # delta to every txb's distortion (full_loop.c:2285-2536 hook)
         self.psy_factor = psy_factor
+        # recursive filter-intra candidates (seq gate must be on)
+        self.filter_intra = filter_intra
         self.angle_deltas = angle_deltas
         self.try_rect = try_rect
         # inter: padded reference planes (LAST) + MVP mi-state
@@ -146,6 +149,11 @@ class ModeDecision:
         self._skip_costs = [cdf_costs(svals[i]) for i in range(3)]
         avals = self.cdfs.angle_delta[0]
         self._angle_costs = [cdf_costs(avals[i]) for i in range(avals.shape[0])]
+        if filter_intra:
+            fvals = self.cdfs.filter_intra[0]
+            self._fi_flag_costs = [cdf_costs(fvals[b])
+                                   for b in range(fvals.shape[0])]
+            self._fi_mode_costs = cdf_costs(self.cdfs.filter_intra_mode[0])
         if not fr.frame_is_intra:
             yv = self.cdfs.y_mode[0]
             self._ify_costs = [cdf_costs(yv[i]) for i in range(4)]
@@ -372,12 +380,15 @@ class ModeDecision:
             intra_base = 0
 
         has_chroma = self._has_chroma(r, c, bw4, bh4)
+        fi_ok = (self.filter_intra
+                 and max(int(BLOCK_W[bsize]), int(BLOCK_H[bsize])) <= 32)
 
         best = None
         for _, mode, pred in survivors:
             j, leaf, artifacts = self._try_mode(mode, 0, pred, r, c, bsize, x, y,
                                                 tx_size, intra_mode_costs, intra_base,
-                                                skip_costs, has_chroma)
+                                                skip_costs, has_chroma,
+                                                fi_eligible=fi_ok)
             if best is None or j < best[0]:
                 best = (j, leaf, artifacts)
         # angle-delta refinement on the winning directional mode
@@ -388,7 +399,20 @@ class ModeDecision:
                                      mode, delta, dr_avail_y)
                 j, leaf, artifacts = self._try_mode(mode, delta, pred, r, c, bsize,
                                                     x, y, tx_size, intra_mode_costs,
-                                                    intra_base, skip_costs, has_chroma)
+                                                    intra_base, skip_costs, has_chroma,
+                                                    fi_eligible=fi_ok)
+                if j < best[0]:
+                    best = (j, leaf, artifacts)
+        # recursive filter-intra candidates (5 modes on a DC base;
+        # intra_prediction.c filter-intra search at md_filter_intra_level)
+        if fi_ok:
+            for fim in range(intra_ops.FILTER_INTRA_MODES):
+                pred = self._predict(pc, x, y, tx_w, tx_h, have_above,
+                                     have_left, IntraMode.DC, fi_mode=fim)
+                j, leaf, artifacts = self._try_mode(
+                    IntraMode.DC, 0, pred, r, c, bsize, x, y, tx_size,
+                    intra_mode_costs, intra_base, skip_costs, has_chroma,
+                    fi_eligible=True, fi_mode=fim)
                 if j < best[0]:
                     best = (j, leaf, artifacts)
 
@@ -403,10 +427,12 @@ class ModeDecision:
                 and best[1].coeffs[0]["eob"] >= 4):
             mode = IntraMode(best[1].y_mode)
             delta = best[1].angle_delta_y
-            j, leaf, artifacts = self._try_mode(mode, delta, None, r, c, bsize,
-                                                x, y, tx_size, intra_mode_costs,
-                                                intra_base, skip_costs,
-                                                has_chroma, tx_depth=1)
+            j, leaf, artifacts = self._try_mode(
+                mode, delta, None, r, c, bsize, x, y, tx_size,
+                intra_mode_costs, intra_base, skip_costs, has_chroma,
+                tx_depth=1, fi_eligible=fi_ok,
+                fi_mode=(best[1].filter_intra_mode
+                         if best[1].use_filter_intra else None))
             if j < best[0]:
                 best = (j, leaf, artifacts)
 
@@ -892,11 +918,14 @@ class ModeDecision:
         return int(costs[0])
 
     def _try_mode(self, mode, angle_delta, pred, r, c, bsize, x, y, tx_size,
-                  mode_costs, base_rate, skip_costs, has_chroma, tx_depth=0):
+                  mode_costs, base_rate, skip_costs, has_chroma, tx_depth=0,
+                  fi_eligible=False, fi_mode=None):
         """RD one intra luma mode (+ DC chroma); returns (J, leaf, artifacts)
         without mutating shared state beyond what _commit_block redoes.
         tx_depth > 0 splits the luma tx (TX_MODE_SELECT), predicting each
-        sub-TU from the progressively reconstructed block."""
+        sub-TU from the progressively reconstructed block. fi_mode selects
+        a recursive filter-intra candidate (mode must be DC);
+        fi_eligible adds the use_filter_intra flag rate for DC blocks."""
         from .constants import SPLIT_TX_SIZE
 
         fr = self.fr
@@ -904,6 +933,11 @@ class ModeDecision:
         rate = base_rate + int(mode_costs[mode])
         if mode in intra_ops.MODE_TO_ANGLE:
             rate += int(self._angle_costs[int(mode) - int(IntraMode.V)][angle_delta + 3])
+        if fi_eligible and mode == IntraMode.DC:
+            rate += int(self._fi_flag_costs[bsize][1 if fi_mode is not None
+                                                   else 0])
+            if fi_mode is not None:
+                rate += int(self._fi_mode_costs[fi_mode])
         if self.tx_select and bsize > 0:
             rate += self._tx_depth_cost(r, c, bsize, tx_depth)
 
@@ -936,7 +970,7 @@ class ModeDecision:
                                         col_off=txx >> 2) \
                         if directional else None
                     p = self._predict(pc, x + txx, y + ty, tw, th, ha, hl,
-                                      mode, angle_delta, dr)
+                                      mode, angle_delta, dr, fi_mode=fi_mode)
                     qc, eob, rec, d = self._txb_rd(pc, p, x + txx, y + ty, tx,
                                                    TxType.DCT_DCT, 0)
                     pc.recon[y + ty : y + ty + th, x + txx : x + txx + tw] = rec
@@ -983,6 +1017,8 @@ class ModeDecision:
 
         leaf = LeafBlock(bsize, y_mode=int(mode), uv_mode=int(IntraMode.DC),
                          angle_delta_y=angle_delta, skip=skip, tx_depth=tx_depth,
+                         use_filter_intra=fi_mode is not None,
+                         filter_intra_mode=fi_mode if fi_mode is not None else 0,
                          coeffs=None if skip else
                          [{k: v for k, v in t.items() if k != "_rec"} for t in txbs])
         return rdcost(self.rdmult, rate, dist), leaf, txbs
@@ -1071,7 +1107,15 @@ class ModeDecision:
             self.rc.bits = 0
 
     def _predict(self, pc, x, y, w, h, have_above, have_left, mode,
-                 angle_delta: int = 0, dr_avail=None):
+                 angle_delta: int = 0, dr_avail=None, fi_mode=None):
+        if fi_mode is not None:
+            # filter intra: Paeth-style neighbor requirements (above +
+            # left + top-left, with the standard fill fallbacks)
+            above, left, _ = intra_ops.fill_neighbors(
+                pc.recon, x, y, w, h, have_above, have_left,
+                IntraMode.PAETH, self.bd)
+            return intra_ops.filter_intra_predict(above, left, fi_mode,
+                                                  w, h, self.bd)
         if mode in intra_ops.MODE_TO_ANGLE:
             p_angle = intra_ops.MODE_TO_ANGLE[IntraMode(mode)] \
                 + angle_delta * intra_ops.ANGLE_STEP

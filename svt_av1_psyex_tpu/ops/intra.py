@@ -363,3 +363,50 @@ def fill_neighbors(recon: np.ndarray, x: int, y: int, w: int, h: int,
     else:
         above[0] = base
     return above, left, None
+
+
+# ---- recursive filter intra (spec 7.11.2.3) ---------------------------------
+
+FILTER_INTRA_MODES = 5
+# Filter_Intra_Mode_To_Intra_Dir (spec): direction used for tx-type
+# derivation and the ext-tx CDF context when use_filter_intra is set
+FI_MODE_TO_INTRA_DIR = (IntraMode.DC, IntraMode.V, IntraMode.H,
+                        IntraMode.D157, IntraMode.DC)
+
+_FI_TAPS = None
+
+
+def _fi_taps() -> np.ndarray:
+    global _FI_TAPS
+    if _FI_TAPS is None:
+        from ..bitstream.tables import load_tables
+
+        _FI_TAPS = load_tables()["filter_intra_taps"].astype(np.int64)
+    return _FI_TAPS
+
+
+def filter_intra_predict(above: np.ndarray, left: np.ndarray, fi_mode: int,
+                         w: int, h: int, bit_depth: int = 8) -> np.ndarray:
+    """Recursive filter-intra prediction of one (h, w) block
+    (svt_av1_filter_intra_predictor_c, C_DEFAULT/filterintra_c.c:70).
+
+    above: (w+1,) incl top-left at [0]; left: (h,). 4x2 patches computed
+    in raster order, each from 7 already-computed neighbors via the
+    normative tap table."""
+    taps = _fi_taps()[fi_mode][:, :7]  # (8, 7)
+    buf = np.zeros((h + 1, w + 1), np.int64)
+    buf[0, :] = above
+    buf[1:, 0] = left
+    maxv = (1 << bit_depth) - 1
+    p = np.empty(7, np.int64)
+    for r in range(1, h + 1, 2):
+        row_a = buf[r - 1]
+        for c in range(1, w + 1, 4):
+            p[0:5] = row_a[c - 1 : c + 4]
+            p[5] = buf[r, c - 1]
+            p[6] = buf[r + 1, c - 1]
+            v = taps @ p
+            # ROUND_POWER_OF_TWO_SIGNED(v, FILTER_INTRA_SCALE_BITS=4)
+            out = np.where(v < 0, -((-v + 8) >> 4), (v + 8) >> 4)
+            buf[r : r + 2, c : c + 4] = np.clip(out, 0, maxv).reshape(2, 4)
+    return buf[1:, 1:].astype(np.int32)

@@ -28,6 +28,7 @@ _SOURCES = [
     "Lib/Codec/restoration.c",
     "Lib/Codec/convolve.c",
     "Lib/C_DEFAULT/encode_txb_ref_c.c",
+    "Lib/C_DEFAULT/filterintra_c.c",
 ]
 _INCLUDES = ["Lib/Codec", "API", "Lib/Globals", "Lib/C_DEFAULT"]
 
@@ -298,4 +299,31 @@ def apply_sgr(src_padded: np.ndarray, ep: int, xqd,
                    ctypes.c_int32, _I32P, ctypes.c_int32, ctypes.c_int32]
     fn((src.ctypes.data >> 1) + 3 * stride + 3, w, h, stride, ep, xqd_arr,
        dst.ctypes.data >> 1, w, tmp, bit_depth, 1)
+    return dst.astype(np.int64)
+
+
+def filter_intra_predict(above_tl: np.ndarray, left: np.ndarray, mode: int,
+                         w: int, h: int, bit_depth: int = 8) -> np.ndarray:
+    """svt_av1_filter_intra_predictor_c (highbd variant for 10-bit).
+    above_tl: (w+2,) with [0]=top-left, [1..w]=above row (one spare)."""
+    lib = get_lib()
+    ts = _TX_SIZE_IDX[(w, h)]
+    if bit_depth == 8:
+        fn = lib.svt_av1_filter_intra_predictor_c
+        a = np.ascontiguousarray(above_tl, np.uint8)
+        lf = np.ascontiguousarray(left, np.uint8)
+        dst = np.zeros((h, w), np.uint8)
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_ssize_t, ctypes.c_int32,
+                       ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
+        fn(dst.ctypes.data, w, ts, a.ctypes.data + 1, lf.ctypes.data, mode)
+    else:
+        fn = lib.svt_aom_highbd_filter_intra_predictor
+        a = np.ascontiguousarray(above_tl, np.uint16)
+        lf = np.ascontiguousarray(left, np.uint16)
+        dst = np.zeros((h, w), np.uint16)
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_ssize_t, ctypes.c_int32,
+                       ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+                       ctypes.c_int32]
+        fn(dst.ctypes.data, w, ts, a.ctypes.data + 2, lf.ctypes.data, mode,
+           bit_depth)
     return dst.astype(np.int64)
