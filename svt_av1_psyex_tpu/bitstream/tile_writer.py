@@ -56,6 +56,8 @@ class LeafBlock:
     tx_depth: int = 0  # luma tx split depth from max-rect (TX_MODE_SELECT)
     use_filter_intra: bool = False  # recursive filter intra (y DC only)
     filter_intra_mode: int = 0
+    cfl_alpha_u: int = 0  # signed alpha_q3 per component (uv_mode 13)
+    cfl_alpha_v: int = 0
 
 
 @dataclass
@@ -579,7 +581,18 @@ class TileWriter:
     def _write_uv_mode(self, leaf: LeafBlock, bsize: int, use_angle: bool) -> None:
         cfl_allowed = 1 if (int(BLOCK_W[bsize]) <= 32 and int(BLOCK_H[bsize]) <= 32) else 0
         self._sym_at(leaf.uv_mode, self.cdfs.uv_mode, cfl_allowed, leaf.y_mode)
-        assert leaf.uv_mode != 13, "CFL not implemented yet"
+        if leaf.uv_mode == 13:  # UV_CFL_PRED (write_cfl_alphas mirror)
+            from ..ops.intra import cfl_context_u, cfl_context_v, cfl_joint_sign
+
+            au, av = leaf.cfl_alpha_u, leaf.cfl_alpha_v
+            js = cfl_joint_sign(au, av)
+            self._sym_at(js, self.cdfs.cfl_sign)
+            if au != 0:
+                self._sym_at(abs(au) - 1, self.cdfs.cfl_alpha,
+                             cfl_context_u(js))
+            if av != 0:
+                self._sym_at(abs(av) - 1, self.cdfs.cfl_alpha,
+                             cfl_context_v(js))
         if use_angle and leaf.uv_mode in DIRECTIONAL:
             self._sym_at(leaf.angle_delta_uv + MAX_ANGLE_DELTA,
                          self.cdfs.angle_delta, leaf.uv_mode - IntraMode.V)

@@ -341,7 +341,8 @@ class Av1Encoder:
                           try_rect=self.preset <= 8,
                           cdfs=cdfs.clone(), me_field=me_field,
                           psy_factor=psy_factor,
-                          filter_intra=seq.enable_filter_intra)
+                          filter_intra=seq.enable_filter_intra,
+                          cfl=self.preset <= 6)
         if md.mi_state is not None:
             md.mi_state.sign_bias = sign_bias
         # device MD path: whole-frame candidate analysis on TPU (intra

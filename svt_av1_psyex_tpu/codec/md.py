@@ -95,7 +95,7 @@ class ModeDecision:
                  angle_deltas: bool = False, ref_planes: list | None = None,
                  try_rect: bool = False, cdfs: FrameCdfs | None = None,
                  me_field=None, psy_factor: float = 0.0,
-                 filter_intra: bool = False):
+                 filter_intra: bool = False, cfl: bool = False):
         # layer-modulated psy-rd strength (0 = off); adds the SA8D energy
         # delta to every txb's distortion (full_loop.c:2285-2536 hook)
         self.psy_factor = psy_factor
@@ -154,6 +154,14 @@ class ModeDecision:
             self._fi_flag_costs = [cdf_costs(fvals[b])
                                    for b in range(fvals.shape[0])]
             self._fi_mode_costs = cdf_costs(self.cdfs.filter_intra_mode[0])
+        # chroma-from-luma candidates (uv_mode CFL + alpha search)
+        self.cfl = cfl and not seq.mono_chrome
+        if self.cfl:
+            uvv = self.cdfs.uv_mode[0]
+            self._uv_costs_cfl = [cdf_costs(uvv[1][m]) for m in range(13)]
+            self._cfl_sign_costs = cdf_costs(self.cdfs.cfl_sign[0])
+            self._cfl_alpha_costs = [cdf_costs(self.cdfs.cfl_alpha[0][i])
+                                     for i in range(6)]
         if not fr.frame_is_intra:
             yv = self.cdfs.y_mode[0]
             self._ify_costs = [cdf_costs(yv[i]) for i in range(4)]
@@ -979,25 +987,68 @@ class ModeDecision:
                                  "eob": eob, "ux": ux, "uy": uy, "_rec": rec})
                     dist += d
             pc.recon[y : y + bh_px, x : x + bw_px] = snap
+        uv_mode = int(IntraMode.DC)
+        cfl_alphas = (0, 0)
         if has_chroma:
             ssx, ssy = self.pctx[1].ss_x, self.pctx[1].ss_y
-            cw_px = max(int(BLOCK_W[bsize]) >> ssx, 4)
-            ch_px = max(int(BLOCK_H[bsize]) >> ssy, 4)
+            bw_px, bh_px = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+            cw_px = max(bw_px >> ssx, 4)
+            ch_px = max(bh_px >> ssy, 4)
             uv_bsize = block_size_of(cw_px, ch_px)
             uv_tx = int(MAX_TX_SIZE_RECT[uv_bsize])
             cx, cy = x >> ssx, y >> ssy
             from .encoder import chroma_tx_type
 
             uv_tt = chroma_tx_type(IntraMode.DC, uv_tx)
+            dc_preds = {}
+            dc_txbs = []
+            dc_dist = 0
             for p in (1, 2):
                 pcc = self.pctx[p]
                 predc = self._predict(pcc, cx, cy, int(TX_W[uv_tx]), int(TX_H[uv_tx]),
                                       cy > 0, cx > 0, IntraMode.DC)
+                dc_preds[p] = predc
                 qc, eob, rec, d = self._txb_rd(pcc, predc, cx, cy, uv_tx, uv_tt, p)
-                txbs.append({"plane": p, "plane_bsize": uv_bsize, "tx_size": uv_tx,
-                             "tx_type": int(uv_tt), "qcoeff": qc, "eob": eob,
-                             "ux": cx >> 2, "uy": cy >> 2, "_rec": rec})
-                dist += d
+                dc_txbs.append({"plane": p, "plane_bsize": uv_bsize, "tx_size": uv_tx,
+                                "tx_type": int(uv_tt), "qcoeff": qc, "eob": eob,
+                                "ux": cx >> 2, "uy": cy >> 2, "_rec": rec})
+                dc_dist += d
+            # chroma-from-luma candidate (spec 7.11.5; cfl search per
+            # intra_prediction.c cfl_rd_pick_alpha reformulated as a
+            # closed-form projection + quantized neighborhood eval)
+            cfl_ok = (self.cfl and (bw_px >> ssx) >= 4 and (bh_px >> ssy) >= 4
+                      and bw_px <= 32 and bh_px <= 32)
+            picked_cfl = None
+            if cfl_ok:
+                picked_cfl = self._try_cfl(txbs, dc_preds, x, y, cx, cy,
+                                           cw_px, ch_px, ssx, ssy, uv_bsize,
+                                           uv_tx, uv_tt, int(mode))
+            if picked_cfl is not None:
+                _, cfl_txbs, cfl_dist, cfl_rate, alphas = picked_cfl
+                dc_rate = int(self._uv_costs_cfl[int(mode)][IntraMode.DC]) \
+                    if self.cfl else 0
+                # decide on FULL chroma rate: CfL's main win is cheaper
+                # coefficients, not lower distortion at fixed q
+                cfl_j = rdcost(self.rdmult,
+                               cfl_rate + self._txbs_rate(cfl_txbs), cfl_dist)
+                dc_j = rdcost(self.rdmult,
+                              dc_rate + self._txbs_rate(dc_txbs), dc_dist)
+                if cfl_j < dc_j:
+                    txbs.extend(cfl_txbs)
+                    dist += cfl_dist
+                    rate += cfl_rate
+                    uv_mode = 13
+                    cfl_alphas = alphas
+                else:
+                    txbs.extend(dc_txbs)
+                    dist += dc_dist
+                    rate += dc_rate
+            else:
+                if cfl_ok or (self.cfl and bw_px <= 32 and bh_px <= 32):
+                    # cfl-allowed block: DC still pays its uv-mode rate
+                    rate += int(self._uv_costs_cfl[int(mode)][IntraMode.DC])
+                txbs.extend(dc_txbs)
+                dist += dc_dist
 
         skip = all(t["eob"] == 0 for t in txbs)
         rate += int(skip_costs[1 if skip else 0])
@@ -1015,13 +1066,93 @@ class ModeDecision:
                 self.cw.above[p][...] = ca[p]
                 self.cw.left[p][...] = cl[p]
 
-        leaf = LeafBlock(bsize, y_mode=int(mode), uv_mode=int(IntraMode.DC),
+        leaf = LeafBlock(bsize, y_mode=int(mode), uv_mode=uv_mode,
                          angle_delta_y=angle_delta, skip=skip, tx_depth=tx_depth,
                          use_filter_intra=fi_mode is not None,
                          filter_intra_mode=fi_mode if fi_mode is not None else 0,
+                         cfl_alpha_u=cfl_alphas[0], cfl_alpha_v=cfl_alphas[1],
                          coeffs=None if skip else
                          [{k: v for k, v in t.items() if k != "_rec"} for t in txbs])
         return rdcost(self.rdmult, rate, dist), leaf, txbs
+
+    def _txbs_rate(self, txbs) -> int:
+        """Coefficient rate (x512) of a txb list via the counting sink,
+        with entropy contexts restored."""
+        ca = [a.copy() for a in self.cw.above]
+        cl = [a.copy() for a in self.cw.left]
+        self.rc.bits = 0
+        for t in txbs:
+            self.cw.write_txb(t["plane"], t["plane_bsize"], t["tx_size"],
+                              t["tx_type"], t["qcoeff"], t["eob"],
+                              t["ux"], t["uy"])
+        bits = self.rc.bits
+        for p in range(3):
+            self.cw.above[p][...] = ca[p]
+            self.cw.left[p][...] = cl[p]
+        return bits
+
+    def _try_cfl(self, txbs, dc_preds, x, y, cx, cy, cw, ch, ssx, ssy,
+                 uv_bsize, uv_tx, uv_tt, y_mode_idx):
+        """CfL chroma candidate: closed-form alpha projection per
+        component + quantized-neighborhood exact txb RD. Returns
+        (J, [u txb, v txb], dist, rate, (alpha_u, alpha_v)) or None."""
+        from ..ops.intra import (
+            cfl_ac,
+            cfl_context_u,
+            cfl_context_v,
+            cfl_joint_sign,
+            cfl_predict,
+        )
+
+        lh, lw = ch << ssy, cw << ssx
+        luma = np.full((lh, lw), -1, np.int32)
+        for t in txbs:
+            if t["plane"] != 0:
+                continue
+            rec = t["_rec"]
+            py, px = t["uy"] * 4 - y, t["ux"] * 4 - x
+            luma[py : py + rec.shape[0], px : px + rec.shape[1]] = rec
+        if (luma < 0).any():
+            return None
+        ac = cfl_ac(luma, cw, ch, ssx, ssy)
+        den = int((ac.astype(np.int64) ** 2).sum())
+        if den == 0:
+            return None
+        comp = {}
+        for p in (1, 2):
+            pcc = self.pctx[p]
+            src = pcc.src[cy : cy + ch, cx : cx + cw]
+            resid = (src - dc_preds[p]).astype(np.int64)
+            ideal = 64.0 * float((ac.astype(np.int64) * resid).sum()) / den
+            cands = sorted({int(np.clip(np.floor(ideal), -16, 16)),
+                            int(np.clip(np.ceil(ideal), -16, 16))})
+            best = None
+            for a in cands:
+                pred = dc_preds[p] if a == 0 else \
+                    cfl_predict(dc_preds[p], ac, a, self.bd)
+                qc, eob, rec, d = self._txb_rd(pcc, pred, cx, cy, uv_tx,
+                                               uv_tt, p)
+                # 2 candidates/component: distortion-ordered pick; the
+                # exact symbol rates are added jointly below
+                if best is None or d < best[1]:
+                    best = (a, d, {"plane": p, "plane_bsize": uv_bsize,
+                                   "tx_size": uv_tx, "tx_type": int(uv_tt),
+                                   "qcoeff": qc, "eob": eob, "ux": cx >> 2,
+                                   "uy": cy >> 2, "_rec": rec})
+            comp[p] = best
+        au, av = comp[1][0], comp[2][0]
+        if au == 0 and av == 0:
+            return None
+        js = cfl_joint_sign(au, av)
+        rate = int(self._uv_costs_cfl[y_mode_idx][13]) \
+            + int(self._cfl_sign_costs[js])
+        if au:
+            rate += int(self._cfl_alpha_costs[cfl_context_u(js)][abs(au) - 1])
+        if av:
+            rate += int(self._cfl_alpha_costs[cfl_context_v(js)][abs(av) - 1])
+        dist = comp[1][1] + comp[2][1]
+        return (rdcost(self.rdmult, rate, dist),
+                [comp[1][2], comp[2][2]], dist, rate, (au, av))
 
     def _txb_rd(self, pc, pred, x, y, tx_size, tx_type, plane):
         from .encoder import tx_log_scale

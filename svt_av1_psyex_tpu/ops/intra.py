@@ -410,3 +410,51 @@ def filter_intra_predict(above: np.ndarray, left: np.ndarray, fi_mode: int,
             out = np.where(v < 0, -((-v + 8) >> 4), (v + 8) >> 4)
             buf[r : r + 2, c : c + 4] = np.clip(out, 0, maxv).reshape(2, 4)
     return buf[1:, 1:].astype(np.int32)
+
+
+# ---- chroma from luma (spec 7.11.5) -----------------------------------------
+
+UV_CFL = 13  # UV_CFL_PRED
+
+def cfl_ac(luma_region: np.ndarray, cw: int, ch: int,
+           ss_x: int, ss_y: int) -> np.ndarray:
+    """Subsampled, <<3-scaled, average-removed luma (the CfL "AC"
+    contribution; spec 7.11.5.2 luma AC process / cfl.c subsample +
+    subtract_average). luma_region: (ch<<ss_y, cw<<ss_x) co-located
+    reconstructed luma."""
+    l64 = luma_region.astype(np.int64)
+    if ss_x and ss_y:
+        t = (l64[0::2, 0::2] + l64[0::2, 1::2]
+             + l64[1::2, 0::2] + l64[1::2, 1::2]) << 1
+    elif ss_x:
+        t = (l64[:, 0::2] + l64[:, 1::2]) << 2
+    else:
+        t = l64 << 3
+    npel_log2 = int(np.log2(cw * ch))
+    avg = (int(t.sum()) + (1 << (npel_log2 - 1))) >> npel_log2
+    return (t - avg).astype(np.int32)
+
+
+def cfl_predict(dc_pred: np.ndarray, ac: np.ndarray, alpha_q3: int,
+                bit_depth: int = 8) -> np.ndarray:
+    """dc_pred + ROUND_POWER_OF_TWO_SIGNED(alpha_q3 * ac, 6), clipped
+    (spec 7.11.5.3 / cfl.c cfl_predict)."""
+    scaled = alpha_q3 * ac.astype(np.int64)
+    v = np.where(scaled < 0, -((-scaled + 32) >> 6), (scaled + 32) >> 6)
+    return np.clip(dc_pred.astype(np.int64) + v, 0,
+                   (1 << bit_depth) - 1).astype(np.int32)
+
+
+def cfl_joint_sign(alpha_u: int, alpha_v: int) -> int:
+    """(signU * 3 + signV) - 1 with signs ZERO=0 NEG=1 POS=2."""
+    def sgn(a):
+        return 0 if a == 0 else (1 if a < 0 else 2)
+    return sgn(alpha_u) * 3 + sgn(alpha_v) - 1
+
+
+def cfl_context_u(joint_sign: int) -> int:
+    return joint_sign + 1 - 3
+
+
+def cfl_context_v(joint_sign: int) -> int:
+    return ((joint_sign + 1) % 3) * 3 + ((joint_sign + 1) // 3) - 3
