@@ -555,12 +555,18 @@ class Av1Encoder:
         fr.lr_uv_shift = uv_shift
         tw.lr_infos = infos
 
-    def encode_keyframes(self, frames: list, base_q_idx: int = 80) -> list[bytes]:
+    def encode_keyframes(self, frames: list, base_q_idx: int = 80,
+                         mesh=None) -> list[bytes]:
         """Group-encode consecutive keyframes (picture-level parallelism,
         SURVEY §2.1): ONE batched device analysis call and ONE batched
         device CDEF search/apply serve the whole group, amortizing the
         per-transfer host<->device cost; the conformant commit and
-        entropy passes run per frame on host in between."""
+        entropy passes run per frame on host in between.
+
+        mesh: optional jax.sharding.Mesh with ("dp", "sp") axes — the
+        analysis batch shards frames over dp and superblock rows over sp
+        (the multi-chip layout; per-SB reductions stay shard-local so the
+        streams are bit-identical to the single-device run)."""
         import os
 
         import jax
@@ -602,9 +608,18 @@ class Av1Encoder:
             [compute_rdmult(q0, self.seq.bit_depth), sk[0], sk[1]],
             mode_rate, [psy_fixed]]).astype(np.int32)
         rd_rows = np.broadcast_to(rd, (len(frames), rd.size))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh_b = NamedSharding(mesh, P("dp", "sp", None))
+            sh_r = NamedSharding(mesh, P("dp", None))
+            put = lambda a, s: jax.device_put(np.ascontiguousarray(a), s)  # noqa: E731
+            args = (put(lumas, sh_b), put(qps, sh_r), put(rd_rows, sh_r))
+        else:
+            args = (jax.device_put(lumas), jax.device_put(qps),
+                    jax.device_put(rd_rows))
         rows = np.asarray(intra_analysis_batch(
-            jax.device_put(lumas), jax.device_put(qps),
-            jax.device_put(rd_rows),
+            *args,
             depths=DeviceIntraMD.DEPTHS, bit_depth=self.seq.bit_depth,
             psy=psy_fixed > 0))
 
