@@ -31,7 +31,7 @@ _PENDING_FIELDS = frozenset({
     "film_grain_denoise_strength", "film_grain_denoise_apply",
     "superres_mode", "resize_mode", "enable_dg", "startup_mg_size",
     "scene_change_detection", "look_ahead_distance",
-    "mastering_display", "content_light_level", "tile_columns", "tile_rows",
+    "mastering_display", "content_light_level", "tile_rows",
 })
 
 
@@ -113,7 +113,7 @@ class EncoderConfig:
     enable_restoration_filtering: int = -1  # -1 auto (on at preset<=6)
     enable_mfmv: int = -1  # [pending]
     enable_overlays: bool = False  # [pending]
-    tile_columns: int = 0
+    tile_columns: int = 0  # log2 tile columns (independent MD+EC per tile)
     tile_rows: int = 0
     screen_content_mode: int = 0  # [pending palette/intrabc]
     enable_qm: bool = False  # [pending]

@@ -117,7 +117,8 @@ class SvtAv1Encoder:
             variance_boost_curve=cfg.variance_boost_curve,
             psy_rd=cfg.psy_rd, tune=cfg.tune,
             enable_restoration=(None if cfg.enable_restoration_filtering < 0
-                                else bool(cfg.enable_restoration_filtering)))
+                                else bool(cfg.enable_restoration_filtering)),
+            tile_cols_log2=cfg.tile_columns)
         self._initialized = True
 
     def stream_header(self) -> bytes:

@@ -203,7 +203,7 @@ def compute_tile_info(seq: SequenceConfig, cols_log2: int = 0, rows_log2: int = 
     ti.max_rows_log2 = _tile_log2(1, min(sb_rows, 64))
     ti.min_log2_tiles = max(ti.min_cols_log2, _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
 
-    ti.cols_log2 = max(cols_log2, ti.min_cols_log2)
+    ti.cols_log2 = min(max(cols_log2, ti.min_cols_log2), ti.max_cols_log2)
     ti.min_rows_log2 = max(ti.min_log2_tiles - ti.cols_log2, 0)
     ti.rows_log2 = max(rows_log2, ti.min_rows_log2)
 

@@ -121,6 +121,9 @@ class TileWriter:
         # after the LR search) + per-plane running refs for delta coding
         # (svt_av1_reset_loop_restoration, entropy_coding.c:3923)
         self.lr_infos = None
+        # absolute mi col of this tile's origin (multi-tile: RU-corner
+        # math is frame-global while the writer runs tile-local)
+        self.lr_mi_col0 = 0
         from ..ops.restoration import WIENER_TAPS_MID
         # per-plane [ref_vtaps, ref_htaps] (WienerInfo keeps both)
         self._lr_ref_wiener = [[list(WIENER_TAPS_MID), list(WIENER_TAPS_MID)]
@@ -185,9 +188,10 @@ class TileWriter:
             vu = count_units(size, ph)
             mi_szx = 4 >> ss_x
             mi_szy = 4 >> ss_y
-            rcol0 = (mi_col * mi_szx + size - 1) // size
+            mc = mi_col + self.lr_mi_col0  # frame-absolute column
+            rcol0 = (mc * mi_szx + size - 1) // size
             rrow0 = (mi_row * mi_szy + size - 1) // size
-            rcol1 = min(((mi_col + sb_mi) * mi_szx + size - 1) // size, hu)
+            rcol1 = min(((mc + sb_mi) * mi_szx + size - 1) // size, hu)
             rrow1 = min(((mi_row + sb_mi) * mi_szy + size - 1) // size, vu)
             for rr in range(rrow0, rrow1):
                 for rc in range(rcol0, rcol1):

@@ -93,7 +93,8 @@ class Av1Encoder:
                  variance_boost_strength: int = 2, variance_octile: int = 6,
                  variance_boost_curve: int = 0, enable_dlf: bool = True,
                  psy_rd: float = 0.0, tune: int = 1,
-                 enable_restoration: bool | None = None):
+                 enable_restoration: bool | None = None,
+                 tile_cols_log2: int = 0):
         self.seq = seq
         self.preset = preset
         # loop restoration defaults on at the slower presets (the
@@ -104,6 +105,9 @@ class Av1Encoder:
         # recursive filter intra searched (and therefore signaled) at the
         # slower presets (sig_deriv md_filter_intra_level gating)
         seq.enable_filter_intra = preset <= 6
+        # tile columns (log2): each tile is an independent MD + entropy
+        # partition (ec_process.c per-tile loop); 0 = single tile
+        self.tile_cols_log2 = tile_cols_log2
         # psy-rd acts whenever set and tune is not PSNR (enc_settings.c:1270)
         self.psy_rd = psy_rd if tune != 1 else 0.0
         self.enable_dlf = enable_dlf
@@ -215,8 +219,9 @@ class Av1Encoder:
                 fr.delta_q_res = res
             else:
                 sb_qmap = None
-        fr.tile = compute_tile_info(seq)
-        assert fr.tile.tile_cols == 1 and fr.tile.tile_rows == 1, "multi-tile later"
+        fr.tile = compute_tile_info(seq, cols_log2=self.tile_cols_log2)
+        assert fr.tile.tile_rows == 1, "tile rows later"
+        n_tiles = fr.tile.tile_cols
 
         # CDF forwarding (spec 7.20 load_cdfs): inter frames start from the
         # primary reference slot's end-of-tile adapted state
@@ -312,14 +317,17 @@ class Av1Encoder:
         # inter frames, intra lattice for key frames
         dev_ok = (self.preset >= 10 and not fr.tx_mode_select
                   and not seq.use_128x128_superblock
+                  and n_tiles == 1
                   and os.environ.get("SVT_TPU_HOST_MD") != "1")
         use_device_inter = dev_ok and not fr.frame_is_intra and bool(ref_planes)
 
         # device full-pel motion field: ONE batched HME/ME call over all
         # refs replaces the per-block host raster (device/me.py); skipped
-        # when the fused inter lattice (which embeds ME) will run
+        # when the fused inter lattice (which embeds ME) will run.
+        # Multi-tile: the device lattices/fields are frame-global while
+        # tile MD must honor tile-edge availability — host path per tile.
         me_field = None
-        if ref_planes and not use_device_inter:
+        if ref_planes and not use_device_inter and n_tiles == 1:
             if os.environ.get("SVT_TPU_HOST_ME") != "1":
                 from ..device.me import run_device_me
 
@@ -332,19 +340,23 @@ class Av1Encoder:
 
             psy_factor = hvs_modulation_factor(self.psy_rd, is_key,
                                                plan.layer)
-        md = ModeDecision(seq, fr, pctx, self.mi_rows, self.mi_cols,
-                          rdmult=compute_rdmult(fr.base_q_idx, seq.bit_depth),
-                          min_bsize=self._min_partition_bsize,
-                          n_full_rd=3 if self.preset <= 6 else 2,
-                          angle_deltas=self.preset <= 9,
-                          ref_planes=ref_planes,
-                          try_rect=self.preset <= 8,
-                          cdfs=cdfs.clone(), me_field=me_field,
-                          psy_factor=psy_factor,
-                          filter_intra=seq.enable_filter_intra,
-                          cfl=self.preset <= 6)
-        if md.mi_state is not None:
-            md.mi_state.sign_bias = sign_bias
+        def make_md(p_list, mi_cols, me_f, x_off=0):
+            m = ModeDecision(seq, fr, p_list, self.mi_rows, mi_cols,
+                             rdmult=compute_rdmult(fr.base_q_idx, seq.bit_depth),
+                             min_bsize=self._min_partition_bsize,
+                             n_full_rd=3 if self.preset <= 6 else 2,
+                             angle_deltas=self.preset <= 9,
+                             ref_planes=ref_planes,
+                             try_rect=self.preset <= 8,
+                             cdfs=cdfs.clone(), me_field=me_f,
+                             psy_factor=psy_factor,
+                             filter_intra=seq.enable_filter_intra,
+                             cfl=self.preset <= 6, tile_x_off=x_off)
+            if m.mi_state is not None:
+                m.mi_state.sign_bias = sign_bias
+            return m
+
+        md = make_md(pctx, self.mi_cols, me_field) if n_tiles == 1 else None
         # device MD path: whole-frame candidate analysis on TPU (intra
         # lattice for key frames, fused ME+inter lattice for inter
         # frames), host does argmin + conformant commit
@@ -369,7 +381,7 @@ class Av1Encoder:
                     node = dmd.encode_sb(r, c, sb_bsize,
                                          self._min_partition_bsize)
                     sb_plans.append((node, r, c))
-        else:
+        elif n_tiles == 1:
             for r in range(0, self.mi_rows, sb_mi):
                 for c in range(0, self.mi_cols, sb_mi):
                     if sb_qmap is not None:
@@ -377,6 +389,30 @@ class Av1Encoder:
                         md.rdmult = compute_rdmult(md.cur_qindex, seq.bit_depth)
                     _, node = md.pick_partition(r, c, sb_bsize)
                     sb_plans.append((node, r, c))
+        else:
+            # tile columns: per-tile MD over column-sliced plane views —
+            # tile edges become frame edges for every availability rule
+            # (intra neighbors, MVP scans, contexts), matching read_lr/
+            # decode_tile semantics; sb_plans keep frame-absolute coords
+            tc_mi = [min(sb * sb_mi, self.mi_cols)
+                     for sb in fr.tile.col_starts_sb]
+            for t in range(n_tiles):
+                c0, c1 = tc_mi[t], tc_mi[t + 1]
+                x0 = c0 * 4
+                tview = [
+                    _PlaneCtx(src=p.src[:, (c0 * 4) >> p.ss_x : (c1 * 4) >> p.ss_x],
+                              recon=p.recon[:, (c0 * 4) >> p.ss_x : (c1 * 4) >> p.ss_x],
+                              ss_x=p.ss_x, ss_y=p.ss_y)
+                    for p in pctx]
+                md_t = make_md(tview, c1 - c0, None, x_off=x0)
+                for r in range(0, self.mi_rows, sb_mi):
+                    for c in range(c0, c1, sb_mi):
+                        if sb_qmap is not None:
+                            md_t.cur_qindex = int(sb_qmap[r // sb_mi, c // sb_mi])
+                            md_t.rdmult = compute_rdmult(md_t.cur_qindex,
+                                                         seq.bit_depth)
+                        _, node = md_t.pick_partition(r, c - c0, sb_bsize)
+                        sb_plans.append((node, r, c))
 
         # in-loop filters on the final recon: DLF (spec 7.14) then CDEF
         # (spec 7.15) then loop restoration (spec 7.17); intra prediction
@@ -484,9 +520,12 @@ class Av1Encoder:
         pctx = st["pctx"]
         if seq.enable_restoration and st.get("deblock") is not None:
             self._search_apply_lr(st)
-        for node, r, c in st["sb_plans"]:
-            tw.write_superblock(node, r, c)
-        tile_payload = tw.finish()
+        if fr.tile.tile_cols == 1:
+            for node, r, c in st["sb_plans"]:
+                tw.write_superblock(node, r, c)
+            tile_payload = tw.finish()
+        else:
+            tile_payload = self._write_tiles(st)
         # frame-context save: keep adapted values, reset visit counters
         if not fr.disable_frame_end_update_cdf:
             cdfs.reset_counters()
@@ -513,6 +552,54 @@ class Av1Encoder:
             if fr.refresh_frame_flags & (1 << i):
                 self.slots[i] = entry
         return tu
+
+    def _write_tiles(self, st: dict) -> bytes:
+        """Multi-tile bitstream pass: one independent TileWriter per tile
+        column (fresh CDFs from the frame-initial state, tile-local
+        contexts/coords), assembled as a full-coverage tile group
+        (spec 5.11.1; ec_process.c per-tile loop). Tile 0 carries the
+        frame-context save (context_update_tile_id = 0)."""
+        seq = self.seq
+        tw, fr, cdfs = st["tw"], st["fr"], st["cdfs"]
+        sb_mi = 32 if seq.use_128x128_superblock else 16
+        tcs = [min(sb * sb_mi, self.mi_cols)
+               for sb in fr.tile.col_starts_sb]
+        payloads = []
+        # every tile starts from the frame-initial CDF state: clone BEFORE
+        # any tile adapts (the context_update tile keeps the saved object)
+        tile_cdfs = [cdfs if t == fr.tile.context_update_tile_id
+                     else cdfs.clone() for t in range(fr.tile.tile_cols)]
+        for t in range(fr.tile.tile_cols):
+            c0, c1 = tcs[t], tcs[t + 1]
+            tw_t = TileWriter(seq, fr, tile_cdfs[t], self.mi_rows, c1 - c0)
+            tw_t.coeff_writer = CoeffWriter(tw_t, self.mi_rows, c1 - c0,
+                                            seq.subsampling_x,
+                                            seq.subsampling_y)
+            if tw.mi_state is not None:
+                from .mvp import MiState
+
+                tw_t.mi_state = MiState(self.mi_rows, c1 - c0)
+                tw_t.mi_state.sign_bias = tw.mi_state.sign_bias
+            if tw.sb_qindex_map is not None:
+                s0, s1 = c0 // sb_mi, (c1 + sb_mi - 1) // sb_mi
+                tw_t.sb_qindex_map = tw.sb_qindex_map[:, s0:s1]
+            if tw.cdef_fb_map is not None:
+                tw_t.cdef_fb_map = tw.cdef_fb_map[:, c0 >> 4 : (c1 + 15) >> 4]
+            tw_t.lr_infos = tw.lr_infos
+            tw_t.lr_mi_col0 = c0
+            for node, r, c in st["sb_plans"]:
+                if c0 <= c < c1:
+                    tw_t.write_superblock(node, r, c - c0)
+            payloads.append(tw_t.finish())
+        # tile_group_obu: tile_start_and_end_present_flag = 0 (+ byte
+        # alignment), then [tile_size_minus_1 le(n)] payload per non-last
+        out = b"\x00"
+        for i, p in enumerate(payloads):
+            if i < len(payloads) - 1:
+                out += (len(p) - 1).to_bytes(fr.tile.tile_size_bytes,
+                                             "little")
+            out += p
+        return out
 
     def _search_apply_lr(self, st: dict) -> None:
         """Loop restoration (spec 7.17): per-RU Wiener/SGR search on the

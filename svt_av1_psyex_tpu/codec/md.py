@@ -95,12 +95,16 @@ class ModeDecision:
                  angle_deltas: bool = False, ref_planes: list | None = None,
                  try_rect: bool = False, cdfs: FrameCdfs | None = None,
                  me_field=None, psy_factor: float = 0.0,
-                 filter_intra: bool = False, cfl: bool = False):
+                 filter_intra: bool = False, cfl: bool = False,
+                 tile_x_off: int = 0):
         # layer-modulated psy-rd strength (0 = off); adds the SA8D energy
         # delta to every txb's distortion (full_loop.c:2285-2536 hook)
         self.psy_factor = psy_factor
         # recursive filter-intra candidates (seq gate must be on)
         self.filter_intra = filter_intra
+        # tile-local MD: luma-px offset of this tile's column 0 in the
+        # frame; reference-plane reads (MC crosses tiles) use absolute x
+        self.tile_x_off = tile_x_off
         self.angle_deltas = angle_deltas
         self.try_rect = try_rect
         # inter: padded reference planes (LAST) + MVP mi-state
@@ -503,18 +507,19 @@ class ModeDecision:
 
         src = self.pctx[0].src[y : y + h, x : x + w].astype(np.int32)
         ref = self.ref_planes[ref_id][0]
+        ax = x + self.tile_x_off  # ref reads are frame-absolute
         # full-pel center from the predictor
         cy = int(np.clip(round(start_mv[0] / 8), -48, 48))
         cx = int(np.clip(round(start_mv[1] / 8), -48, 48))
 
         def sad_at(fy, fx):
-            cand = _patch(ref, x + fx, y + fy, w, h)
+            cand = _patch(ref, ax + fx, y + fy, w, h)
             return int(np.abs(src - cand).sum())
 
         def raster(cy0, cx0, rng, step):
             best = None
             for dy in range(-rng, rng + 1, step):
-                strip = _patch(ref, x + cx0 - rng, y + cy0 + dy, w + 2 * rng, h)
+                strip = _patch(ref, ax + cx0 - rng, y + cy0 + dy, w + 2 * rng, h)
                 for dx in range(-rng, rng + 1, step):
                     cand = strip[:, dx + rng : dx + rng + w]
                     sad = int(np.abs(src - cand).sum())
@@ -555,13 +560,14 @@ class ModeDecision:
 
         src = self.pctx[0].src[y : y + h, x : x + w].astype(np.int32)
         ref = self.ref_planes[ref_id][0]
+        ax = x + self.tile_x_off
         best_sse = None
         best_mv = tuple(mv)
         for _ in range(2):
             improved = False
             for dmv in ((0, 0), (-2, 0), (2, 0), (0, -2), (0, 2)):
                 cand_mv = (best_mv[0] + dmv[0], best_mv[1] + dmv[1])
-                pred = mc_block(ref, x, y, w, h, cand_mv[0], cand_mv[1], 0, 0,
+                pred = mc_block(ref, ax, y, w, h, cand_mv[0], cand_mv[1], 0, 0,
                                 bit_depth=self.bd)
                 sse = int(((src - pred).astype(np.int64) ** 2).sum())
                 if best_sse is None or sse < best_sse:
@@ -822,12 +828,13 @@ class ModeDecision:
         tx_w, tx_h = int(TX_W[tx_size]), int(TX_H[tx_size])
         ref_pl = self.ref_planes[ref_id]
         is_comp = ref_id1 >= 1
+        ax = x + self.tile_x_off
         if is_comp:
             ref_pl1 = self.ref_planes[ref_id1]
-            pred = mc_block_compound(ref_pl[0], ref_pl1[0], x, y, tx_w, tx_h,
+            pred = mc_block_compound(ref_pl[0], ref_pl1[0], ax, y, tx_w, tx_h,
                                      mv, mv1, 0, 0, bit_depth=self.bd)
         else:
-            pred = mc_block(ref_pl[0], x, y, tx_w, tx_h, mv[0], mv[1], 0, 0,
+            pred = mc_block(ref_pl[0], ax, y, tx_w, tx_h, mv[0], mv[1], 0, 0,
                             bit_depth=self.bd)
         txbs = []
         dist = 0
@@ -844,14 +851,15 @@ class ModeDecision:
             uv_bsize = block_size_of(cw_px, ch_px)
             uv_tx = int(MAX_TX_SIZE_RECT[uv_bsize])
             cx, cy = x >> ssx, y >> ssy
+            acx = (x + self.tile_x_off) >> ssx
             for p in (1, 2):
                 if is_comp:
-                    predc = mc_block_compound(ref_pl[p], ref_pl1[p], cx, cy,
+                    predc = mc_block_compound(ref_pl[p], ref_pl1[p], acx, cy,
                                               int(TX_W[uv_tx]), int(TX_H[uv_tx]),
                                               mv, mv1, ssx, ssy,
                                               bit_depth=self.bd)
                 else:
-                    predc = mc_block(ref_pl[p], cx, cy,
+                    predc = mc_block(ref_pl[p], acx, cy,
                                      int(TX_W[uv_tx]), int(TX_H[uv_tx]),
                                      mv[0], mv[1], ssx, ssy,
                                      bit_depth=self.bd)
