@@ -30,7 +30,7 @@ _PENDING_FIELDS = frozenset({
     "screen_content_mode", "enable_qm", "min_qm_level", "max_qm_level",
     "film_grain_denoise_strength", "film_grain_denoise_apply",
     "superres_mode", "resize_mode", "enable_dg", "startup_mg_size",
-    "scene_change_detection", "look_ahead_distance",
+    "look_ahead_distance",
     "mastering_display", "content_light_level", "tile_rows",
 })
 
@@ -133,7 +133,7 @@ class EncoderConfig:
     enable_dg: bool = True  # dynamic gop [pending]
     startup_mg_size: int = 0  # [pending]
     enable_tpl_la: int = 1  # TPL lookahead q ladder (codec/tpl.py)
-    scene_change_detection: bool = False  # [pending]
+    scene_change_detection: bool = True  # keyframe at cuts (codec/scd.py)
     look_ahead_distance: int = -1  # auto [pending]
 
     # ---- color description ----

@@ -138,7 +138,15 @@ class SvtAv1Encoder:
         else:
             if self._eos_sent:
                 raise SvtAv1Error("picture after EOS")
-            self._in_q.append((planes, self._pts if pts is None else pts, force_key))
+            p = self._pts if pts is None else pts
+            if self.config.scene_change_detection:
+                from ..codec.scd import decimate_luma, scene_cut
+
+                dec = decimate_luma(planes[0], self.config.encoder_bit_depth)
+                if scene_cut(getattr(self, "_scd_prev", None), dec):
+                    force_key = True
+                self._scd_prev = dec
+            self._in_q.append((planes, p, force_key))
             self._pts += 1
         self._drain()
 
@@ -215,9 +223,15 @@ class SvtAv1Encoder:
             gap = self._gap_to_next_key(disp0)
             avail = len(self._in_q)
             max_mg = self._max_minigop()
-            if avail < min(max_mg, gap) and not self._eos_sent:
+            # scene cut inside the lookahead bounds the mini-GOP (the cut
+            # frame was flagged force-key at ingest)
+            cut = next((k for k in range(1, avail) if self._in_q[k][2]),
+                       None)
+            if cut is None and avail < min(max_mg, gap) and not self._eos_sent:
                 return  # wait for more lookahead
             length = min(max_mg, gap, avail)
+            if cut is not None:
+                length = min(length, cut)
             while length & (length - 1):
                 length &= length - 1  # dyadic lengths only; leftover follows
             if length == 0:
