@@ -20,8 +20,8 @@ _PENDING_FIELDS = frozenset({
     "sframe_dist", "sframe_mode", "use_qp_file",
     "max_bit_rate", "vbv_bufsize", "over_shoot_pct", "under_shoot_pct",
     "recode_loop", "vbr_bias_pct", "vbr_min_section_pct",
-    "vbr_max_section_pct", "enable_adaptive_quantization", "pass_",
-    "rc_stats_buffer", "luminance_qp_bias", "spy_rd", "sharp_tx",
+    "vbr_max_section_pct", "enable_adaptive_quantization",
+    "luminance_qp_bias", "spy_rd", "sharp_tx",
     "hbd_mds", "complex_hvs", "adaptive_film_grain",
     "noise_adaptive_filtering", "noise_norm_strength", "tf_strength",
     "kf_tf_strength", "max_32_tx_size",
@@ -75,8 +75,8 @@ class EncoderConfig:
     vbr_min_section_pct: int = 0  # [pending]
     vbr_max_section_pct: int = 2000  # [pending]
     enable_adaptive_quantization: int = 2  # [pending seg/deltaq modes]
-    pass_: int = 0  # 2-pass [pending]
-    rc_stats_buffer: bytes = b""  # [pending]
+    pass_: int = 0  # 0 single, 1 stats-out, 2 stats-in (codec/firstpass.py)
+    rc_stats_buffer: bytes = b""  # pass-1 stats for pass 2
 
     # ---- quality/psy (fork additions) ----
     enable_variance_boost: bool = True

@@ -96,6 +96,11 @@ class SvtAv1Encoder:
             chroma_sample_position=cfg.chroma_sample_position,
         )
         self._rc = None
+        self._fp_weights = None
+        if cfg.pass_ == 2 and cfg.rc_stats_buffer:
+            from ..codec.firstpass import complexity_weights, parse
+
+            self._fp_weights = complexity_weights(parse(cfg.rc_stats_buffer))
         if cfg.rate_control_mode in (1, 2):
             from ..codec.rc import RateControl
 
@@ -139,6 +144,19 @@ class SvtAv1Encoder:
             if self._eos_sent:
                 raise SvtAv1Error("picture after EOS")
             p = self._pts if pts is None else pts
+            if self.config.pass_ == 1:
+                # first pass: open-loop stats only, no encode
+                from ..codec.firstpass import FrameStats, analyze_frame
+
+                ie, pe, cut, dec = analyze_frame(
+                    np.asarray(planes[0]), getattr(self, "_fp_dec", None),
+                    self.config.encoder_bit_depth)
+                self._fp_dec = dec
+                if not hasattr(self, "_fp_stats"):
+                    self._fp_stats = []
+                self._fp_stats.append(FrameStats(p, ie, pe, cut))
+                self._pts += 1
+                return
             if self.config.scene_change_detection:
                 from ..codec.scd import decimate_luma, scene_cut
 
@@ -149,6 +167,12 @@ class SvtAv1Encoder:
             self._in_q.append((planes, p, force_key))
             self._pts += 1
         self._drain()
+
+    def _fp_w(self, poc: int) -> float:
+        w = self._fp_weights
+        if w is None or poc >= len(w):
+            return 1.0
+        return float(w[poc])
 
     def _keyframe_due(self, frame_idx: int) -> bool:
         period = self.config.intra_period_length
@@ -172,8 +196,9 @@ class SvtAv1Encoder:
             while self._in_q:
                 planes, pts, force_key = self._in_q.popleft()
                 key = force_key or self._keyframe_due(pts)
-                q = (self._rc.pick_qindex(key, 0) if self._rc
-                     else self.config.qindex)
+                q = (self._rc.pick_qindex(key, 0,
+                                           complexity=self._fp_w(pts))
+                     if self._rc else self.config.qindex)
                 tu = self._enc.encode_frame(planes, q, force_key=key)
                 if self._rc:
                     self._rc.update(len(tu) * 8)
@@ -199,7 +224,8 @@ class SvtAv1Encoder:
             if self._in_q[0][2] or self._keyframe_due(disp0):
                 planes, pts, _ = self._in_q.popleft()
                 if self._rc:
-                    q = self._rc.pick_qindex(True, 0)
+                    q = self._rc.pick_qindex(True, 0,
+                                              complexity=self._fp_w(pts))
                 else:
                     q = self.config.qindex
                     if self._tpl_on():
@@ -284,7 +310,8 @@ class SvtAv1Encoder:
                 src = srcs.get(pl.disp_idx)
                 is_se = pl.show_existing_slot is not None
                 if self._rc and not is_se:
-                    q = self._rc.pick_qindex(False, pl.layer)
+                    q = self._rc.pick_qindex(False, pl.layer,
+                                              complexity=self._fp_w(pl.disp_idx))
                     pl.q_offset = 0  # RC owns the per-layer allocation
                 elif tpl_q is not None and not is_se:
                     q = tpl_q.get(pl.layer, self.config.qindex)
@@ -332,7 +359,13 @@ class SvtAv1Encoder:
 
     def get_stream_info(self, info_id: int):
         if info_id == 0:  # SVT_AV1_STREAM_INFO_FIRST_PASS_STATS_OUT
-            raise SvtAv1Error("two-pass stats pending")
+            if self.config.pass_ != 1:
+                raise SvtAv1Error("stats only produced in pass 1")
+            if not self._eos_sent:
+                raise SvtAv1Error("stats available after EOS")
+            from ..codec.firstpass import serialize
+
+            return serialize(getattr(self, "_fp_stats", []))
         raise SvtAv1Error(f"unknown stream info {info_id}")
 
     # ---- teardown ----------------------------------------------------------------

@@ -15,7 +15,7 @@ import numpy as np
 from ..api.config import EncoderConfig
 from ..api.encoder import SvtAv1Encoder, svt_av1_get_version
 from ..api.params import parse_parameter, parse_svtav1_params
-from ..conformance.dav1d import psnr
+from ..conformance.dav1d import psnr, ssim
 from ..utils.ivf import IvfWriter
 from ..utils.y4m import Y4MReader
 
@@ -101,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
     n = 0
     t0 = time.perf_counter()
     sum_psnr = np.zeros(3)
+    sum_ssim = 0.0
     n_psnr = 0
     srcs: dict[int, list] = {}  # pts -> planes, until recon arrives
 
@@ -115,6 +116,10 @@ def main(argv: list[str] | None = None) -> int:
                 ph, pw = planes[i].shape
                 sum_psnr[i] += psnr(rec.planes[i][:ph, :pw], planes[i],
                                     fmt.bit_depth)
+            ph, pw = planes[0].shape
+            nonlocal sum_ssim
+            sum_ssim += ssim(rec.planes[0][:ph, :pw], planes[0],
+                             fmt.bit_depth)
             n_psnr += 1
 
     for planes in reader.frames():
@@ -142,7 +147,8 @@ def main(argv: list[str] | None = None) -> int:
     print(f"\n{n} frames in {dt:.2f}s ({n / dt:.2f} fps)", file=sys.stderr)
     if cfg.stat_report and n_psnr:
         print(f"PSNR Y {sum_psnr[0]/n_psnr:.2f}  U {sum_psnr[1]/n_psnr:.2f}"
-              f"  V {sum_psnr[2]/n_psnr:.2f}", file=sys.stderr)
+              f"  V {sum_psnr[2]/n_psnr:.2f}  SSIM Y {sum_ssim/n_psnr:.4f}",
+              file=sys.stderr)
     handle.deinit()
     handle.deinit_handle()
     return 0

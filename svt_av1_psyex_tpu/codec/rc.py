@@ -59,9 +59,12 @@ class RateControl:
     def _weighted_target(self, cat) -> float:
         return self.avg_bits * _LAYER_WEIGHT[cat] / self.norm
 
-    def pick_qindex(self, is_key: bool, layer: int = 0) -> int:
+    def pick_qindex(self, is_key: bool, layer: int = 0,
+                    complexity: float = 1.0) -> int:
+        """complexity: per-frame relative weight from two-pass stats
+        (codec/firstpass.py complexity_weights); 1.0 = single-pass."""
         cat = self._category(is_key, layer)
-        target = self._weighted_target(cat)
+        target = self._weighted_target(cat) * complexity
         # buffer = accumulated savings; negative (overspent) shrinks targets
         if self.mode == 2:  # CBR: hard pull toward center
             adj = 1.0 + max(-0.5, min(0.5, self.buffer / max(self.buf_cap, 1)))

@@ -90,3 +90,33 @@ def psnr(a: np.ndarray, b: np.ndarray, bit_depth: int = 8) -> float:
         return float("inf")
     peak = (1 << bit_depth) - 1
     return 10.0 * np.log10(peak * peak / mse)
+
+
+def ssim(a: np.ndarray, b: np.ndarray, bit_depth: int = 8) -> float:
+    """Global SSIM over 8x8 windows (the reference's aom_ssim2 shape:
+    8x8 blocks stepped by 4, standard k1/k2 constants)."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    peak = (1 << bit_depth) - 1
+    c1 = (0.01 * peak) ** 2
+    c2 = (0.03 * peak) ** 2
+    h, w = a.shape
+    if h < 8 or w < 8:
+        return 1.0
+
+    def win_sums(x):
+        c = x.cumsum(axis=0)
+        v = np.vstack([c[7:8], c[8:] - c[:-8]])[::4]
+        c = v.cumsum(axis=1)
+        return np.hstack([c[:, 7:8], c[:, 8:] - c[:, :-8]])[:, ::4]
+
+    n64 = 64.0
+    sa, sb = win_sums(a), win_sums(b)
+    saa, sbb, sab = win_sums(a * a), win_sums(b * b), win_sums(a * b)
+    ma, mb = sa / n64, sb / n64
+    va = saa / n64 - ma * ma
+    vb = sbb / n64 - mb * mb
+    cov = sab / n64 - ma * mb
+    m = (((2 * ma * mb + c1) * (2 * cov + c2))
+         / ((ma * ma + mb * mb + c1) * (va + vb + c2)))
+    return float(m.mean())
