@@ -28,7 +28,7 @@ _PENDING_FIELDS = frozenset({
     "min_chroma_qm_level", "max_chroma_qm_level", "low_q_taper", "lossless",
     "avif", "enable_mfmv", "enable_overlays",
     "screen_content_mode", "enable_qm", "min_qm_level", "max_qm_level",
-    "film_grain_denoise_strength", "film_grain_denoise_apply",
+    "film_grain_denoise_apply",
     "superres_mode", "resize_mode", "enable_dg", "startup_mg_size",
     "look_ahead_distance",
     "mastering_display", "content_light_level", "tile_rows",
@@ -119,7 +119,7 @@ class EncoderConfig:
     enable_qm: bool = False  # [pending]
     min_qm_level: int = 8
     max_qm_level: int = 15
-    film_grain_denoise_strength: int = 0  # [pending]
+    film_grain_denoise_strength: int = 0  # 0-50 grain synthesis strength
     film_grain_denoise_apply: int = 1  # [pending]
     superres_mode: int = 0  # [pending]
     superres_denom: int = 8

@@ -123,7 +123,8 @@ class SvtAv1Encoder:
             psy_rd=cfg.psy_rd, tune=cfg.tune,
             enable_restoration=(None if cfg.enable_restoration_filtering < 0
                                 else bool(cfg.enable_restoration_filtering)),
-            tile_cols_log2=cfg.tile_columns)
+            tile_cols_log2=cfg.tile_columns,
+            film_grain=cfg.film_grain_denoise_strength)
         self._initialized = True
 
     def stream_header(self) -> bytes:

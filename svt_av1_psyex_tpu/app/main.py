@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--enable-tpl-la", type=int, default=1, dest="enable_tpl_la")
     p.add_argument("--tile-columns", type=int, default=0, dest="tile_columns",
                    help="log2 of tile columns")
+    p.add_argument("--film-grain", type=int, default=0, dest="film_grain",
+                   help="grain synthesis strength 0-50")
     p.add_argument("--enable-variance-boost", type=int, default=1)
     p.add_argument("--enable-tf", type=int, default=1,
                    help="alt-ref temporal filtering (RA anchors)")
@@ -83,6 +85,7 @@ def main(argv: list[str] | None = None) -> int:
     cfg.hierarchical_levels = args.hierarchical_levels
     cfg.enable_tpl_la = args.enable_tpl_la
     cfg.tile_columns = args.tile_columns
+    cfg.film_grain_denoise_strength = args.film_grain
     cfg.enable_variance_boost = bool(args.enable_variance_boost)
     cfg.enable_tf = bool(args.enable_tf)
     cfg.variance_boost_strength = args.variance_boost_strength

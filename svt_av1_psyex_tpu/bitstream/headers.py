@@ -261,6 +261,8 @@ class FrameConfig:
     lr_frame_types: tuple | None = None
     lr_unit_size: int = 64
     lr_uv_shift: int = 0
+    # film grain synthesis parameters (ops/film_grain.py FilmGrainParams)
+    film_grain: object = None
     tile: TileInfo | None = None
 
     @property
@@ -378,8 +380,9 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig, w: BitWriter) -> No
     if not fr.frame_is_intra:
         for _ in range(7):
             w.f(0, 1)  # is_global[ref] = 0
-    # film grain: not present
-    assert not seq.film_grain_params_present
+    # film_grain_params (spec 5.9.30)
+    if seq.film_grain_params_present:
+        _write_film_grain_params(w, seq, fr)
 
 
 def _skip_mode_allowed(seq: SequenceConfig, fr: FrameConfig) -> bool:
@@ -422,6 +425,62 @@ def _write_frame_size(w: BitWriter, seq: SequenceConfig) -> None:
     # frame_size_override == 0: nothing; superres off: nothing
     # render_size:
     w.f(0, 1)  # render_and_frame_size_different
+
+
+def _write_film_grain_params(w: BitWriter, seq: SequenceConfig,
+                             fr: FrameConfig) -> None:
+    """film_grain_params (spec 5.9.30): fresh parameters per frame
+    (update_grain always 1 — no ref-param reuse yet)."""
+    p = fr.film_grain
+    # no-show frames are always coded showable (show_existing targets),
+    # so grain params are present for every frame we emit
+    if p is None or not p.apply_grain:
+        w.f(0, 1)  # apply_grain
+        return
+    w.f(1, 1)
+    w.f(p.grain_seed, 16)
+    if fr.frame_type == 1:  # INTER_FRAME
+        w.f(1, 1)  # update_grain
+    w.f(p.num_y_points, 4)
+    for v, s in p.scaling_points_y:
+        w.f(v, 8)
+        w.f(s, 8)
+    if not seq.mono_chrome:
+        w.f(1 if p.chroma_scaling_from_luma else 0, 1)
+    if seq.mono_chrome or p.chroma_scaling_from_luma or (
+            seq.subsampling_x and seq.subsampling_y and p.num_y_points == 0):
+        assert p.num_cb_points == 0 and p.num_cr_points == 0
+    else:
+        w.f(p.num_cb_points, 4)
+        for v, s in p.scaling_points_cb:
+            w.f(v, 8)
+            w.f(s, 8)
+        w.f(p.num_cr_points, 4)
+        for v, s in p.scaling_points_cr:
+            w.f(v, 8)
+            w.f(s, 8)
+    w.f(p.scaling_shift - 8, 2)
+    w.f(p.ar_coeff_lag, 2)
+    for c in p.ar_coeffs_y:
+        w.f(c + 128, 8)
+    if p.chroma_scaling_from_luma or p.num_cb_points:
+        for c in p.ar_coeffs_cb:
+            w.f(c + 128, 8)
+    if p.chroma_scaling_from_luma or p.num_cr_points:
+        for c in p.ar_coeffs_cr:
+            w.f(c + 128, 8)
+    w.f(p.ar_coeff_shift - 6, 2)
+    w.f(p.grain_scale_shift, 2)
+    if p.num_cb_points:
+        w.f(p.cb_mult, 8)
+        w.f(p.cb_luma_mult, 8)
+        w.f(p.cb_offset, 9)
+    if p.num_cr_points:
+        w.f(p.cr_mult, 8)
+        w.f(p.cr_luma_mult, 8)
+        w.f(p.cr_offset, 9)
+    w.f(1 if p.overlap_flag else 0, 1)
+    w.f(1 if p.clip_to_restricted_range else 0, 1)
 
 
 def _write_tile_info(w: BitWriter, seq: SequenceConfig, fr: FrameConfig) -> None:

@@ -94,7 +94,7 @@ class Av1Encoder:
                  variance_boost_curve: int = 0, enable_dlf: bool = True,
                  psy_rd: float = 0.0, tune: int = 1,
                  enable_restoration: bool | None = None,
-                 tile_cols_log2: int = 0):
+                 tile_cols_log2: int = 0, film_grain: int = 0):
         self.seq = seq
         self.preset = preset
         # loop restoration defaults on at the slower presets (the
@@ -108,6 +108,10 @@ class Av1Encoder:
         # tile columns (log2): each tile is an independent MD + entropy
         # partition (ec_process.c per-tile loop); 0 = single tile
         self.tile_cols_log2 = tile_cols_log2
+        # film grain synthesis strength (--film-grain 0..50): display-side
+        # grain parameters signaled per frame; refs stay pre-grain
+        self.film_grain = int(film_grain)
+        seq.film_grain_params_present = self.film_grain > 0
         # psy-rd acts whenever set and tune is not PSNR (enc_settings.c:1270)
         self.psy_rd = psy_rd if tune != 1 else 0.0
         self.enable_dlf = enable_dlf
@@ -219,6 +223,8 @@ class Av1Encoder:
                 fr.delta_q_res = res
             else:
                 sb_qmap = None
+        if self.film_grain > 0:
+            fr.film_grain = self._film_grain_params(plan.disp_idx)
         fr.tile = compute_tile_info(seq, cols_log2=self.tile_cols_log2)
         assert fr.tile.tile_rows == 1, "tile rows later"
         n_tiles = fr.tile.tile_cols
@@ -543,10 +549,12 @@ class Av1Encoder:
         maxv = (1 << seq.bit_depth) - 1
         dtype = np.uint8 if seq.bit_depth == 8 else np.uint16
         self.last_recon = [np.clip(p.recon, 0, maxv).astype(dtype) for p in pctx]
+        self.last_film_grain = fr.film_grain
         # reference update: the recon + saved frame context land in every
         # slot selected by refresh_frame_flags
         entry = {"recon": [p.recon.copy() for p in pctx],
                  "order_hint": fr.order_hint,
+                 "film_grain": fr.film_grain,
                  "cdfs": cdfs if not fr.disable_frame_end_update_cdf else None}
         for i in range(8):
             if fr.refresh_frame_flags & (1 << i):
@@ -601,6 +609,28 @@ class Av1Encoder:
             out += p
         return out
 
+    def _film_grain_params(self, disp_idx: int):
+        """Per-frame grain parameters from the configured strength
+        (SVT --film-grain ladder reduced to a flat scaling curve with
+        lag-1 AR; seed varies per display frame like fgs_table-less SVT).
+        Match: grain param derivation in pic_analysis/noise path."""
+        from ..ops.film_grain import FilmGrainParams
+
+        s = min(self.film_grain * 4, 255)
+        return FilmGrainParams(
+            apply_grain=True,
+            grain_seed=(7391 + 3 * disp_idx) & 0xFFFF,
+            num_y_points=2,
+            scaling_points_y=[(0, s), (255, s)],
+            chroma_scaling_from_luma=False,
+            num_cb_points=0, num_cr_points=0,
+            scaling_shift=8,
+            ar_coeff_lag=1,
+            ar_coeffs_y=[10, 24, 10, 35],
+            ar_coeffs_cb=[], ar_coeffs_cr=[],
+            ar_coeff_shift=7,
+            overlap_flag=True)
+
     def _search_apply_lr(self, st: dict) -> None:
         """Loop restoration (spec 7.17): per-RU Wiener/SGR search on the
         post-CDEF recon, exact striped apply; updates recon in place and
@@ -641,6 +671,24 @@ class Av1Encoder:
         fr.lr_unit_size = unit_y
         fr.lr_uv_shift = uv_shift
         tw.lr_infos = infos
+
+    def grained_output(self) -> list:
+        """Display planes for the last emitted frame: recon + film grain
+        synthesis (what a conformant decoder outputs; refs are pre-grain,
+        spec 7.18.3)."""
+        fg = getattr(self, "last_film_grain", None)
+        seq = self.seq
+        if fg is None:
+            return [p[: (seq.height + (i > 0) * seq.subsampling_y)
+                      >> (seq.subsampling_y if i else 0),
+                      : (seq.width + (i > 0) * seq.subsampling_x)
+                      >> (seq.subsampling_x if i else 0)]
+                    for i, p in enumerate(self.last_recon)]
+        from ..ops.film_grain import apply_grain
+
+        return apply_grain(self.last_recon, fg, seq.width, seq.height,
+                           seq.bit_depth, seq.subsampling_x,
+                           seq.subsampling_y, seq.mono_chrome)
 
     def encode_keyframes(self, frames: list, base_q_idx: int = 80,
                          mesh=None) -> list[bytes]:
@@ -748,4 +796,5 @@ class Av1Encoder:
         dtype = np.uint8 if self.seq.bit_depth == 8 else np.uint16
         self.last_recon = [np.clip(p, 0, maxv).astype(dtype)
                            for p in entry["recon"]]
+        self.last_film_grain = entry.get("film_grain")
         return tu

@@ -29,6 +29,7 @@ _SOURCES = [
     "Lib/Codec/convolve.c",
     "Lib/C_DEFAULT/encode_txb_ref_c.c",
     "Lib/C_DEFAULT/filterintra_c.c",
+    "Lib/Codec/grainSynthesis.c",
 ]
 _INCLUDES = ["Lib/Codec", "API", "Lib/Globals", "Lib/C_DEFAULT"]
 
@@ -57,6 +58,9 @@ def _build() -> None:
         "get_msb": "int get_msb(unsigned int n) { return 31 ^ __builtin_clz(n); }",
         "svt_memset": "#include <string.h>\n"
         "void *svt_memset(void *d, int c, unsigned long n) { return memset(d, c, n); }",
+        "svt_memcpy": "#include <string.h>\n"
+        "static void svt_memcpy_impl(void *d, const void *s, unsigned long n) { memcpy(d, s, n); }\n"
+        "void (*svt_memcpy)(void *, const void *, unsigned long) = svt_memcpy_impl;",
     }
     stubs = []
     for line in nm.stdout.splitlines():
@@ -327,3 +331,89 @@ def filter_intra_predict(above_tl: np.ndarray, left: np.ndarray, mode: int,
         fn(dst.ctypes.data, w, ts, a.ctypes.data + 2, lf.ctypes.data, mode,
            bit_depth)
     return dst.astype(np.int64)
+
+
+class AomFilmGrain(ctypes.Structure):
+    _fields_ = [
+        ("apply_grain", ctypes.c_int32),
+        ("update_parameters", ctypes.c_int32),
+        ("scaling_points_y", (ctypes.c_int32 * 2) * 14),
+        ("num_y_points", ctypes.c_int32),
+        ("scaling_points_cb", (ctypes.c_int32 * 2) * 10),
+        ("num_cb_points", ctypes.c_int32),
+        ("scaling_points_cr", (ctypes.c_int32 * 2) * 10),
+        ("num_cr_points", ctypes.c_int32),
+        ("scaling_shift", ctypes.c_int32),
+        ("ar_coeff_lag", ctypes.c_int32),
+        ("ar_coeffs_y", ctypes.c_int32 * 24),
+        ("ar_coeffs_cb", ctypes.c_int32 * 25),
+        ("ar_coeffs_cr", ctypes.c_int32 * 25),
+        ("ar_coeff_shift", ctypes.c_int32),
+        ("cb_mult", ctypes.c_int32),
+        ("cb_luma_mult", ctypes.c_int32),
+        ("cb_offset", ctypes.c_int32),
+        ("cr_mult", ctypes.c_int32),
+        ("cr_luma_mult", ctypes.c_int32),
+        ("cr_offset", ctypes.c_int32),
+        ("overlap_flag", ctypes.c_int32),
+        ("clip_to_restricted_range", ctypes.c_int32),
+        ("bit_depth", ctypes.c_int32),
+        ("chroma_scaling_from_luma", ctypes.c_int32),
+        ("grain_scale_shift", ctypes.c_int32),
+        ("random_seed", ctypes.c_uint16),
+        ("ignore_ref", ctypes.c_int32),
+    ]
+
+
+def add_film_grain(params, planes, w, h, bit_depth=8, ss_x=1, ss_y=1):
+    """svt_av1_add_film_grain_run on (Y, U, V) crop planes; params is a
+    svt_av1_psyex_tpu.ops.film_grain.FilmGrainParams."""
+    lib = get_lib()
+    fg = AomFilmGrain()
+    fg.apply_grain = 1
+    fg.update_parameters = 1
+    fg.num_y_points = params.num_y_points
+    for i, (v, sc) in enumerate(params.scaling_points_y):
+        fg.scaling_points_y[i][0] = v
+        fg.scaling_points_y[i][1] = sc
+    fg.num_cb_points = params.num_cb_points
+    for i, (v, sc) in enumerate(params.scaling_points_cb):
+        fg.scaling_points_cb[i][0] = v
+        fg.scaling_points_cb[i][1] = sc
+    fg.num_cr_points = params.num_cr_points
+    for i, (v, sc) in enumerate(params.scaling_points_cr):
+        fg.scaling_points_cr[i][0] = v
+        fg.scaling_points_cr[i][1] = sc
+    fg.scaling_shift = params.scaling_shift
+    fg.ar_coeff_lag = params.ar_coeff_lag
+    for i, c in enumerate(params.ar_coeffs_y):
+        fg.ar_coeffs_y[i] = c
+    for i, c in enumerate(params.ar_coeffs_cb):
+        fg.ar_coeffs_cb[i] = c
+    for i, c in enumerate(params.ar_coeffs_cr):
+        fg.ar_coeffs_cr[i] = c
+    fg.ar_coeff_shift = params.ar_coeff_shift
+    fg.cb_mult = params.cb_mult
+    fg.cb_luma_mult = params.cb_luma_mult
+    fg.cb_offset = params.cb_offset
+    fg.cr_mult = params.cr_mult
+    fg.cr_luma_mult = params.cr_luma_mult
+    fg.cr_offset = params.cr_offset
+    fg.overlap_flag = 1 if params.overlap_flag else 0
+    fg.clip_to_restricted_range = 1 if params.clip_to_restricted_range else 0
+    fg.bit_depth = bit_depth
+    fg.chroma_scaling_from_luma = 1 if params.chroma_scaling_from_luma else 0
+    fg.grain_scale_shift = params.grain_scale_shift
+    fg.random_seed = params.grain_seed
+    fn = lib.svt_av1_add_film_grain_run
+    fn.argtypes = [ctypes.POINTER(AomFilmGrain)] + [ctypes.c_void_p] * 3 + \
+        [ctypes.c_int32] * 7
+    dt = np.uint8 if bit_depth == 8 else np.uint16
+    y = np.ascontiguousarray(planes[0][:h, :w], dt)
+    cw = (w + ss_x) >> ss_x
+    ch = (h + ss_y) >> ss_y
+    u = np.ascontiguousarray(planes[1][:ch, :cw], dt)
+    v = np.ascontiguousarray(planes[2][:ch, :cw], dt)
+    fn(ctypes.byref(fg), y.ctypes.data, u.ctypes.data, v.ctypes.data,
+       h, w, w, cw, 1 if bit_depth > 8 else 0, ss_y, ss_x)
+    return [y.astype(np.int64), u.astype(np.int64), v.astype(np.int64)]

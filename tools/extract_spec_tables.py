@@ -320,6 +320,16 @@ def main() -> None:
     print(f"inter_prediction.c: {len(sp)} subpel filter tables")
     tables.update(sp)
 
+    # film-grain gaussian sequence (spec 7.18.3.1 Gaussian_Sequence)
+    gs = _strip_comments((REF / "grainSynthesis.c").read_text())
+    m = re.search(r"gaussian_sequence\[2048\]\s*=\s*\{", gs)
+    assert m
+    block, _ = _balanced_braces(gs, m.end() - 1)
+    arr = np.array(_parse_init(block), dtype=np.int32)
+    assert arr.size == 2048, arr.size
+    tables["gaussian_sequence"] = arr
+    print("grainSynthesis.c: gaussian_sequence")
+
     # recursive filter-intra taps (spec 7.11.2.3 Intra_Filter_Taps)
     fi = _strip_comments(
         (REF.parent / "C_DEFAULT" / "filterintra_c.c").read_text())
