@@ -31,7 +31,7 @@ _PENDING_FIELDS = frozenset({
     "film_grain_denoise_apply",
     "superres_mode", "resize_mode", "enable_dg", "startup_mg_size",
     "look_ahead_distance",
-    "mastering_display", "content_light_level", "tile_rows",
+    "tile_rows",
 })
 
 
@@ -142,8 +142,8 @@ class EncoderConfig:
     matrix_coefficients: int = 2
     color_range: int = 0
     chroma_sample_position: int = 0
-    mastering_display: str = ""  # [pending metadata]
-    content_light_level: str = ""  # [pending metadata]
+    mastering_display: str = ""  # HDR10 MDCV metadata OBU
+    content_light_level: str = ""  # HDR10 CLL metadata OBU
 
     # ---- system ----
     channel_id: int = 0

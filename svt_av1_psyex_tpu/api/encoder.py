@@ -95,6 +95,23 @@ class SvtAv1Encoder:
             color_range=cfg.color_range,
             chroma_sample_position=cfg.chroma_sample_position,
         )
+        # HDR metadata OBUs (prepended to every keyframe TU for seek
+        # robustness; metadata_handle.c:50-110 string formats)
+        self._metadata = b""
+        if cfg.content_light_level:
+            from ..bitstream.obu import metadata_hdr_cll
+
+            cll, fall = (int(x) for x in cfg.content_light_level.split(","))
+            self._metadata += metadata_hdr_cll(cll, fall)
+        if cfg.mastering_display:
+            from ..bitstream.obu import (
+                metadata_hdr_mdcv,
+                parse_mastering_display,
+            )
+
+            prim, wp, lmax, lmin = parse_mastering_display(
+                cfg.mastering_display)
+            self._metadata += metadata_hdr_mdcv(prim, wp, lmax, lmin)
         self._rc = None
         self._fp_weights = None
         if cfg.pass_ == 2 and cfg.rc_stats_buffer:
@@ -203,6 +220,8 @@ class SvtAv1Encoder:
                 tu = self._enc.encode_frame(planes, q, force_key=key)
                 if self._rc:
                     self._rc.update(len(tu) * 8)
+                if key:
+                    tu = self._with_metadata(tu)
                 self._out_q.append(Packet(tu, pts, pts, frame_type=0 if key else 1))
                 if self.config.recon_enabled:
                     self._recon_q.append(Recon(self._enc.last_recon, pts))
@@ -339,7 +358,15 @@ class SvtAv1Encoder:
     def _tpl_on(self) -> bool:
         return bool(self.config.enable_tpl_la) and self.config.enc_mode <= 11
 
+    def _with_metadata(self, tu: bytes) -> bytes:
+        """Insert HDR metadata OBUs after the 2-byte temporal delimiter."""
+        if not self._metadata:
+            return tu
+        return tu[:2] + self._metadata + tu[2:]
+
     def _emit(self, tu: bytes, pts: int, ftype: int, shown: bool) -> None:
+        if ftype == 0:
+            tu = self._with_metadata(tu)
         self._out_q.append(Packet(tu, pts, self._dts, frame_type=ftype))
         self._dts += 1
         if shown and self.config.recon_enabled:
