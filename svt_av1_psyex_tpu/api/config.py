@@ -25,9 +25,9 @@ _PENDING_FIELDS = frozenset({
     "hbd_mds", "complex_hvs", "adaptive_film_grain",
     "noise_adaptive_filtering", "noise_norm_strength", "tf_strength",
     "kf_tf_strength", "max_32_tx_size",
-    "min_chroma_qm_level", "max_chroma_qm_level", "low_q_taper", "lossless",
+    "low_q_taper", "lossless",
     "avif", "enable_mfmv", "enable_overlays",
-    "screen_content_mode", "enable_qm", "min_qm_level", "max_qm_level",
+    "screen_content_mode",
     "film_grain_denoise_apply",
     "superres_mode", "resize_mode", "enable_dg", "startup_mg_size",
     "look_ahead_distance",
@@ -100,7 +100,7 @@ class EncoderConfig:
     kf_tf_strength: int = 1  # [pending]
     qp_scale_compress_strength: float = 1.0  # TPL qstep-ratio compression
     max_32_tx_size: bool = False  # [pending]
-    min_chroma_qm_level: int = 8  # [pending QM]
+    min_chroma_qm_level: int = 8
     max_chroma_qm_level: int = 15
     low_q_taper: bool = False  # [pending]
     lossless: bool = False  # [pending]
@@ -116,7 +116,7 @@ class EncoderConfig:
     tile_columns: int = 0  # log2 tile columns (independent MD+EC per tile)
     tile_rows: int = 0
     screen_content_mode: int = 0  # [pending palette/intrabc]
-    enable_qm: bool = False  # [pending]
+    enable_qm: bool = False  # quantizer matrices (spec 5.9.12)
     min_qm_level: int = 8
     max_qm_level: int = 15
     film_grain_denoise_strength: int = 0  # 0-50 grain synthesis strength

@@ -141,7 +141,10 @@ class SvtAv1Encoder:
             enable_restoration=(None if cfg.enable_restoration_filtering < 0
                                 else bool(cfg.enable_restoration_filtering)),
             tile_cols_log2=cfg.tile_columns,
-            film_grain=cfg.film_grain_denoise_strength)
+            film_grain=cfg.film_grain_denoise_strength,
+            qm=((cfg.min_qm_level, cfg.max_qm_level,
+                 cfg.min_chroma_qm_level, cfg.max_chroma_qm_level)
+                if cfg.enable_qm else None))
         self._initialized = True
 
     def stream_header(self) -> bytes:

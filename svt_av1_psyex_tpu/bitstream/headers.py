@@ -263,6 +263,11 @@ class FrameConfig:
     lr_uv_shift: int = 0
     # film grain synthesis parameters (ops/film_grain.py FilmGrainParams)
     film_grain: object = None
+    # quantizer matrices (spec 5.9.12)
+    using_qmatrix: bool = False
+    qm_y: int = 15
+    qm_u: int = 15
+    qm_v: int = 15
     tile: TileInfo | None = None
 
     @property
@@ -516,7 +521,12 @@ def _write_quantization_params(w: BitWriter, seq: SequenceConfig, fr: FrameConfi
             w.f(0, 1)  # diff_uv_delta
         _write_delta_q(w, fr.delta_q_u_dc)
         _write_delta_q(w, fr.delta_q_u_ac)
-    w.f(0, 1)  # using_qmatrix
+    w.f(1 if fr.using_qmatrix else 0, 1)  # using_qmatrix
+    if fr.using_qmatrix:
+        w.f(fr.qm_y, 4)
+        w.f(fr.qm_u, 4)
+        if seq.separate_uv_delta_q:
+            w.f(fr.qm_v, 4)
 
 
 def _write_loop_filter_params(w: BitWriter, seq: SequenceConfig, fr: FrameConfig) -> None:

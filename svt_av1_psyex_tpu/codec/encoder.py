@@ -94,7 +94,8 @@ class Av1Encoder:
                  variance_boost_curve: int = 0, enable_dlf: bool = True,
                  psy_rd: float = 0.0, tune: int = 1,
                  enable_restoration: bool | None = None,
-                 tile_cols_log2: int = 0, film_grain: int = 0):
+                 tile_cols_log2: int = 0, film_grain: int = 0,
+                 qm: tuple | None = None):
         self.seq = seq
         self.preset = preset
         # loop restoration defaults on at the slower presets (the
@@ -112,6 +113,10 @@ class Av1Encoder:
         # grain parameters signaled per frame; refs stay pre-grain
         self.film_grain = int(film_grain)
         seq.film_grain_params_present = self.film_grain > 0
+        # quantizer matrices: (min_qm, max_qm, min_chroma_qm,
+        # max_chroma_qm) level ranges interpolated by frame q
+        # (aom_get_qmlevel; svt_av1_qm_init md_config_process.c:258)
+        self.qm = qm
         # psy-rd acts whenever set and tune is not PSNR (enc_settings.c:1270)
         self.psy_rd = psy_rd if tune != 1 else 0.0
         self.enable_dlf = enable_dlf
@@ -225,6 +230,14 @@ class Av1Encoder:
                 sb_qmap = None
         if self.film_grain > 0:
             fr.film_grain = self._film_grain_params(plan.disp_idx)
+        if self.qm is not None:
+            from ..ops.quant import get_qmlevel
+
+            mn, mx, cmn, cmx = self.qm
+            fr.using_qmatrix = True
+            fr.qm_y = get_qmlevel(fr.base_q_idx, mn, mx)
+            fr.qm_u = get_qmlevel(fr.base_q_idx, cmn, cmx)
+            fr.qm_v = fr.qm_u
         fr.tile = compute_tile_info(seq, cols_log2=self.tile_cols_log2)
         assert fr.tile.tile_rows == 1, "tile rows later"
         n_tiles = fr.tile.tile_cols
@@ -323,7 +336,7 @@ class Av1Encoder:
         # inter frames, intra lattice for key frames
         dev_ok = (self.preset >= 10 and not fr.tx_mode_select
                   and not seq.use_128x128_superblock
-                  and n_tiles == 1
+                  and n_tiles == 1 and not fr.using_qmatrix
                   and os.environ.get("SVT_TPU_HOST_MD") != "1")
         use_device_inter = dev_ok and not fr.frame_is_intra and bool(ref_planes)
 

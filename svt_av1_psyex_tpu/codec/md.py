@@ -1178,7 +1178,20 @@ class ModeDecision:
         from ..bitstream.coeff_writer import _scan_kind
 
         scan = scan_table(tx_size, _scan_kind(tx_type))
-        qcoeff, dqcoeff, eob = quantize_b(coeffs.reshape(1, -1), scan, pq, ls)
+        # quantizer matrices: 2D transform types only (spec dequant gate)
+        if getattr(fr, "using_qmatrix", False) and int(tx_type) <= 8:
+            from ..ops.quant import qm_tables, quantize_b_qm
+
+            level = (fr.qm_y, fr.qm_u, fr.qm_v)[plane]
+            qm = qm_tables(level, plane > 0, int(tx_size))
+        else:
+            qm = None
+        if qm is not None:
+            qcoeff, dqcoeff, eob = quantize_b_qm(
+                coeffs.reshape(1, -1), scan, pq, ls, qm[0], qm[1])
+        else:
+            qcoeff, dqcoeff, eob = quantize_b(coeffs.reshape(1, -1), scan,
+                                              pq, ls)
         cw, ch = min(tx_w, 32), min(tx_h, 32)
         eob = int(eob[0])
         if eob:

@@ -108,3 +108,88 @@ def quantize_b(coeffs: np.ndarray, scan: np.ndarray, pq: PlaneQuant,
     idx = np.arange(n)[None, :]
     eob = np.where(q_scan, idx + 1, 0).max(axis=1).astype(np.int32)
     return qcoeff, dqcoeff, eob
+
+
+# ---- quantizer matrices (spec Quantizer_Matrix; q_matrices.h) ---------------
+
+NUM_QM_LEVELS = 16
+
+# TX_SIZES_ALL dims in enum order (constants._TX_SIZE order)
+_TX_DIMS = [(4, 4), (8, 8), (16, 16), (32, 32), (64, 64), (4, 8), (8, 4),
+            (8, 16), (16, 8), (16, 32), (32, 16), (32, 64), (64, 32),
+            (4, 16), (16, 4), (8, 32), (32, 8), (16, 64), (64, 16)]
+
+# av1_get_adjusted_tx_size: 64-class sizes use the 32-class matrices
+_ADJUST = {4: 3, 11: 3, 12: 3, 17: 9, 18: 10}
+
+
+@lru_cache(maxsize=1)
+def _qm_offsets() -> dict:
+    """Start offset of each stored (adjusted) tx size in the concatenated
+    QM layout (svt_av1_qm_init md_config_process.c:232)."""
+    offs = {}
+    cur = 0
+    for t, (w, h) in enumerate(_TX_DIMS):
+        if t in _ADJUST:
+            continue
+        offs[t] = cur
+        cur += w * h
+    assert cur == 3344
+    return offs
+
+
+@lru_cache(maxsize=256)
+def qm_tables(level: int, is_chroma: bool, tx_size: int):
+    """(wt, iwt) flat raster arrays for one tx size (clipped to the
+    32-coeff region for 64-class sizes), or None at the identity level."""
+    if level >= NUM_QM_LEVELS - 1:
+        return None
+    from ..bitstream.tables import load_tables
+
+    t = _ADJUST.get(tx_size, tx_size)
+    off = _qm_offsets()[t]
+    w, h = _TX_DIMS[t]
+    tabs = load_tables()
+    c = 1 if is_chroma else 0
+    wt = tabs["qm_wt"][level, c, off:off + w * h].astype(np.int64)
+    iwt = tabs["qm_iwt"][level, c, off:off + w * h].astype(np.int64)
+    # 64-class: the coded coeff region is the adjusted 32-class size
+    # already, so the matrix maps 1:1
+    return wt, iwt
+
+
+def get_qmlevel(qindex: int, first: int, last: int) -> int:
+    """aom_get_qmlevel: interpolate the configured level range by q."""
+    return first + (qindex * (last + 1 - first)) // 256
+
+
+def quantize_b_qm(coeffs: np.ndarray, scan: np.ndarray, pq: PlaneQuant,
+                  log_scale: int, wt: np.ndarray, iwt: np.ndarray):
+    """quantize_b with quantizer-matrix weights (quantize_b_helper qm
+    variant): per-position wt scales the quantization, iwt scales the
+    dequant exactly as the decoder derives dqv."""
+    b, n = coeffs.shape
+    is_dc = np.arange(n) == 0
+    zbin = np.where(is_dc, _round_pow2(pq.zbin[0], log_scale),
+                    _round_pow2(pq.zbin[1], log_scale)).astype(np.int64)
+    rnd = np.where(is_dc, _round_pow2(pq.round[0], log_scale),
+                   _round_pow2(pq.round[1], log_scale)).astype(np.int64)
+    quant = np.where(is_dc, pq.quant[0], pq.quant[1]).astype(np.int64)
+    qshift = np.where(is_dc, pq.quant_shift[0], pq.quant_shift[1]).astype(np.int64)
+    deq = np.where(is_dc, pq.dequant[0], pq.dequant[1]).astype(np.int64)
+    dqv = (deq * iwt + (1 << (AOM_QM_BITS - 1))) >> AOM_QM_BITS
+
+    c = coeffs.astype(np.int64)
+    sign = np.where(c < 0, -1, 1).astype(np.int64)
+    abs_c = np.abs(c)
+    pass_zbin = abs_c * wt >= (zbin << AOM_QM_BITS)
+    tmp = np.clip(abs_c + rnd, -32768, 32767) * wt
+    tmp32 = (((tmp * quant) >> 16) + tmp) * qshift >> (16 - log_scale + AOM_QM_BITS)
+    tmp32 = np.where(pass_zbin, tmp32, 0)
+    qcoeff = (tmp32 * sign).astype(np.int32)
+    dqcoeff = (((tmp32 * dqv) >> log_scale) * sign).astype(np.int32)
+
+    q_scan = tmp32[:, scan] != 0
+    idx = np.arange(n)[None, :]
+    eob = np.where(q_scan, idx + 1, 0).max(axis=1).astype(np.int32)
+    return qcoeff, dqcoeff, eob

@@ -320,6 +320,19 @@ def main() -> None:
     print(f"inter_prediction.c: {len(sp)} subpel filter tables")
     tables.update(sp)
 
+    # quantizer matrices (spec Quantizer_Matrix tables; q_matrices.h
+    # wt/iwt concatenated per level x plane-class over adjusted tx sizes)
+    qmtext = _strip_comments((REF / "q_matrices.h").read_text())
+    for cname, key in (("wt_matrix_ref", "qm_wt"),
+                       ("iwt_matrix_ref", "qm_iwt")):
+        m = re.search(rf"{cname}\[NUM_QM_LEVELS\]\[2\]\[QM_TOTAL_SIZE\]\s*=\s*\{{", qmtext)
+        assert m, cname
+        block, _ = _balanced_braces(qmtext, m.end() - 1)
+        arr = np.array(_parse_init(block), dtype=np.int32)
+        assert arr.shape == (16, 2, 3344), (cname, arr.shape)
+        tables[key] = arr
+    print("q_matrices.h: qm_wt + qm_iwt")
+
     # film-grain gaussian sequence (spec 7.18.3.1 Gaussian_Sequence)
     gs = _strip_comments((REF / "grainSynthesis.c").read_text())
     m = re.search(r"gaussian_sequence\[2048\]\s*=\s*\{", gs)
