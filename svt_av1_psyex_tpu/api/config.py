@@ -21,9 +21,9 @@ _PENDING_FIELDS = frozenset({
     "max_bit_rate", "vbv_bufsize", "over_shoot_pct", "under_shoot_pct",
     "recode_loop", "vbr_bias_pct", "vbr_min_section_pct",
     "vbr_max_section_pct", "enable_adaptive_quantization",
-    "luminance_qp_bias", "spy_rd", "sharp_tx",
+    "spy_rd", "sharp_tx",
     "hbd_mds", "complex_hvs", "adaptive_film_grain",
-    "noise_adaptive_filtering", "noise_norm_strength", "tf_strength",
+    "noise_adaptive_filtering",
     "kf_tf_strength", "max_32_tx_size",
     "low_q_taper", "lossless",
     "avif", "enable_mfmv", "enable_overlays",
@@ -86,7 +86,7 @@ class EncoderConfig:
     variance_boost_curve: int = 0
     tune: int = 1  # 0 VQ, 1 PSNR, 2 SSIM, 3 Subjective SSIM, 4 Still [partial]
     sharpness: int = 0
-    luminance_qp_bias: int = 0  # [pending]
+    luminance_qp_bias: int = 0  # 0-100: more bits for darker frames
     psy_rd: float = 1.0  # SA8D energy-delta distortion (ops/psy_dist.py);
     # reference default 1.0 (enc_settings.c:1108); inert under tune 1
     spy_rd: int = 0  # [pending]
@@ -95,8 +95,8 @@ class EncoderConfig:
     complex_hvs: int = 0  # [pending]
     adaptive_film_grain: bool = True  # [pending]
     noise_adaptive_filtering: bool = False  # [pending]
-    noise_norm_strength: int = 0  # [pending]
-    tf_strength: int = 1  # [pending TF]
+    noise_norm_strength: int = 0  # 0 off, 1-4 AC revival aggressiveness
+    tf_strength: int = 1  # alt-ref TF decay scale (0 weakest..4 strongest)
     kf_tf_strength: int = 1  # [pending]
     qp_scale_compress_strength: float = 1.0  # TPL qstep-ratio compression
     max_32_tx_size: bool = False  # [pending]

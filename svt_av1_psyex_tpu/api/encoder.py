@@ -144,7 +144,8 @@ class SvtAv1Encoder:
             film_grain=cfg.film_grain_denoise_strength,
             qm=((cfg.min_qm_level, cfg.max_qm_level,
                  cfg.min_chroma_qm_level, cfg.max_chroma_qm_level)
-                if cfg.enable_qm else None))
+                if cfg.enable_qm else None),
+            noise_norm_strength=cfg.noise_norm_strength)
         self._initialized = True
 
     def stream_header(self) -> bytes:
@@ -305,7 +306,8 @@ class SvtAv1Encoder:
                 nbrs = [v for k, v in srcs.items() if k != arf]
                 srcs[arf] = temporal_filter(
                     srcs[arf], nbrs, self.config.qindex,
-                    self.config.encoder_bit_depth)
+                    self.config.encoder_bit_depth,
+                    strength=self.config.tf_strength)
             # TPL over the mini-GOP + queued lookahead: the display-order
             # chain lets future frames propagate dependency back into
             # this group's ARF (its group index = length-1)
@@ -341,6 +343,19 @@ class SvtAv1Encoder:
                     pl.q_offset = 0  # TPL owns the per-layer ladder
                 else:
                     q = self.config.qindex
+                if (self.config.luminance_qp_bias and not is_se
+                        and src is not None):
+                    from ..codec.rc import luminance_qp_bias_offset
+
+                    import numpy as _np
+
+                    avg = float(_np.asarray(src[0]).mean()) \
+                        / (1 << (self.config.encoder_bit_depth - 8))
+                    q = int(_np.clip(
+                        q + pl.q_offset + luminance_qp_bias_offset(
+                            q + pl.q_offset, avg, pl.layer,
+                            self.config.luminance_qp_bias) - pl.q_offset,
+                        1, 255))
                 tu = self._enc.encode_frame(None if is_se else src, q, plan=pl)
                 if self._rc and not is_se:
                     self._rc.update(len(tu) * 8)

@@ -95,7 +95,7 @@ class Av1Encoder:
                  psy_rd: float = 0.0, tune: int = 1,
                  enable_restoration: bool | None = None,
                  tile_cols_log2: int = 0, film_grain: int = 0,
-                 qm: tuple | None = None):
+                 qm: tuple | None = None, noise_norm_strength: int = 0):
         self.seq = seq
         self.preset = preset
         # loop restoration defaults on at the slower presets (the
@@ -117,6 +117,8 @@ class Av1Encoder:
         # max_chroma_qm) level ranges interpolated by frame q
         # (aom_get_qmlevel; svt_av1_qm_init md_config_process.c:258)
         self.qm = qm
+        # PSYEX noise normalization (AC coefficient revival/boost)
+        self.noise_norm_strength = int(noise_norm_strength)
         # psy-rd acts whenever set and tune is not PSNR (enc_settings.c:1270)
         self.psy_rd = psy_rd if tune != 1 else 0.0
         self.enable_dlf = enable_dlf
@@ -337,6 +339,7 @@ class Av1Encoder:
         dev_ok = (self.preset >= 10 and not fr.tx_mode_select
                   and not seq.use_128x128_superblock
                   and n_tiles == 1 and not fr.using_qmatrix
+                  and self.noise_norm_strength == 0
                   and os.environ.get("SVT_TPU_HOST_MD") != "1")
         use_device_inter = dev_ok and not fr.frame_is_intra and bool(ref_planes)
 
@@ -370,7 +373,8 @@ class Av1Encoder:
                              cdfs=cdfs.clone(), me_field=me_f,
                              psy_factor=psy_factor,
                              filter_intra=seq.enable_filter_intra,
-                             cfl=self.preset <= 6, tile_x_off=x_off)
+                             cfl=self.preset <= 6, tile_x_off=x_off,
+                             noise_norm=self.noise_norm_strength)
             if m.mi_state is not None:
                 m.mi_state.sign_bias = sign_bias
             return m

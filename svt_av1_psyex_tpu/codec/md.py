@@ -96,7 +96,7 @@ class ModeDecision:
                  try_rect: bool = False, cdfs: FrameCdfs | None = None,
                  me_field=None, psy_factor: float = 0.0,
                  filter_intra: bool = False, cfl: bool = False,
-                 tile_x_off: int = 0):
+                 tile_x_off: int = 0, noise_norm: int = 0):
         # layer-modulated psy-rd strength (0 = off); adds the SA8D energy
         # delta to every txb's distortion (full_loop.c:2285-2536 hook)
         self.psy_factor = psy_factor
@@ -105,6 +105,8 @@ class ModeDecision:
         # tile-local MD: luma-px offset of this tile's column 0 in the
         # frame; reference-plane reads (MC crosses tiles) use absolute x
         self.tile_x_off = tile_x_off
+        # PSYEX noise normalization strength (full_loop.c:1467)
+        self.noise_norm = noise_norm
         self.angle_deltas = angle_deltas
         self.try_rect = try_rect
         # inter: padded reference planes (LAST) + MVP mi-state
@@ -1192,6 +1194,22 @@ class ModeDecision:
         else:
             qcoeff, dqcoeff, eob = quantize_b(coeffs.reshape(1, -1), scan,
                                               pq, ls)
+        if (self.noise_norm > 0 and plane == 0 and int(tx_type) != 9
+                and int(eob[0]) > 0):
+            from ..ops.quant import AOM_QM_BITS, noise_normalize
+
+            if qm is not None:
+                dqv_ac = (pq.dequant[1] * qm[1]
+                          + (1 << (AOM_QM_BITS - 1))) >> AOM_QM_BITS
+            else:
+                dqv_ac = pq.dequant[1]
+            qc = qcoeff.reshape(-1)
+            dqc = dqcoeff.reshape(-1)
+            _, _, ne = noise_normalize(coeffs.reshape(-1), qc, dqc,
+                                       int(eob[0]), scan, dqv_ac, ls,
+                                       self.noise_norm,
+                                       min(tx_w, 32) * min(tx_h, 32))
+            eob = np.array([ne], np.int32)
         cw, ch = min(tx_w, 32), min(tx_h, 32)
         eob = int(eob[0])
         if eob:

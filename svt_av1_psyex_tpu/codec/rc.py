@@ -107,3 +107,17 @@ class RateControl:
         self.buffer += self.avg_bits - actual_bits
         self.buffer = max(-2 * self.buf_cap, min(2 * self.buf_cap, self.buffer))
         self._q = q
+
+
+def luminance_qp_bias_offset(qindex: int, avg_luma: float, layer: int,
+                             bias: int) -> int:
+    """Frame-level luminance qindex adjustment (rc_process.c:3439-3452):
+    darker frames get more bits at the higher temporal layers. avg_luma
+    in 8-bit units; returns a (negative or zero) qindex offset."""
+    import math
+
+    if bias <= 0 or layer <= 0:
+        return 0
+    denom = 1024.0 / (layer * 4 * (0.01 * bias))
+    return int(round(-math.pow((255.0 - avg_luma) / denom, 0.5)
+                     * (qindex / 8.0)))

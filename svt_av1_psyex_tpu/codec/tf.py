@@ -65,7 +65,7 @@ def _block_motion(center: np.ndarray, ref: np.ndarray, by: int, bx: int,
 
 
 def temporal_filter(center: list, neighbors: list, qindex: int,
-                    bit_depth: int = 8) -> list:
+                    bit_depth: int = 8, strength: int = 3) -> list:
     """Filter `center` planes [Y,U,V] using `neighbors` (list of plane
     lists). Returns new planes with the same dtypes."""
     if not neighbors:
@@ -87,6 +87,9 @@ def temporal_filter(center: list, neighbors: list, qindex: int,
     q_decay = max(0.5, min(4.0, (qindex / 120.0) ** 2))
     decay_px = max(12.0 * (1 << (2 * (bit_depth - 8))),
                    2.5 * noise * noise) * q_decay
+    # --tf-strength 0..4: power-of-two filter strength ladder
+    # (temporal_filtering.c:2996 tf_shift_factor; 3 = default)
+    decay_px *= 2.0 ** (min(strength, 4) - 3)
 
     accum = [np.zeros_like(np.asarray(p), np.int64) for p in center]
     count = [np.zeros_like(np.asarray(p), np.int64) for p in center]

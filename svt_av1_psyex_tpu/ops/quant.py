@@ -193,3 +193,69 @@ def quantize_b_qm(coeffs: np.ndarray, scan: np.ndarray, pq: PlaneQuant,
     idx = np.arange(n)[None, :]
     eob = np.where(q_scan, idx + 1, 0).max(axis=1).astype(np.int32)
     return qcoeff, dqcoeff, eob
+
+
+def noise_normalize(tcoeff: np.ndarray, qcoeff: np.ndarray,
+                    dqcoeff: np.ndarray, eob: int, scan: np.ndarray,
+                    dqv_ac, log_scale: int, strength: int,
+                    n_coeffs_area: int):
+    """PSYEX noise normalization (svt_av1_perform_noise_normalization,
+    full_loop.c:1467): boost one AC coefficient whose true value sits
+    close to the next quantization level (textured blocks), or revive
+    the best zeroed AC coefficient near DC (flat blocks). Flat arrays;
+    returns (qcoeff, dqcoeff, eob) possibly updated in place.
+
+    dqv_ac: scalar AC dequant or per-position vector (QM path)."""
+    if strength < 1 or eob == 0 or n_coeffs_area <= 16:
+        return qcoeff, dqcoeff, eob
+    thresh = {1: 9, 2: 8, 3: 6}.get(strength, 4)
+    dqv_vec = (np.full(len(scan), int(dqv_ac), np.int64)
+               if np.isscalar(dqv_ac) else np.asarray(dqv_ac, np.int64))
+
+    def qc_dqc_low(abs_qc, sign, dqv):
+        lo = abs_qc - 1
+        qcl = -lo if sign else lo
+        dlo = (lo * dqv) >> log_scale
+        return qcl, (-dlo if sign else dlo)
+
+    best = None
+    if eob > 1:
+        for si in range(1, eob):
+            ci = int(scan[si])
+            tqc = int(tcoeff[ci])
+            qc = int(qcoeff[ci])
+            dqc = int(dqcoeff[ci])
+            if dqc != 0 and abs(tqc) - abs(dqc) > 0:
+                sign = 1 if tqc < 0 else 0
+                qcl, dql = qc_dqc_low(abs(qc) + 2, sign, int(dqv_vec[ci]))
+                gap = abs(dql - tqc)
+                step = abs(dql - dqc)
+                if step == 0:
+                    continue
+                if ((step - gap) << 4) // step >= thresh:
+                    best = (si, qcl, dql)  # last qualifying wins
+    else:
+        best_gap = None
+        for si in range(1, n_coeffs_area // 16):
+            ci = int(scan[si])
+            tqc = int(tcoeff[ci])
+            dqc = int(dqcoeff[ci])
+            if dqc == 0 and tqc != 0:
+                sign = 1 if tqc < 0 else 0
+                qcl, dql = qc_dqc_low(2, sign, int(dqv_vec[ci]))
+                gap = abs(dql - tqc)
+                step = abs(dql - dqc)
+                if step == 0:
+                    continue
+                if (((step - gap) << 4) // step >= thresh
+                        and (best_gap is None or gap < best_gap)):
+                    best_gap = gap
+                    best = (si, qcl, dql)
+    if best is not None:
+        si, qcl, dql = best
+        ci = int(scan[si])
+        qcoeff[ci] = qcl
+        dqcoeff[ci] = dql
+        if si >= eob:
+            eob = si + 1
+    return qcoeff, dqcoeff, eob
