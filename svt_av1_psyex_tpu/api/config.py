@@ -24,7 +24,7 @@ _PENDING_FIELDS = frozenset({
     "spy_rd", "sharp_tx",
     "hbd_mds", "complex_hvs", "adaptive_film_grain",
     "noise_adaptive_filtering",
-    "kf_tf_strength", "max_32_tx_size",
+    "kf_tf_strength",
     "low_q_taper", "lossless",
     "avif", "enable_mfmv", "enable_overlays",
     "screen_content_mode",

@@ -145,7 +145,8 @@ class SvtAv1Encoder:
             qm=((cfg.min_qm_level, cfg.max_qm_level,
                  cfg.min_chroma_qm_level, cfg.max_chroma_qm_level)
                 if cfg.enable_qm else None),
-            noise_norm_strength=cfg.noise_norm_strength)
+            noise_norm_strength=cfg.noise_norm_strength,
+            max_32_tx_size=bool(cfg.max_32_tx_size))
         self._initialized = True
 
     def stream_header(self) -> bytes:

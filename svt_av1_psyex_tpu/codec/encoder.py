@@ -95,7 +95,8 @@ class Av1Encoder:
                  psy_rd: float = 0.0, tune: int = 1,
                  enable_restoration: bool | None = None,
                  tile_cols_log2: int = 0, film_grain: int = 0,
-                 qm: tuple | None = None, noise_norm_strength: int = 0):
+                 qm: tuple | None = None, noise_norm_strength: int = 0,
+                 max_32_tx_size: bool = False):
         self.seq = seq
         self.preset = preset
         # loop restoration defaults on at the slower presets (the
@@ -119,6 +120,8 @@ class Av1Encoder:
         self.qm = qm
         # PSYEX noise normalization (AC coefficient revival/boost)
         self.noise_norm_strength = int(noise_norm_strength)
+        # forbid 64-class transforms (tx split forced under tx select)
+        self.max_32_tx_size = bool(max_32_tx_size)
         # psy-rd acts whenever set and tune is not PSNR (enc_settings.c:1270)
         self.psy_rd = psy_rd if tune != 1 else 0.0
         self.enable_dlf = enable_dlf
@@ -374,7 +377,8 @@ class Av1Encoder:
                              psy_factor=psy_factor,
                              filter_intra=seq.enable_filter_intra,
                              cfl=self.preset <= 6, tile_x_off=x_off,
-                             noise_norm=self.noise_norm_strength)
+                             noise_norm=self.noise_norm_strength,
+                             max_32_tx=self.max_32_tx_size)
             if m.mi_state is not None:
                 m.mi_state.sign_bias = sign_bias
             return m

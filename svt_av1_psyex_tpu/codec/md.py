@@ -96,7 +96,8 @@ class ModeDecision:
                  try_rect: bool = False, cdfs: FrameCdfs | None = None,
                  me_field=None, psy_factor: float = 0.0,
                  filter_intra: bool = False, cfl: bool = False,
-                 tile_x_off: int = 0, noise_norm: int = 0):
+                 tile_x_off: int = 0, noise_norm: int = 0,
+                 max_32_tx: bool = False):
         # layer-modulated psy-rd strength (0 = off); adds the SA8D energy
         # delta to every txb's distortion (full_loop.c:2285-2536 hook)
         self.psy_factor = psy_factor
@@ -107,6 +108,9 @@ class ModeDecision:
         self.tile_x_off = tile_x_off
         # PSYEX noise normalization strength (full_loop.c:1467)
         self.noise_norm = noise_norm
+        # --max-32-tx-size: forbid 64-class transforms (intra tx depth
+        # forced to split; needs TX_MODE_SELECT)
+        self.max_32_tx = max_32_tx
         self.angle_deltas = angle_deltas
         self.try_rect = try_rect
         # inter: padded reference planes (LAST) + MVP mi-state
@@ -397,12 +401,16 @@ class ModeDecision:
         fi_ok = (self.filter_intra
                  and max(int(BLOCK_W[bsize]), int(BLOCK_H[bsize])) <= 32)
 
+        # --max-32-tx-size: 64-class max-rect transforms are skipped by
+        # starting at tx depth 1 (requires TX_MODE_SELECT)
+        d0 = 1 if (self.max_32_tx and self.tx_select
+                   and max(tx_w, tx_h) == 64) else 0
         best = None
         for _, mode, pred in survivors:
             j, leaf, artifacts = self._try_mode(mode, 0, pred, r, c, bsize, x, y,
                                                 tx_size, intra_mode_costs, intra_base,
                                                 skip_costs, has_chroma,
-                                                fi_eligible=fi_ok)
+                                                fi_eligible=fi_ok, tx_depth=d0)
             if best is None or j < best[0]:
                 best = (j, leaf, artifacts)
         # angle-delta refinement on the winning directional mode
@@ -414,7 +422,7 @@ class ModeDecision:
                 j, leaf, artifacts = self._try_mode(mode, delta, pred, r, c, bsize,
                                                     x, y, tx_size, intra_mode_costs,
                                                     intra_base, skip_costs, has_chroma,
-                                                    fi_eligible=fi_ok)
+                                                    fi_eligible=fi_ok, tx_depth=d0)
                 if j < best[0]:
                     best = (j, leaf, artifacts)
         # recursive filter-intra candidates (5 modes on a DC base;
@@ -426,7 +434,7 @@ class ModeDecision:
                 j, leaf, artifacts = self._try_mode(
                     IntraMode.DC, 0, pred, r, c, bsize, x, y, tx_size,
                     intra_mode_costs, intra_base, skip_costs, has_chroma,
-                    fi_eligible=True, fi_mode=fim)
+                    fi_eligible=True, fi_mode=fim, tx_depth=d0)
                 if j < best[0]:
                     best = (j, leaf, artifacts)
 
@@ -436,7 +444,7 @@ class ModeDecision:
         # (the reference's tx-depth early-exit, tx_search in
         # product_coding_loop.c)
         if (self.tx_select and bsize > 0 and not best[1].is_inter
-                and not best[1].skip
+                and not best[1].skip and d0 == 0
                 and best[1].coeffs is not None
                 and best[1].coeffs[0]["eob"] >= 4):
             mode = IntraMode(best[1].y_mode)

@@ -88,3 +88,29 @@ def test_knobs_stay_conformant_and_act(tmp_path):
     _encode(tmp_path, "lum", lambda c: setattr(c, "luminance_qp_bias", 50))
     _encode(tmp_path, "tf", lambda c: setattr(c, "tf_strength", 4))
     assert b1 != b0, "noise normalization had no effect on the stream"
+
+
+def test_max_32_tx_size(tmp_path):
+    """--max-32-tx-size forces tx splits on 64-class blocks (intra,
+    TX_MODE_SELECT) and stays conformant."""
+    from svt_av1_psyex_tpu.bitstream.headers import SequenceConfig
+    from svt_av1_psyex_tpu.codec.encoder import Av1Encoder
+
+    fmt = VideoFormat(128, 128)
+    f = synth_frame(fmt, 0, "gradient")
+    outs = {}
+    for flag in (False, True):
+        enc = Av1Encoder(SequenceConfig(width=128, height=128), preset=9,
+                         max_32_tx_size=flag)
+        tu = enc.encode_frame([p.copy() for p in f], 100)
+        path = tmp_path / f"m32_{flag}.ivf"
+        with open(path, "wb") as fh:
+            wr = IvfWriter(fh, 128, 128)
+            wr.write_frame(tu, 0)
+            wr.close()
+        dec = decode_ivf(path)
+        for i in range(3):
+            dh, dw = dec[0][i].shape
+            assert np.array_equal(dec[0][i], enc.last_recon[i][:dh, :dw])
+        outs[flag] = tu
+    assert outs[True] != outs[False]
