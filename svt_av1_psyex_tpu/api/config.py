@@ -20,7 +20,7 @@ _PENDING_FIELDS = frozenset({
     "sframe_dist", "sframe_mode", "use_qp_file",
     "max_bit_rate", "vbv_bufsize", "over_shoot_pct", "under_shoot_pct",
     "recode_loop", "vbr_bias_pct", "vbr_min_section_pct",
-    "vbr_max_section_pct", "enable_adaptive_quantization",
+    "vbr_max_section_pct",
     "spy_rd", "sharp_tx",
     "hbd_mds", "complex_hvs", "adaptive_film_grain",
     "noise_adaptive_filtering",
@@ -74,7 +74,7 @@ class EncoderConfig:
     vbr_bias_pct: int = 50  # [pending]
     vbr_min_section_pct: int = 0  # [pending]
     vbr_max_section_pct: int = 2000  # [pending]
-    enable_adaptive_quantization: int = 2  # [pending seg/deltaq modes]
+    enable_adaptive_quantization: int = 2  # 0 off, 1 segmentation AQ, 2 delta-q (variance boost)
     pass_: int = 0  # 0 single, 1 stats-out, 2 stats-in (codec/firstpass.py)
     rc_stats_buffer: bytes = b""  # pass-1 stats for pass 2
 

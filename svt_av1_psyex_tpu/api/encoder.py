@@ -146,7 +146,8 @@ class SvtAv1Encoder:
                  cfg.min_chroma_qm_level, cfg.max_chroma_qm_level)
                 if cfg.enable_qm else None),
             noise_norm_strength=cfg.noise_norm_strength,
-            max_32_tx_size=bool(cfg.max_32_tx_size))
+            max_32_tx_size=bool(cfg.max_32_tx_size),
+            seg_aq=cfg.enable_adaptive_quantization == 1)
         self._initialized = True
 
     def stream_header(self) -> bytes:

@@ -263,6 +263,8 @@ class FrameConfig:
     lr_uv_shift: int = 0
     # film grain synthesis parameters (ops/film_grain.py FilmGrainParams)
     film_grain: object = None
+    # segmentation (spec 5.9.14): ALT_Q deltas per segment, None = off
+    seg_qdeltas: tuple | None = None
     # quantizer matrices (spec 5.9.12)
     using_qmatrix: bool = False
     qm_y: int = 15
@@ -338,7 +340,22 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig, w: BitWriter) -> No
 
     _write_tile_info(w, seq, fr)
     _write_quantization_params(w, seq, fr)
-    w.f(0, 1)  # segmentation_enabled
+    # segmentation_params (spec 5.9.14; ALT_Q feature only)
+    if fr.seg_qdeltas is None:
+        w.f(0, 1)  # segmentation_enabled
+    else:
+        w.f(1, 1)
+        if fr.primary_ref_frame != 7:
+            w.f(1, 1)  # segmentation_update_map
+            w.f(0, 1)  # segmentation_temporal_update
+            w.f(1, 1)  # segmentation_update_data
+        for seg in range(8):
+            d = fr.seg_qdeltas[seg] if seg < len(fr.seg_qdeltas) else None
+            w.f(1 if d is not None else 0, 1)  # ALT_Q enabled
+            if d is not None:
+                w.su(int(d), 9)  # su(1 + 8) signed feature value
+            for _ in range(7):  # remaining features off
+                w.f(0, 1)
     # delta_q_params
     if fr.base_q_idx > 0:
         w.f(1 if fr.delta_q_present else 0, 1)

@@ -133,6 +133,9 @@ class FrameCdfs:
         self.intrabc = self._wrap(clone("default_intrabc_cdf")) if "default_intrabc_cdf" in t else None
         self.delta_q = self._wrap(clone("default_delta_q_cdf"))
 
+        # segmentation (spec 5.11.15 read_segment_id)
+        self.spatial_seg = self._wrap(clone("default_spatial_pred_seg_tree_cdf"))
+
         # loop restoration unit types (spec read_lr_unit)
         self.switchable_restore = self._wrap(clone("default_switchable_restore_cdf"))
         self.wiener_restore = self._wrap(clone("default_wiener_restore_cdf"))

@@ -117,6 +117,11 @@ class TileWriter:
         self.txi_left = np.full(mi_rows, 255, dtype=np.uint8)
         self.txp_above = np.full(mi_cols, 255, dtype=np.uint8)
         self.txp_left = np.full(mi_rows, 255, dtype=np.uint8)
+        # segmentation: encoder-chosen per-mi target seg ids + the coded
+        # map (decoder-visible state for the spatial prediction contexts)
+        self.seg_target = None  # (mi_rows, mi_cols) int8 or None
+        self.seg_last_active = 0
+        self._seg_map = np.zeros((mi_rows, mi_cols), dtype=np.int8)
         # loop restoration: per-plane RestorationInfo (set by the encoder
         # after the LR search) + per-plane running refs for delta coding
         # (svt_av1_reset_loop_restoration, entropy_coding.c:3923)
@@ -165,6 +170,42 @@ class TileWriter:
         self._cdef_coded = False  # clear_cdef: one cdef_idx per 64x64 unit
         self._write_lr(mi_row, mi_col)
         self._write_partition_tree(node, mi_row, mi_col, sb_bsize)
+
+    # ---- segmentation (spec 5.11.15 read_segment_id mirror) -------------------
+    def _write_segment_id(self, r: int, c: int, bsize: int,
+                          avail_u: bool, avail_l: bool) -> None:
+        """Spatially-predicted segment id (ALT_Q-only segmentation:
+        SegIdPreSkip = 0, coded after the skip flag; temporal_update = 0
+        so inter blocks use the same spatial coder)."""
+        if self.seg_target is None:
+            return
+        target = int(self.seg_target[r, c])
+        prev_ul = int(self._seg_map[r - 1, c - 1]) if (avail_u and avail_l) else -1
+        prev_u = int(self._seg_map[r - 1, c]) if avail_u else -1
+        prev_l = int(self._seg_map[r, c - 1]) if avail_l else -1
+        if prev_u == -1:
+            pred = 0 if prev_l == -1 else prev_l
+        elif prev_l == -1:
+            pred = prev_u
+        else:
+            pred = prev_u if prev_ul == prev_u else prev_l
+        # any out-of-bounds neighbor forces context 0
+        # (av1_get_spatial_seg_pred)
+        if prev_ul < 0 or prev_u < 0 or prev_l < 0:
+            ctx = 0
+        elif prev_ul == prev_u and prev_ul == prev_l:
+            ctx = 2
+        elif prev_ul == prev_u or prev_ul == prev_l or prev_u == prev_l:
+            ctx = 1
+        else:
+            ctx = 0
+        coded = _neg_interleave(target, pred, self.seg_last_active + 1)
+        self._sym_at(coded, self.cdfs.spatial_seg, ctx)
+        bh4 = int(BLOCK_H[bsize]) >> 2
+        bw4 = int(BLOCK_W[bsize]) >> 2
+        r1 = min(r + bh4, self.mi_rows)
+        c1 = min(c + bw4, self.mi_cols)
+        self._seg_map[r:r1, c:c1] = target
 
     # ---- loop restoration units (spec 5.11.57 read_lr mirror) ----------------
     def _write_lr(self, mi_row: int, mi_col: int) -> None:
@@ -415,6 +456,7 @@ class TileWriter:
         left_skip = int(self.skips[r, c - 1]) if avail_l else 0
         skip = 1 if leaf.skip else 0
         self._sym_at(skip, self.cdfs.skip, above_skip + left_skip)
+        self._write_segment_id(r, c, bsize, avail_u, avail_l)
         self._write_cdef(r, c, skip)
         self._write_delta_q(leaf, r, c, bsize, skip)
 
@@ -995,3 +1037,21 @@ def _gather_split_bool(cdf: np.ndarray, bsize: int, vert: bool) -> np.ndarray:
             gather.append(Partition.HORZ_4)
     s = sum(prob(g) for g in gather)
     return np.array([32768 - s, 32768], dtype=np.uint16)
+
+
+def _neg_interleave(x: int, ref: int, max_n: int) -> int:
+    """Encode-side recentering for the spatially-predicted segment id
+    (inverse of the spec's neg_deinterleave, 5.11.15)."""
+    diff = x - ref
+    if ref == 0:
+        return x
+    if ref >= max_n - 1:
+        return -x + max_n - 1
+    if 2 * ref < max_n:
+        if abs(diff) <= ref:
+            return (diff << 1) - 1 if diff > 0 else (-diff) << 1
+        return x
+    else:
+        if abs(diff) < (max_n - ref):
+            return (diff << 1) - 1 if diff > 0 else (-diff) << 1
+        return (max_n - x) - 1

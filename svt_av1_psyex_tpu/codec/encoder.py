@@ -96,7 +96,7 @@ class Av1Encoder:
                  enable_restoration: bool | None = None,
                  tile_cols_log2: int = 0, film_grain: int = 0,
                  qm: tuple | None = None, noise_norm_strength: int = 0,
-                 max_32_tx_size: bool = False):
+                 max_32_tx_size: bool = False, seg_aq: bool = False):
         self.seq = seq
         self.preset = preset
         # loop restoration defaults on at the slower presets (the
@@ -122,6 +122,9 @@ class Av1Encoder:
         self.noise_norm_strength = int(noise_norm_strength)
         # forbid 64-class transforms (tx split forced under tx select)
         self.max_32_tx_size = bool(max_32_tx_size)
+        # segmentation-based adaptive quantization (aq-mode 1 analog):
+        # variance-quartile segments with ALT_Q deltas instead of delta-q
+        self.seg_aq = bool(seg_aq)
         # psy-rd acts whenever set and tune is not PSNR (enc_settings.c:1270)
         self.psy_rd = psy_rd if tune != 1 else 0.0
         self.enable_dlf = enable_dlf
@@ -219,7 +222,25 @@ class Av1Encoder:
                                      for name in range(1, 8))
 
         sb_qmap = None
-        if self.enable_variance_boost and planes is not None and base_q_idx > 0:
+        seg_sb_map = None
+        if self.seg_aq and planes is not None and base_q_idx > 0:
+            # segmentation AQ: per-SB variance quartiles -> 4 segments
+            # with fixed ALT_Q deltas (segmentation.c aq-mode analog)
+            from .psy import sb_variances_8x8
+
+            luma = self._pad_plane(np.asarray(planes[0]), self.aligned_w,
+                                   self.aligned_h).astype(np.int64)
+            nsy = (self.mi_rows + 15) // 16
+            nsx = (self.mi_cols + 15) // 16
+            var = np.zeros((nsy, nsx))
+            for sy in range(nsy):
+                for sx in range(nsx):
+                    var[sy, sx] = float(np.median(
+                        sb_variances_8x8(luma, sx, sy)))
+            qs = np.quantile(var, [0.25, 0.5, 0.75])
+            seg_sb_map = np.digitize(var, qs).astype(np.int8)  # 0..3
+            fr.seg_qdeltas = (-10, -5, 0, 5)
+        elif self.enable_variance_boost and planes is not None and base_q_idx > 0:
             from .psy import variance_adjust_qp
 
             luma = self._pad_plane(np.asarray(planes[0]), self.aligned_w,
@@ -243,6 +264,13 @@ class Av1Encoder:
             fr.qm_y = get_qmlevel(fr.base_q_idx, mn, mx)
             fr.qm_u = get_qmlevel(fr.base_q_idx, cmn, cmx)
             fr.qm_v = fr.qm_u
+        if seg_sb_map is not None:
+            # per-SB effective qindex for the MD quantizers (the decoder
+            # derives it from base + seg ALT_Q)
+            sb_qmap = np.clip(
+                fr.base_q_idx
+                + np.asarray(fr.seg_qdeltas, np.int32)[seg_sb_map],
+                1, 255).astype(np.int32)
         fr.tile = compute_tile_info(seq, cols_log2=self.tile_cols_log2)
         assert fr.tile.tile_rows == 1, "tile rows later"
         n_tiles = fr.tile.tile_cols
@@ -259,7 +287,19 @@ class Av1Encoder:
         if cdfs is None:
             cdfs = FrameCdfs(fr.base_q_idx)
         tw = TileWriter(seq, fr, cdfs, self.mi_rows, self.mi_cols)
-        tw.sb_qindex_map = sb_qmap
+        if seg_sb_map is not None:
+            # expand the per-SB segment choice to per-mi targets
+            tgt = np.zeros((self.mi_rows, self.mi_cols), np.int8)
+            for sy in range(seg_sb_map.shape[0]):
+                for sx in range(seg_sb_map.shape[1]):
+                    tgt[sy * 16:(sy + 1) * 16, sx * 16:(sx + 1) * 16] = \
+                        seg_sb_map[sy, sx]
+            tw.seg_target = tgt
+            tw.seg_last_active = len(fr.seg_qdeltas) - 1
+            self._seg_target = tgt
+        else:
+            self._seg_target = None
+            tw.sb_qindex_map = sb_qmap
         tw.coeff_writer = CoeffWriter(tw, self.mi_rows, self.mi_cols,
                                       seq.subsampling_x, seq.subsampling_y)
         sign_bias = np.zeros(8, bool)
@@ -343,6 +383,7 @@ class Av1Encoder:
                   and not seq.use_128x128_superblock
                   and n_tiles == 1 and not fr.using_qmatrix
                   and self.noise_norm_strength == 0
+                  and fr.seg_qdeltas is None
                   and os.environ.get("SVT_TPU_HOST_MD") != "1")
         use_device_inter = dev_ok and not fr.frame_is_intra and bool(ref_planes)
 
@@ -614,6 +655,9 @@ class Av1Encoder:
                 tw_t.sb_qindex_map = tw.sb_qindex_map[:, s0:s1]
             if tw.cdef_fb_map is not None:
                 tw_t.cdef_fb_map = tw.cdef_fb_map[:, c0 >> 4 : (c1 + 15) >> 4]
+            if tw.seg_target is not None:
+                tw_t.seg_target = tw.seg_target[:, c0:c1]
+                tw_t.seg_last_active = tw.seg_last_active
             tw_t.lr_infos = tw.lr_infos
             tw_t.lr_mi_col0 = c0
             for node, r, c in st["sb_plans"]:

@@ -1,0 +1,111 @@
+"""Segmentation (ALT_Q adaptive quantization): syntax + conformance."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+from mkclip import synth_frame  # noqa: E402
+
+from svt_av1_psyex_tpu.api.encoder import SvtAv1Encoder  # noqa: E402
+from svt_av1_psyex_tpu.bitstream.headers import SequenceConfig  # noqa: E402
+from svt_av1_psyex_tpu.bitstream.tile_writer import _neg_interleave  # noqa: E402
+from svt_av1_psyex_tpu.codec.encoder import Av1Encoder  # noqa: E402
+from svt_av1_psyex_tpu.codec.gop import plan_key, plan_minigop  # noqa: E402
+from svt_av1_psyex_tpu.conformance.dav1d import decode_ivf  # noqa: E402
+from svt_av1_psyex_tpu.utils.ivf import IvfWriter  # noqa: E402
+from svt_av1_psyex_tpu.utils.y4m import VideoFormat  # noqa: E402
+
+
+def _neg_deinterleave(diff, ref, max_n):
+    """Spec 5.11.15 decoder-side inverse (for the round-trip check)."""
+    if ref == 0:
+        return diff
+    if ref >= max_n - 1:
+        return max_n - diff - 1
+    if 2 * ref < max_n:
+        if diff <= 2 * ref:
+            if diff & 1:
+                return ref + ((diff + 1) >> 1)
+            return ref - (diff >> 1)
+        return diff
+    else:
+        if diff <= 2 * (max_n - ref - 1):
+            if diff & 1:
+                return ref + ((diff + 1) >> 1)
+            return ref - (diff >> 1)
+        return max_n - (diff + 1)
+
+
+def test_neg_interleave_roundtrip():
+    for max_n in (2, 4, 8):
+        for ref in range(max_n):
+            for x in range(max_n):
+                coded = _neg_interleave(x, ref, max_n)
+                assert 0 <= coded < max_n, (x, ref, max_n, coded)
+                assert _neg_deinterleave(coded, ref, max_n) == x, \
+                    (x, ref, max_n, coded)
+
+
+def test_seg_aq_gop_bitexact(tmp_path):
+    w, h = 128, 96
+    fmt = VideoFormat(w, h)
+    frames = [synth_frame(fmt, t, "blobs") for t in range(5)]
+    enc = Av1Encoder(SequenceConfig(width=w, height=h), preset=8,
+                     seg_aq=True)
+    plans = [plan_key(0)] + plan_minigop(0, 1, 4, future_slot=1)
+    path = tmp_path / "seg.ivf"
+    recons = {}
+    with open(path, "wb") as fh:
+        wr = IvfWriter(fh, w, h)
+        n = 0
+        for pl in plans:
+            src = frames[pl.disp_idx] if pl.show_existing_slot is None else None
+            tu = enc.encode_frame(src, 120, plan=pl)
+            wr.write_frame(tu, n)
+            n += 1
+            if pl.show_frame or pl.show_existing_slot is not None:
+                recons[pl.disp_idx] = [q.copy() for q in enc.last_recon]
+        wr.close()
+    dec = decode_ivf(path)
+    assert len(dec) == 5
+    for t in range(5):
+        for i in range(3):
+            dh, dw = dec[t][i].shape
+            assert np.array_equal(dec[t][i], recons[t][i][:dh, :dw]), (t, i)
+
+
+def test_aq_mode_1_via_api(tmp_path):
+    fmt = VideoFormat(96, 64)
+    frames = [synth_frame(fmt, t, "blobs") for t in range(3)]
+    h = SvtAv1Encoder()
+    h.config.source_width = 96
+    h.config.source_height = 64
+    h.config.enc_mode = 8
+    h.config.crf = 30
+    h.config.enable_adaptive_quantization = 1
+    h.config.enable_variance_boost = False
+    h.config.recon_enabled = True
+    h.init()
+    path = tmp_path / "aq1.ivf"
+    recons = {}
+    with open(path, "wb") as fh:
+        wr = IvfWriter(fh, 96, 64)
+        n = 0
+        for t, f in enumerate(frames):
+            h.send_picture(f, t)
+        h.send_picture(None)
+        while (pk := h.get_packet()) is not None:
+            if not pk.is_eos:
+                wr.write_frame(pk.data, n)
+                n += 1
+        while (rc := h.get_recon()) is not None:
+            recons[rc.pts] = rc.planes
+        wr.close()
+    dec = decode_ivf(path)
+    assert len(dec) == 3
+    for t in range(3):
+        for i in range(3):
+            dh, dw = dec[t][i].shape
+            assert np.array_equal(dec[t][i], recons[t][i][:dh, :dw]), (t, i)
