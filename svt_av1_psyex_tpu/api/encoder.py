@@ -85,9 +85,17 @@ class SvtAv1Encoder:
             warnings.warn(
                 "parameters accepted but not yet honored: " + ", ".join(pend),
                 stacklevel=2)
+        # EB_YUV420 = 1, EB_YUV422 = 2, EB_YUV444 = 3
+        if cfg.encoder_color_format == 3:
+            prof, ssx, ssy = 1, 0, 0
+        elif cfg.encoder_color_format == 2:
+            raise SvtAv1Error("4:2:2 (profile 2) not supported yet")
+        else:
+            prof, ssx, ssy = 0, 1, 1
         self._seq = SequenceConfig(
             width=cfg.source_width,
             height=cfg.source_height,
+            profile=prof, subsampling_x=ssx, subsampling_y=ssy,
             bit_depth=cfg.encoder_bit_depth,
             color_primaries=0 if cfg.color_primaries == 2 else cfg.color_primaries,
             transfer_characteristics=0 if cfg.transfer_characteristics == 2 else cfg.transfer_characteristics,

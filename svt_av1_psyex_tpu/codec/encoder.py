@@ -99,6 +99,11 @@ class Av1Encoder:
                  max_32_tx_size: bool = False, seg_aq: bool = False):
         self.seq = seq
         self.preset = preset
+        # 4:4:4 (profile 1): the CDEF search/filter backends are still
+        # 4:2:0-shaped — CDEF is signaled off for non-subsampled chroma
+        # (DLF/restoration/grain are subsampling-generic)
+        if not (seq.subsampling_x and seq.subsampling_y) and not seq.mono_chrome:
+            seq.enable_cdef = False
         # loop restoration defaults on at the slower presets (the
         # reference enables it for enc_mode <= M6-class configs)
         if enable_restoration is None:
@@ -384,6 +389,8 @@ class Av1Encoder:
                   and n_tiles == 1 and not fr.using_qmatrix
                   and self.noise_norm_strength == 0
                   and fr.seg_qdeltas is None
+                  and (seq.mono_chrome
+                       or (seq.subsampling_x and seq.subsampling_y))
                   and os.environ.get("SVT_TPU_HOST_MD") != "1")
         use_device_inter = dev_ok and not fr.frame_is_intra and bool(ref_planes)
 

@@ -260,8 +260,13 @@ class ModeDecision:
 
         part_rates = self._partition_rates(r, c, bsize, bw4, has_rows, has_cols)
 
+        # 4:4:4: 64-px blocks would need 64-class chroma transforms, which
+        # the spec clamps to tiled 32x32 units; until chroma tx tiling
+        # lands, split 64-blocks so every chroma tx fits one unit
+        no_leaf = (self.pctx[1].ss_x == 0 and len(self.pctx) > 1
+                   and bsize >= 12)  # B64X64+
         best = None
-        if inside:
+        if inside and not no_leaf:
             st = self._save(r, c, bsize)
             j_none, leaf = self._encode_block_rd(r, c, bsize)
             j_none += (part_rates.get(Partition.NONE, 0) * self.rdmult) >> 9
@@ -271,7 +276,7 @@ class ModeDecision:
 
         # HORZ / VERT (rectangular) — blocks >= 16x16; at the bottom/right
         # edge these code only the inside child (legal partition choice)
-        if bsize >= 6 and self.try_rect:  # B16X16
+        if bsize >= 6 and self.try_rect and not no_leaf:  # B16X16
             h4, w4 = bh4 // 2, bw4 // 2
             if c + bw4 <= self.mi_cols and r + h4 <= self.mi_rows:
                 best = self._try_rect(Partition.HORZ, r, c, bsize, part_rates,
