@@ -85,7 +85,8 @@ class SvtAv1Encoder:
             warnings.warn(
                 "parameters accepted but not yet honored: " + ", ".join(pend),
                 stacklevel=2)
-        # EB_YUV420 = 1, EB_YUV422 = 2, EB_YUV444 = 3
+        # EB_YUV400 = 0, EB_YUV420 = 1, EB_YUV422 = 2, EB_YUV444 = 3
+        mono = cfg.encoder_color_format == 0
         if cfg.encoder_color_format == 3:
             prof, ssx, ssy = 1, 0, 0
         elif cfg.encoder_color_format == 2:
@@ -96,6 +97,7 @@ class SvtAv1Encoder:
             width=cfg.source_width,
             height=cfg.source_height,
             profile=prof, subsampling_x=ssx, subsampling_y=ssy,
+            mono_chrome=mono,
             bit_depth=cfg.encoder_bit_depth,
             color_primaries=0 if cfg.color_primaries == 2 else cfg.color_primaries,
             transfer_characteristics=0 if cfg.transfer_characteristics == 2 else cfg.transfer_characteristics,

@@ -70,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
     cfg.source_height = fmt.height
     cfg.encoder_bit_depth = fmt.bit_depth
     cfg.encoder_color_format = {"420": 1, "422": 2, "444": 3,
-                                "400": 1}[fmt.subsampling]
+                                "400": 0}[fmt.subsampling]
     cfg.rate_control_mode = args.rc
     cfg.target_bit_rate = args.tbr
     cfg.pred_structure = args.pred_struct

@@ -566,5 +566,6 @@ def _write_cdef_params(w: BitWriter, seq: SequenceConfig, fr: FrameConfig) -> No
     for i in range(1 << fr.cdef_bits):
         w.f(fr.cdef_y_strengths[i] // 4, 4)
         w.f(fr.cdef_y_strengths[i] % 4, 2)
-        w.f(fr.cdef_uv_strengths[i] // 4, 4)
-        w.f(fr.cdef_uv_strengths[i] % 4, 2)
+        if seq.num_planes > 1:
+            w.f(fr.cdef_uv_strengths[i] // 4, 4)
+            w.f(fr.cdef_uv_strengths[i] % 4, 2)

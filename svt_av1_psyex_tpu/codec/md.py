@@ -263,7 +263,7 @@ class ModeDecision:
         # 4:4:4: 64-px blocks would need 64-class chroma transforms, which
         # the spec clamps to tiled 32x32 units; until chroma tx tiling
         # lands, split 64-blocks so every chroma tx fits one unit
-        no_leaf = (self.pctx[1].ss_x == 0 and len(self.pctx) > 1
+        no_leaf = (len(self.pctx) > 1 and self.pctx[1].ss_x == 0
                    and bsize >= 12)  # B64X64+
         best = None
         if inside and not no_leaf:
