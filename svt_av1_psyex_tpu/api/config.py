@@ -24,13 +24,11 @@ _PENDING_FIELDS = frozenset({
     "spy_rd", "sharp_tx",
     "hbd_mds", "complex_hvs", "adaptive_film_grain",
     "noise_adaptive_filtering",
-    "kf_tf_strength",
-    "low_q_taper", "lossless",
+    "lossless",
     "avif", "enable_mfmv", "enable_overlays",
     "screen_content_mode",
     "film_grain_denoise_apply",
     "superres_mode", "resize_mode", "enable_dg", "startup_mg_size",
-    "look_ahead_distance",
     "tile_rows",
 })
 
@@ -97,12 +95,12 @@ class EncoderConfig:
     noise_adaptive_filtering: bool = False  # [pending]
     noise_norm_strength: int = 0  # 0 off, 1-4 AC revival aggressiveness
     tf_strength: int = 1  # alt-ref TF decay scale (0 weakest..4 strongest)
-    kf_tf_strength: int = 1  # [pending]
+    kf_tf_strength: int = 1  # keyframe TF strength (0 off .. 4)
     qp_scale_compress_strength: float = 1.0  # TPL qstep-ratio compression
     max_32_tx_size: bool = False  # [pending]
     min_chroma_qm_level: int = 8
     max_chroma_qm_level: int = 15
-    low_q_taper: bool = False  # [pending]
+    low_q_taper: bool = False  # dampen VB q drops at low q (CRF)
     lossless: bool = False  # [pending]
     avif: bool = False  # [pending]
     extended_crf_qindex_offset: int = 0  # [pending]
@@ -134,7 +132,7 @@ class EncoderConfig:
     startup_mg_size: int = 0  # [pending]
     enable_tpl_la: int = 1  # TPL lookahead q ladder (codec/tpl.py)
     scene_change_detection: bool = True  # keyframe at cuts (codec/scd.py)
-    look_ahead_distance: int = -1  # auto [pending]
+    look_ahead_distance: int = -1  # TPL lookahead window (-1 auto)
 
     # ---- color description ----
     color_primaries: int = 2

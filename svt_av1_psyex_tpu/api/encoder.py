@@ -157,7 +157,9 @@ class SvtAv1Encoder:
                 if cfg.enable_qm else None),
             noise_norm_strength=cfg.noise_norm_strength,
             max_32_tx_size=bool(cfg.max_32_tx_size),
-            seg_aq=cfg.enable_adaptive_quantization == 1)
+            seg_aq=cfg.enable_adaptive_quantization == 1,
+            low_q_taper=bool(cfg.low_q_taper)
+            and cfg.rate_control_mode == 0)
         self._initialized = True
 
     def stream_header(self) -> bytes:
@@ -259,6 +261,15 @@ class SvtAv1Encoder:
             disp0 = self._in_q[0][1]
             if self._in_q[0][2] or self._keyframe_due(disp0):
                 planes, pts, _ = self._in_q.popleft()
+                if (self.config.enable_tf and self.config.kf_tf_strength > 0
+                        and self.config.enc_mode <= 9 and self._in_q):
+                    from ..codec.tf import temporal_filter
+
+                    nbrs = [p for p, _, _ in list(self._in_q)[:3]]
+                    planes = temporal_filter(
+                        planes, nbrs, self.config.qindex,
+                        self.config.encoder_bit_depth,
+                        strength=self.config.kf_tf_strength)
                 if self._rc:
                     q = self._rc.pick_qindex(True, 0,
                                               complexity=self._fp_w(pts))
@@ -267,8 +278,10 @@ class SvtAv1Encoder:
                     if self._tpl_on():
                         from ..codec.tpl import run_tpl, tpl_frame_qindex
 
+                        la = self.config.look_ahead_distance
+                        la = 11 if la < 0 else min(la, 32)
                         look = [planes[0]] + [p[0] for p, _, _ in
-                                              list(self._in_q)[:11]]
+                                              list(self._in_q)[:la]]
                         tpl = run_tpl(look, q,
                                       self.config.encoder_bit_depth)
                         q = tpl_frame_qindex(
@@ -328,7 +341,9 @@ class SvtAv1Encoder:
                 from ..codec.tpl import run_tpl, tpl_frame_qindex
 
                 ordered = [srcs[d][0] for d in sorted(srcs)]
-                look = ordered + [p[0] for p, _, _ in list(self._in_q)[:8]]
+                la = self.config.look_ahead_distance
+                la = 8 if la < 0 else min(la, 32)
+                look = ordered + [p[0] for p, _, _ in list(self._in_q)[:la]]
                 tpl = run_tpl(look, self.config.qindex,
                               self.config.encoder_bit_depth)
                 hl = max(length.bit_length() - 1, 1)  # 4 -> 2 layers

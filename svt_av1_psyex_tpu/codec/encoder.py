@@ -96,7 +96,8 @@ class Av1Encoder:
                  enable_restoration: bool | None = None,
                  tile_cols_log2: int = 0, film_grain: int = 0,
                  qm: tuple | None = None, noise_norm_strength: int = 0,
-                 max_32_tx_size: bool = False, seg_aq: bool = False):
+                 max_32_tx_size: bool = False, seg_aq: bool = False,
+                 low_q_taper: bool = False):
         self.seq = seq
         self.preset = preset
         # 4:4:4 (profile 1): the CDEF search/filter backends are still
@@ -130,6 +131,8 @@ class Av1Encoder:
         # segmentation-based adaptive quantization (aq-mode 1 analog):
         # variance-quartile segments with ALT_Q deltas instead of delta-q
         self.seg_aq = bool(seg_aq)
+        # dampen variance-boost q drops at very low q (CRF only)
+        self.low_q_taper = bool(low_q_taper)
         # psy-rd acts whenever set and tune is not PSNR (enc_settings.c:1270)
         self.psy_rd = psy_rd if tune != 1 else 0.0
         self.enable_dlf = enable_dlf
@@ -254,6 +257,10 @@ class Av1Encoder:
                 luma, base_q_idx, self.vb_strength, self.vb_octile,
                 self.vb_curve, seq.bit_depth)
             fr.base_q_idx = new_base
+            if self.low_q_taper and sb_qmap is not None:
+                from .psy import low_q_taper as _taper
+
+                sb_qmap = _taper(sb_qmap, base_q_idx)
             if np.any(sb_qmap != new_base):
                 fr.delta_q_present = True
                 fr.delta_q_res = res

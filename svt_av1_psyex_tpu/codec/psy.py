@@ -133,3 +133,24 @@ def variance_adjust_qp(luma_aligned: np.ndarray, base_q_idx: int, strength: int,
                         qmap)
         qmap = np.clip(qmap, 1, 255)
     return new_base, qmap.astype(np.int32), res
+
+
+def low_q_taper(sb_qmap, scs_qindex: int):
+    """Dampen variance-boost q drops at very low q (lowq_taper,
+    rc_process.c:1721): below qindex 44 the boost is scaled back by a
+    quadratic dampener so near-lossless SBs don't over-spend."""
+    import numpy as np
+
+    thr = min(44, int(scs_qindex))
+    out = np.asarray(sb_qmap).copy()
+    it = np.nditer(out, flags=["multi_index"])
+    for v in it:
+        q = int(v)
+        if q < thr and q < scs_qindex:
+            boost = scs_qindex - q
+            beyond = boost if thr == scs_qindex else thr - q
+            before = boost - beyond
+            x = 1.0 - q / thr if thr else 0.0
+            damp = ((-0.3 * x * x + x) / x) if x > 0 else 1.0
+            out[it.multi_index] = scs_qindex - int(before + beyond * damp)
+    return out
