@@ -18,11 +18,10 @@ from dataclasses import dataclass, field, fields
 # Shrinks as consumers land; SvtAv1Encoder.init warns when a user sets one.
 _PENDING_FIELDS = frozenset({
     "sframe_dist", "sframe_mode", "use_qp_file",
-    "max_bit_rate", "vbv_bufsize", "over_shoot_pct", "under_shoot_pct",
     "recode_loop", "vbr_bias_pct", "vbr_min_section_pct",
     "vbr_max_section_pct",
     "spy_rd", "sharp_tx",
-    "hbd_mds", "complex_hvs", "adaptive_film_grain",
+    "hbd_mds", "complex_hvs",
     "noise_adaptive_filtering",
     "lossless",
     "avif", "enable_mfmv", "enable_overlays",

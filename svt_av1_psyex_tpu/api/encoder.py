@@ -140,7 +140,11 @@ class SvtAv1Encoder:
                                    min_qindex=cfg.min_qp_allowed * 4,
                                    max_qindex=max(cfg.max_qp_allowed * 4, 1),
                                    keyint=(60 if keyint == -2 else keyint),
-                                   low_delay=cfg.pred_structure == 1)
+                                   low_delay=cfg.pred_structure == 1,
+                                   vbv_bufsize=cfg.vbv_bufsize,
+                                   over_shoot_pct=cfg.over_shoot_pct,
+                                   under_shoot_pct=cfg.under_shoot_pct,
+                                   max_bit_rate=cfg.max_bit_rate)
         self._enc = Av1Encoder(
             self._seq, preset=cfg.enc_mode,
             enable_variance_boost=cfg.enable_variance_boost,
@@ -159,7 +163,8 @@ class SvtAv1Encoder:
             max_32_tx_size=bool(cfg.max_32_tx_size),
             seg_aq=cfg.enable_adaptive_quantization == 1,
             low_q_taper=bool(cfg.low_q_taper)
-            and cfg.rate_control_mode == 0)
+            and cfg.rate_control_mode == 0,
+            adaptive_film_grain=bool(cfg.adaptive_film_grain))
         self._initialized = True
 
     def stream_header(self) -> bytes:

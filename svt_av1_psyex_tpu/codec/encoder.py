@@ -97,7 +97,7 @@ class Av1Encoder:
                  tile_cols_log2: int = 0, film_grain: int = 0,
                  qm: tuple | None = None, noise_norm_strength: int = 0,
                  max_32_tx_size: bool = False, seg_aq: bool = False,
-                 low_q_taper: bool = False):
+                 low_q_taper: bool = False, adaptive_film_grain: bool = True):
         self.seq = seq
         self.preset = preset
         # 4:4:4 (profile 1): the CDEF search/filter backends are still
@@ -119,6 +119,7 @@ class Av1Encoder:
         # film grain synthesis strength (--film-grain 0..50): display-side
         # grain parameters signaled per frame; refs stay pre-grain
         self.film_grain = int(film_grain)
+        self.adaptive_film_grain = bool(adaptive_film_grain)
         seq.film_grain_params_present = self.film_grain > 0
         # quantizer matrices: (min_qm, max_qm, min_chroma_qm,
         # max_chroma_qm) level ranges interpolated by frame q
@@ -267,7 +268,14 @@ class Av1Encoder:
             else:
                 sb_qmap = None
         if self.film_grain > 0:
-            fr.film_grain = self._film_grain_params(plan.disp_idx)
+            noise = None
+            if self.adaptive_film_grain and planes is not None:
+                from .tf import estimate_noise_mad
+
+                noise = estimate_noise_mad(
+                    np.asarray(planes[0]).astype(np.int64)
+                    >> (seq.bit_depth - 8))
+            fr.film_grain = self._film_grain_params(plan.disp_idx, noise)
         if self.qm is not None:
             from ..ops.quant import get_qmlevel
 
@@ -688,7 +696,7 @@ class Av1Encoder:
             out += p
         return out
 
-    def _film_grain_params(self, disp_idx: int):
+    def _film_grain_params(self, disp_idx: int, noise: float | None = None):
         """Per-frame grain parameters from the configured strength
         (SVT --film-grain ladder reduced to a flat scaling curve with
         lag-1 AR; seed varies per display frame like fgs_table-less SVT).
@@ -696,6 +704,10 @@ class Av1Encoder:
         from ..ops.film_grain import FilmGrainParams
 
         s = min(self.film_grain * 4, 255)
+        if noise is not None:
+            # adaptive-film-grain: scale the ladder by measured source
+            # noise so synthetic grain tracks the denoised content
+            s = int(np.clip(s * min(noise / 2.0, 2.0), 1, 255))
         return FilmGrainParams(
             apply_grain=True,
             grain_seed=(7391 + 3 * disp_idx) & 0xFFFF,

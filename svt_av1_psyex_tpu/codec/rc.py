@@ -24,7 +24,9 @@ class RateControl:
                  target_bps: int, mode: int, bit_depth: int = 8,
                  start_qindex: int = 120, min_qindex: int = 1,
                  max_qindex: int = 255, keyint: int = -1,
-                 low_delay: bool = False):
+                 low_delay: bool = False, vbv_bufsize: int = 0,
+                 over_shoot_pct: int = 25, under_shoot_pct: int = 25,
+                 max_bit_rate: int = 0):
         self.pixels = width * height
         self.fps = max(fps, 1e-6)
         self.target_bps = target_bps
@@ -37,7 +39,14 @@ class RateControl:
         self._k = {}
         self._q = start_qindex
         self.buffer = 0.0  # bits ahead (+) / behind (-) of target
-        self.buf_cap = target_bps  # one second window
+        # virtual buffer window: --vbv-bufsize when given, else 1 second
+        self.buf_cap = vbv_bufsize if vbv_bufsize > 0 else target_bps
+        # overshoot/undershoot tolerance scales the feedback clamps
+        self.over_pct = max(over_shoot_pct, 1) / 100.0
+        self.under_pct = max(under_shoot_pct, 1) / 100.0
+        # --mbr: hard per-frame target ceiling (capped-CRF/VBR shape)
+        self.max_frame_bits = (max_bit_rate / self.fps
+                               if max_bit_rate > 0 else 0.0)
         self.norm = self._gop_norm(keyint, low_delay)
 
     @staticmethod
@@ -67,10 +76,16 @@ class RateControl:
         target = self._weighted_target(cat) * complexity
         # buffer = accumulated savings; negative (overspent) shrinks targets
         if self.mode == 2:  # CBR: hard pull toward center
-            adj = 1.0 + max(-0.5, min(0.5, self.buffer / max(self.buf_cap, 1)))
+            adj = 1.0 + max(-2 * self.under_pct,
+                            min(2 * self.over_pct,
+                                self.buffer / max(self.buf_cap, 1)))
         else:  # VBR: gentle long-run correction
-            adj = 1.0 + max(-0.25, min(0.25, self.buffer / (4 * max(self.buf_cap, 1))))
+            adj = 1.0 + max(-self.under_pct,
+                            min(self.over_pct,
+                                self.buffer / (4 * max(self.buf_cap, 1))))
         target *= adj
+        if self.max_frame_bits > 0:
+            target = min(target, self.max_frame_bits)
         k = self._k.get(cat)
         if k is None:
             # bootstrap from the running q
