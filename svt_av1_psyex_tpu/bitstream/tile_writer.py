@@ -414,6 +414,33 @@ class TileWriter:
             self._write_block(node.children[0].leaf, r, c, sub)
             if c + hw4 < self.mi_cols:
                 self._write_block(node.children[1].leaf, r, c + hw4, sub)
+        elif p in (Partition.HORZ_A, Partition.HORZ_B, Partition.VERT_A,
+                   Partition.VERT_B):
+            # AB layouts (spec decode_partition): two split-squares plus
+            # one half rect, in coding order
+            from ..codec.constants import subsize as _subsize
+
+            sq = _subsize(Partition.SPLIT, bsize)
+            if p == Partition.HORZ_A:
+                coords = [(r, c, sq), (r, c + hw4, sq), (r + hh4, c, sub)]
+            elif p == Partition.HORZ_B:
+                coords = [(r, c, sub), (r + hh4, c, sq),
+                          (r + hh4, c + hw4, sq)]
+            elif p == Partition.VERT_A:
+                coords = [(r, c, sq), (r + hh4, c, sq), (r, c + hw4, sub)]
+            else:  # VERT_B
+                coords = [(r, c, sub), (r, c + hw4, sq),
+                          (r + hh4, c + hw4, sq)]
+            for child, (rr, cc, sb) in zip(node.children, coords):
+                self._write_block(child.leaf, rr, cc, sb)
+        elif p == Partition.HORZ_4:
+            q4 = bh4 // 4
+            for i, child in enumerate(node.children):
+                self._write_block(child.leaf, r + i * q4, c, sub)
+        elif p == Partition.VERT_4:
+            q4 = bw4 // 4
+            for i, child in enumerate(node.children):
+                self._write_block(child.leaf, r, c + i * q4, sub)
         else:
             raise NotImplementedError(f"partition {p}")
 

@@ -50,8 +50,10 @@ from .constants import (
 
 # tx scale (spec av1_get_tx_scale): 0 for <=16, 1 for 32-class, 2 for 64-class
 def tx_log_scale(tx_size: int) -> int:
-    up = tx_size_sqr_up(tx_size)
-    return 2 if up == 4 else (1 if up == 3 else 0)
+    """Dequant shift (av1_get_tx_scale): AREA-based, not square-up-based —
+    they differ for 32x8/8x32 (0 not 1) and 64x16/16x64 (1 not 2)."""
+    pels = int(TX_W[tx_size]) * int(TX_H[tx_size])
+    return int(pels > 256) + int(pels > 1024)
 
 
 # spec intra_mode_to_tx_type (chroma tx type derivation)
@@ -368,6 +370,12 @@ class Av1Encoder:
             ss_y = 0 if i == 0 else seq.subsampling_y
             aw = self.aligned_w >> ss_x
             ah = self.aligned_h >> ss_y
+            # chroma margin: sub-4-row/col blocks (4-way partitions) carry
+            # 4-px-min chroma that can overhang the aligned grid at the
+            # bottom/right edge; the decoder's padded buffers absorb this
+            if i > 0:
+                aw += 4
+                ah += 4
             src = self._pad_plane(np.asarray(p), aw, ah).astype(np.int32)
             pctx.append(_PlaneCtx(src=src, recon=np.zeros((ah, aw), np.int32),
                                   ss_x=ss_x, ss_y=ss_y))
@@ -436,6 +444,7 @@ class Av1Encoder:
                              angle_deltas=self.preset <= 9,
                              ref_planes=ref_planes,
                              try_rect=self.preset <= 8,
+                             try_ext=self.preset <= 5,
                              cdfs=cdfs.clone(), me_field=me_f,
                              psy_factor=psy_factor,
                              filter_intra=seq.enable_filter_intra,

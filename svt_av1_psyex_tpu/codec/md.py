@@ -93,11 +93,12 @@ class ModeDecision:
     def __init__(self, seq, fr, pctx: list, mi_rows: int, mi_cols: int,
                  rdmult: int, min_bsize: int, n_full_rd: int = 2,
                  angle_deltas: bool = False, ref_planes: list | None = None,
-                 try_rect: bool = False, cdfs: FrameCdfs | None = None,
+                 try_rect: bool = False, try_ext: bool = False,
+                 cdfs: FrameCdfs | None = None,
                  me_field=None, psy_factor: float = 0.0,
                  filter_intra: bool = False, cfl: bool = False,
                  tile_x_off: int = 0, noise_norm: int = 0,
-                 max_32_tx: bool = False):
+                 max_32_tx: bool = False, try_4way: bool = False):
         # layer-modulated psy-rd strength (0 = off); adds the SA8D energy
         # delta to every txb's distortion (full_loop.c:2285-2536 hook)
         self.psy_factor = psy_factor
@@ -108,11 +109,15 @@ class ModeDecision:
         self.tile_x_off = tile_x_off
         # PSYEX noise normalization strength (full_loop.c:1467)
         self.noise_norm = noise_norm
+        # 4-way ext partitions: keyframe-exact but inter still desyncs
+        # (round-3 item); AB shapes are governed by try_ext alone
+        self.try_4way = try_4way
         # --max-32-tx-size: forbid 64-class transforms (intra tx depth
         # forced to split; needs TX_MODE_SELECT)
         self.max_32_tx = max_32_tx
         self.angle_deltas = angle_deltas
         self.try_rect = try_rect
+        self.try_ext = try_ext  # AB + 4-way partitions
         # inter: padded reference planes (LAST) + MVP mi-state
         self.ref_planes = ref_planes
         # device full-pel motion field (device.me.FrameMotionField);
@@ -284,6 +289,47 @@ class ModeDecision:
             if r + bh4 <= self.mi_rows and c + w4 <= self.mi_cols:
                 best = self._try_rect(Partition.VERT, r, c, bsize, part_rates,
                                       ((r, c), (r, c + w4)), best)
+        # extended partitions (AB + 4-way, spec decode_partition) at the
+        # slowest presets; square bsize >= 16x16, fully inside only
+        if self.try_ext and bsize >= 6 and inside and not no_leaf:
+            h4, w4 = bh4 // 2, bw4 // 2
+            sq = subsize(Partition.SPLIT, bsize)
+            rh = subsize(Partition.HORZ, bsize)
+            rv = subsize(Partition.VERT, bsize)
+            best = self._try_multi(Partition.HORZ_A, r, c, bsize, part_rates,
+                                   [(r, c, sq), (r, c + w4, sq),
+                                    (r + h4, c, rh)], best)
+            best = self._try_multi(Partition.HORZ_B, r, c, bsize, part_rates,
+                                   [(r, c, rh), (r + h4, c, sq),
+                                    (r + h4, c + w4, sq)], best)
+            best = self._try_multi(Partition.VERT_A, r, c, bsize, part_rates,
+                                   [(r, c, sq), (r + h4, c, sq),
+                                    (r, c + w4, rv)], best)
+            best = self._try_multi(Partition.VERT_B, r, c, bsize, part_rates,
+                                   [(r, c, rv), (r, c + w4, sq),
+                                    (r + h4, c + w4, sq)], best)
+            # 4-way children of 16x16 are 4px on one axis; with chroma
+            # subsampling on that axis they'd need the spec's sub-8x8
+            # chroma-pair coding (not implemented yet) — gate to formats
+            # where every chroma tx stays >= 4px.
+            # try_4way default False: intra-in-inter children of 4-way
+            # shapes still desync vs dav1d (keyframes are bit-exact) —
+            # see tests/test_ext_partitions.py xfails; round-3 item.
+            mono = self.seq.mono_chrome
+            s4h = subsize(Partition.HORZ_4, bsize)
+            if (self.try_4way and s4h >= 0 and bh4 >= 4
+                    and (bh4 > 4 or mono or self.seq.subsampling_y == 0)):
+                q4 = bh4 // 4
+                best = self._try_multi(
+                    Partition.HORZ_4, r, c, bsize, part_rates,
+                    [(r + i * q4, c, s4h) for i in range(4)], best)
+            s4v = subsize(Partition.VERT_4, bsize)
+            if (self.try_4way and s4v >= 0 and bw4 >= 4
+                    and (bw4 > 4 or mono or self.seq.subsampling_x == 0)):
+                q4 = bw4 // 4
+                best = self._try_multi(
+                    Partition.VERT_4, r, c, bsize, part_rates,
+                    [(r, c + i * q4, s4v) for i in range(4)], best)
 
         if (not inside) or can_split:
             st = self._save(r, c, bsize)
@@ -337,6 +383,34 @@ class ModeDecision:
         self._restore(st)
         return best
 
+    def _try_multi(self, part, r, c, bsize, part_rates, blocks, best):
+        """RD one extended partition: blocks = [(rr, cc, sub_bsize)]
+        children in coding order (spec decode_partition AB/4-way
+        layouts)."""
+        if part not in part_rates:
+            return best
+        for rr, cc, sb in blocks:
+            sw4 = int(BLOCK_W[sb]) >> 2
+            sh4 = int(BLOCK_H[sb]) >> 2
+            if rr + sh4 > self.mi_rows or cc + sw4 > self.mi_cols:
+                return best  # ext partitions only fully inside
+        st = self._save(r, c, bsize)
+        j = (part_rates[part] * self.rdmult) >> 9
+        children = []
+        self.cur_partition = part  # children derive availability from it
+        try:
+            for rr, cc, sb in blocks:
+                jj, leaf = self._encode_block_rd(rr, cc, sb)
+                j += jj
+                children.append(PartitionNode(Partition.NONE, leaf=leaf))
+        finally:
+            self.cur_partition = Partition.NONE
+        if best is None or j < best[0]:
+            best = (j, PartitionNode(part, children=children),
+                    self._save(r, c, bsize))
+        self._restore(st)
+        return best
+
     def _partition_rates(self, r, c, bsize, bw4, has_rows, has_cols) -> dict:
         if bw4 <= 1:
             return {}
@@ -348,8 +422,14 @@ class ModeDecision:
         ctx = (left_bit * 2 + above_bit) + bsl_ctx * 4
         if has_rows and has_cols:
             costs = self._part_costs[ctx]
-            return {Partition.NONE: int(costs[0]), Partition.HORZ: int(costs[1]),
-                    Partition.VERT: int(costs[2]), Partition.SPLIT: int(costs[3])}
+            out = {Partition.NONE: int(costs[0]), Partition.HORZ: int(costs[1]),
+                   Partition.VERT: int(costs[2]), Partition.SPLIT: int(costs[3])}
+            if len(costs) >= 10:  # EXT_PARTITION_TYPES alphabet (>= 16x16)
+                for pp in (Partition.HORZ_A, Partition.HORZ_B,
+                           Partition.VERT_A, Partition.VERT_B,
+                           Partition.HORZ_4, Partition.VERT_4):
+                    out[pp] = int(costs[int(pp)])
+            return out
         if not has_rows and not has_cols:
             return {Partition.SPLIT: 0}
         pvals = self.cdfs.partition[0]
@@ -1331,12 +1411,18 @@ class ModeDecision:
         # (libaom's xr/yr > 0 with the TU offset folded in)
         right_avail = (c + ((col_off + tw4) << ss_x)) < self.mi_cols
         bottom_avail = (r + ((row_off + th4) << ss_y)) < self.mi_rows
+        # square children of VERT_A/VERT_B use the orders_vert availability
+        # tables (intra_prediction.c get_has_tr_table/get_has_bl_table)
+        vp = getattr(self, "cur_partition", Partition.NONE) in (
+            Partition.VERT_A, Partition.VERT_B)
         tr = intra_ops.intra_has_top_right(bsize, r, c, have_top, right_avail,
                                            tx_size, ss_x, ss_y,
-                                           row_off=row_off, col_off=col_off)
+                                           row_off=row_off, col_off=col_off,
+                                           vert_part=vp)
         bl = intra_ops.intra_has_bottom_left(bsize, r, c, bottom_avail, have_left,
                                              tx_size, ss_x, ss_y,
-                                             row_off=row_off, col_off=col_off)
+                                             row_off=row_off, col_off=col_off,
+                                             vert_part=vp)
         return tr, bl
 
     def _has_chroma(self, r, c, bw4, bh4) -> bool:

@@ -171,12 +171,20 @@ def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
     left_avail = mi_col > 0
     max_row_offset = 0
     max_col_offset = 0
-    row_adj = 0  # blocks are >= 8x8
-    col_adj = 0
+    # sub-8x8 blocks at odd mi positions shift the outer-scan offsets
+    # (adaptive_mv_pred.c:645-671 row_adj/col_adj + the n8<2 clamp to -4)
+    row_adj = 1 if (n8_h < 2 and (mi_row & 1)) else 0
+    col_adj = 1 if (n8_w < 2 and (mi_col & 1)) else 0
     if up_avail:
-        max_row_offset = max(-(MVREF_ROWS << 1) + row_adj, -mi_row)
+        max_row_offset = -(MVREF_ROWS << 1) + row_adj
+        if n8_h < 2:
+            max_row_offset = -(2 << 1) + row_adj
+        max_row_offset = max(max_row_offset, -mi_row)
     if left_avail:
-        max_col_offset = max(-(MVREF_ROWS << 1) + col_adj, -mi_col)
+        max_col_offset = -(MVREF_ROWS << 1) + col_adj
+        if n8_w < 2:
+            max_col_offset = -(2 << 1) + col_adj
+        max_col_offset = max(max_col_offset, -mi_col)
 
     counts = {"row_match": 0, "col_match": 0, "newmv": 0}
     processed = {"rows": 0, "cols": 0}
@@ -214,12 +222,18 @@ def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
 
     def scan_row(row_offset: int, count_newmv: bool = True):
         end_mi = min(n8_w, mi.mi_cols - mi_col, 16)
+        # distant rows read one column right, except 4-wide blocks at odd
+        # mi_col (adaptive_mv_pred.c scan_row_mbmi:135-139)
         col_off = 1 if abs(row_offset) > 1 else 0
+        if col_off and (mi_col & 1) and n8_w < 2:
+            col_off = 0
         use_step_16 = n8_w >= 16
         i = 0
         rr = mi_row + row_offset
         while i < end_mi:
             cc = mi_col + col_off + i
+            if cc >= mi.mi_cols:  # spec is_inside break
+                break
             cand_bsize = int(mi.bsize[rr, cc])
             cand_w = int(BLOCK_W[cand_bsize]) >> 2
             length = min(n8_w, cand_w)
@@ -238,12 +252,18 @@ def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
 
     def scan_col(col_offset: int, count_newmv: bool = True):
         end_mi = min(n8_h, mi.mi_rows - mi_row, 16)
+        # mirror of scan_row's odd-position adjustment for 4-tall blocks
+        # (adaptive_mv_pred.c scan_col_mbmi:194-198)
         row_off = 1 if abs(col_offset) > 1 else 0
+        if row_off and (mi_row & 1) and n8_h < 2:
+            row_off = 0
         use_step_16 = n8_h >= 16
         i = 0
         cc = mi_col + col_offset
         while i < end_mi:
             rr = mi_row + row_off + i
+            if rr >= mi.mi_rows:  # spec is_inside break
+                break
             cand_bsize = int(mi.bsize[rr, cc])
             cand_h = int(BLOCK_H[cand_bsize]) >> 2
             length = min(n8_h, cand_h)

@@ -382,13 +382,16 @@ def _prep_frame(recon_planes, src_planes, skip_g, mi_rows, mi_cols):
     maskg[:nv8, :nh8] = nonskip
 
     def pad_to(p, hh, ww):
+        # planes may carry a margin beyond the aligned grid; crop first
+        ph, pw = min(p.shape[0], hh), min(p.shape[1], ww)
         out = np.full((hh + 4, ww + 4), CDEF_VERY_LARGE, np.int32)
-        out[2 : 2 + p.shape[0], 2 : 2 + p.shape[1]] = p
+        out[2 : 2 + ph, 2 : 2 + pw] = p[:ph, :pw]
         return out
 
     def src_pad(p, hh, ww):
+        ph, pw = min(p.shape[0], hh), min(p.shape[1], ww)
         out = np.zeros((hh, ww), np.int32)
-        out[: p.shape[0], : p.shape[1]] = p
+        out[:ph, :pw] = p[:ph, :pw]
         return out
 
     pads = tuple(pad_to(p, nv8p * (8 if i == 0 else 4),

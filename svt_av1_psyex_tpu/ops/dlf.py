@@ -379,6 +379,29 @@ def collect_lf_grids(sb_plans, mi_rows: int, mi_cols: int, sb_mi: int):
             walk(node.children[0], r, c, sub)
             if len(node.children) > 1 and c + half < mi_cols:
                 walk(node.children[1], r, c + half, sub)
+        elif node.partition in (Partition.HORZ_A, Partition.HORZ_B,
+                                Partition.VERT_A, Partition.VERT_B):
+            sq = subsize_of(Partition.SPLIT, bsize)
+            if node.partition == Partition.HORZ_A:
+                coords = [(r, c, sq), (r, c + half, sq), (r + half, c, sub)]
+            elif node.partition == Partition.HORZ_B:
+                coords = [(r, c, sub), (r + half, c, sq),
+                          (r + half, c + half, sq)]
+            elif node.partition == Partition.VERT_A:
+                coords = [(r, c, sq), (r + half, c, sq), (r, c + half, sub)]
+            else:
+                coords = [(r, c, sub), (r, c + half, sq),
+                          (r + half, c + half, sq)]
+            for child, (rr, cc, sb) in zip(node.children, coords):
+                walk(child, rr, cc, sb)
+        elif node.partition == Partition.HORZ_4:
+            q4 = max(BLOCK_H[bsize] >> 4, 1)
+            for i, child in enumerate(node.children):
+                walk(child, r + i * q4, c, sub)
+        elif node.partition == Partition.VERT_4:
+            q4 = max(BLOCK_W[bsize] >> 4, 1)
+            for i, child in enumerate(node.children):
+                walk(child, r, c + i * q4, sub)
         else:
             raise NotImplementedError(f"partition {node.partition}")
 

@@ -196,11 +196,14 @@ def dr_predict(p_angle: int, above_full: np.ndarray, left_full: np.ndarray,
 def intra_has_top_right(bsize: int, mi_row: int, mi_col: int, have_top: bool,
                         right_available: bool, tx_size: int,
                         ss_x: int, ss_y: int, sb_mi: int = 16,
-                        row_off: int = 0, col_off: int = 0) -> bool:
+                        row_off: int = 0, col_off: int = 0,
+                        vert_part: bool = False) -> bool:
     """Per-TU top-right availability — mirrors svt_aom_intra_has_top_right
-    (intra_prediction.c:695) for the 64x64-SB, partition NONE/SPLIT case.
+    (intra_prediction.c:695) for the 64x64-SB case.
     row_off/col_off are the TU offsets within the block in plane 4px
-    units (0,0 for whole-block TUs)."""
+    units (0,0 for whole-block TUs). `vert_part` selects the
+    has_tr_vert_* order tables used for square blocks produced by
+    PARTITION_VERT_A/VERT_B (intra_prediction.c:683-692)."""
     from ..codec.constants import BLOCK_H, BLOCK_W, TX_W
 
     if not have_top or not right_available:
@@ -222,14 +225,18 @@ def intra_has_top_right(bsize: int, mi_row: int, mi_col: int, have_top: bool,
     if ((blk_col + 1) << bw_log2) >= sb_mi:
         return False
     idx = (blk_row << (5 - bw_log2)) + blk_col  # MAX_MIB_SIZE_LOG2 = 5
-    t = get(f"has_tr_{int(BLOCK_W[bsize])}x{int(BLOCK_H[bsize])}")
+    w_px, h_px = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+    pre = ("has_tr_vert_" if (vert_part and w_px == h_px and w_px <= 64)
+           else "has_tr_")
+    t = get(f"{pre}{w_px}x{h_px}")
     return bool((int(t[idx // 8]) >> (idx % 8)) & 1)
 
 
 def intra_has_bottom_left(bsize: int, mi_row: int, mi_col: int,
                           bottom_available: bool, have_left: bool, tx_size: int,
                           ss_x: int, ss_y: int, sb_mi: int = 16,
-                          row_off: int = 0, col_off: int = 0) -> bool:
+                          row_off: int = 0, col_off: int = 0,
+                          vert_part: bool = False) -> bool:
     """Mirrors svt_aom_intra_has_bottom_left (intra_prediction.c:950);
     row_off/col_off are TU offsets within the block in plane 4px units."""
     from ..codec.constants import BLOCK_H, BLOCK_W, TX_H
@@ -254,7 +261,10 @@ def intra_has_bottom_left(bsize: int, mi_row: int, mi_col: int,
     if ((blk_row + 1) << bh_log2) >= sb_mi:
         return False
     idx = (blk_row << (5 - bw_log2)) + blk_col
-    t = get(f"has_bl_{int(BLOCK_W[bsize])}x{int(BLOCK_H[bsize])}")
+    w_px, h_px = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+    pre = ("has_bl_vert_" if (vert_part and w_px == h_px and w_px <= 64)
+           else "has_bl_")
+    t = get(f"{pre}{w_px}x{h_px}")
     return bool((int(t[idx // 8]) >> (idx % 8)) & 1)
 
 
