@@ -303,7 +303,9 @@ ALTREF2_FRAME = 6
 ALTREF_FRAME = 7
 
 # spec Size_Group[bsize] (for y_mode cdf context in inter frames)
-SIZE_GROUP = np.array([0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 1, 1, 2, 2, 3, 3])
+# y-mode cdf size groups; NOTE the ext-size tail is 0,0,1,1,2,2 — one
+# group LOWER than the squares of the same long dim (definitions.h:1600)
+SIZE_GROUP = np.array([0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 0, 0, 1, 1, 2, 2])
 
 # Max/smallest dims
 MAX_SB_SIZE = 128

@@ -122,15 +122,21 @@ def test_forced_4way_key_bitexact(tmp_path, monkeypatch, part):
     assert hits[0] > 0, "forced ext partition never evaluated"
 
 
-# KNOWN GAP (round-3): 4-way INTER frames desync vs dav1d — an
-# intra-in-inter child symbol; the search gate try_4way stays off
-# until this passes
-@pytest.mark.xfail(strict=True, reason="4-way inter desync (round-3)")
-@pytest.mark.parametrize("part", [Partition.HORZ_4])
-def test_forced_4way_inter_bitexact(tmp_path, monkeypatch, part):
-    tag = Partition(part).name
-    _force(monkeypatch, part, at_bsize=9)
-    _roundtrip(tmp_path, tag, n=2)
+# HORZ_4 inter became exact once SIZE_GROUP's ext tail was fixed
+# (0,0,1,1,2,2 — one group lower than the same-long-dim squares)
+def test_forced_horz4_inter_bitexact(tmp_path, monkeypatch):
+    hits = _force(monkeypatch, Partition.HORZ_4, at_bsize=9)
+    _roundtrip(tmp_path, "HORZ_4-inter", n=2)
+    assert hits[0] > 0, "forced ext partition never evaluated"
+
+
+# KNOWN GAP (round-3): VERT_4 inter frames — 8x32 NEARESTMV runs
+# reconstruct a different MV than dav1d (MVP stack divergence, no
+# entropy desync); the search gate try_4way stays off until this passes
+@pytest.mark.xfail(strict=False, reason="8x32 MVP stack divergence (round-3)")
+def test_forced_vert4_inter_bitexact(tmp_path, monkeypatch):
+    _force(monkeypatch, Partition.VERT_4, at_bsize=9)
+    _roundtrip(tmp_path, "VERT_4-inter", n=2)
 
 
 def test_forced_ext_at_32(tmp_path, monkeypatch):
