@@ -445,6 +445,7 @@ class Av1Encoder:
                              ref_planes=ref_planes,
                              try_rect=self.preset <= 8,
                              try_ext=self.preset <= 5,
+                             try_4way=self.preset <= 5,
                              cdfs=cdfs.clone(), me_field=me_f,
                              psy_factor=psy_factor,
                              filter_intra=seq.enable_filter_intra,

@@ -132,7 +132,10 @@ def _mvp_has_top_right(mi_row: int, mi_col: int, bs: int, n8_w: int, n8_h: int,
     # derived from position within the enclosing square)
     if n8_w != n8_h:
         is_sec_rect = False
-        if n8_w < n8_h and (mi_col & (n8_h - 1)):
+        # vertical rects: only the child whose RIGHT edge aligns to the
+        # enclosing square is second (VERT_4 gives 0,0,0,1 — libaom
+        # is_sec_rect rule, mi_col + width, not mi_col)
+        if n8_w < n8_h and not ((mi_col + n8_w) & (n8_h - 1)):
             is_sec_rect = True
         if n8_w > n8_h and (mi_row & (n8_w - 1)):
             is_sec_rect = True

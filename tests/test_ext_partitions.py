@@ -122,21 +122,16 @@ def test_forced_4way_key_bitexact(tmp_path, monkeypatch, part):
     assert hits[0] > 0, "forced ext partition never evaluated"
 
 
-# HORZ_4 inter became exact once SIZE_GROUP's ext tail was fixed
-# (0,0,1,1,2,2 — one group lower than the same-long-dim squares)
-def test_forced_horz4_inter_bitexact(tmp_path, monkeypatch):
-    hits = _force(monkeypatch, Partition.HORZ_4, at_bsize=9)
-    _roundtrip(tmp_path, "HORZ_4-inter", n=2)
+# 4-way inter frames: exact after two root-cause fixes — SIZE_GROUP's
+# ext tail (0,0,1,1,2,2, one group lower than same-long-dim squares)
+# and the vertical is_sec_rect rule in the MVP has_top_right
+# (mi_col + width alignment, so VERT_4 children mark 0,0,0,1)
+@pytest.mark.parametrize("part", [Partition.HORZ_4, Partition.VERT_4])
+def test_forced_4way_inter_bitexact(tmp_path, monkeypatch, part):
+    tag = f"{Partition(part).name}-inter"
+    hits = _force(monkeypatch, part, at_bsize=9)
+    _roundtrip(tmp_path, tag, n=2)
     assert hits[0] > 0, "forced ext partition never evaluated"
-
-
-# KNOWN GAP (round-3): VERT_4 inter frames — 8x32 NEARESTMV runs
-# reconstruct a different MV than dav1d (MVP stack divergence, no
-# entropy desync); the search gate try_4way stays off until this passes
-@pytest.mark.xfail(strict=False, reason="8x32 MVP stack divergence (round-3)")
-def test_forced_vert4_inter_bitexact(tmp_path, monkeypatch):
-    _force(monkeypatch, Partition.VERT_4, at_bsize=9)
-    _roundtrip(tmp_path, "VERT_4-inter", n=2)
 
 
 def test_forced_ext_at_32(tmp_path, monkeypatch):
@@ -147,9 +142,10 @@ def test_forced_ext_at_32(tmp_path, monkeypatch):
 
 
 @pytest.mark.parametrize("part", [Partition.HORZ_4, Partition.VERT_4])
-def test_forced_4way_16_mono_key(tmp_path, monkeypatch, part):
-    # 16x4 / 4x16 blocks at odd mi positions (sub-8x8 MVP scans)
+def test_forced_4way_16_mono(tmp_path, monkeypatch, part):
+    # 16x4 / 4x16 blocks at odd mi positions (sub-8x8 MVP scans),
+    # key + inter
     tag = f"{Partition(part).name}@16mono"
     hits = _force(monkeypatch, part, at_bsize=6)
-    _roundtrip(tmp_path, tag, n=1, mono=True)
+    _roundtrip(tmp_path, tag, n=2, mono=True)
     assert hits[0] > 0, "forced ext partition never evaluated"
