@@ -473,14 +473,31 @@ class Av1Encoder:
             else:
                 dmd = DeviceIntraMD(md, seq, fr, sb_qmap)
                 dmd.analyze(_analysis_row)
+            # whole-frame native commit (native/frame_enc.c): flatten the
+            # argmin plans and run the entire conformant tail in one C
+            # call; SVT_TPU_PY_COMMIT=1 keeps the per-leaf oracle path
+            from ..native import frame_enc as native_frame
+
+            use_frame_c = (native_frame.available()
+                           and os.environ.get("SVT_TPU_PY_COMMIT") != "1")
+            plans = []
             for r in range(0, self.mi_rows, sb_mi):
                 for c in range(0, self.mi_cols, sb_mi):
                     if sb_qmap is not None:
                         md.cur_qindex = int(sb_qmap[r // sb_mi, c // sb_mi])
                         md.rdmult = compute_rdmult(md.cur_qindex, seq.bit_depth)
-                    node = dmd.encode_sb(r, c, sb_bsize,
-                                         self._min_partition_bsize)
-                    sb_plans.append((node, r, c))
+                    if use_frame_c:
+                        _, plan = dmd.pick(r, c, sb_bsize,
+                                           self._min_partition_bsize,
+                                           md.rdmult)
+                        plans.append((plan, r, c, md.cur_qindex))
+                    else:
+                        node = dmd.encode_sb(r, c, sb_bsize,
+                                             self._min_partition_bsize)
+                        sb_plans.append((node, r, c))
+            if use_frame_c:
+                fc = native_frame.FrameCommitter(md, seq, fr, ref_planes)
+                sb_plans = fc.commit(plans)
         elif n_tiles == 1:
             for r in range(0, self.mi_rows, sb_mi):
                 for c in range(0, self.mi_cols, sb_mi):

@@ -80,7 +80,7 @@ def _descriptor(tx_size: int, bit_depth: int):
     opt_row = {8: 16, 10: 18, 12: 20}[bit_depth]
     opt_col = {8: 16, 10: 16, 12: 18}[bit_depth]
     scan = np.ascontiguousarray(scan_table(tx_size, "default").astype(np.int32))
-    log_scale = 2 if max(w, h) == 64 else (1 if max(w, h) == 32 else 0)
+    log_scale = int(w * h > 256) + int(w * h > 1024)  # av1_get_tx_scale (area)
     d = np.zeros(46, np.int64)
     d[0], d[1] = w, h
     d[2:9] = fcol
