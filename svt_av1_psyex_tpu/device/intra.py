@@ -46,9 +46,22 @@ RATE_ZERO = 154     # per zero coefficient before eob (scan order)
 RATE_EOB = 1946     # per log2(1+eob)
 
 
+import os
+
+# Analysis transforms as float32 matmuls on the MXU (device/matdct.py)
+# instead of int32 butterfly gathers on the VPU.  Decisions near RD ties
+# may differ by one level; the conformant commit requantizes exactly
+# either way.  SVT_TPU_INTDCT=1 restores the integer analysis networks.
+_USE_MATDCT = os.environ.get("SVT_TPU_INTDCT") != "1"
+
+
 def _fwd_dct2d(resid: jnp.ndarray, n: int) -> jnp.ndarray:
     """(B, n, n) int32 -> (B, cn, cn) DCT_DCT coefficients (exact integer
     network, ops/txfm semantics), cn = min(n, 32)."""
+    if _USE_MATDCT:
+        from .matdct import fwd_dct2d_mat
+
+        return fwd_dct2d_mat(resid, n)
     shift = txfm_ref._FWD_SHIFT[(n, n)]
     i = int(np.log2(n)) - 2
     cb_col = txfm_ref._FWD_COS_BIT_COL[i][i]
@@ -68,6 +81,10 @@ def _fwd_dct2d(resid: jnp.ndarray, n: int) -> jnp.ndarray:
 
 def _inv_dct2d(coeffs: jnp.ndarray, n: int, bit_depth: int) -> jnp.ndarray:
     """(B, cn, cn) -> (B, n, n) residual (exact integer inverse)."""
+    if _USE_MATDCT:
+        from .matdct import inv_dct2d_mat
+
+        return inv_dct2d_mat(coeffs, n)
     shift = txfm_ref._INV_SHIFT[(n, n)]
     opt_row = {8: 16, 10: 18, 12: 20}[bit_depth]
     opt_col = {8: 16, 10: 16, 12: 18}[bit_depth]
