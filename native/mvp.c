@@ -1,0 +1,514 @@
+/* MVP stack derivation (spec 7.10.2 find_mv_stack) in C.
+ *
+ * Port of codec/mvp.py find_mv_stack (the Python implementation remains
+ * the oracle; tests/test_native_mvp.py fuzzes the two for equality).
+ * Counterpart of the reference's setup_ref_mv_list
+ * (Source/Lib/Codec/adaptive_mv_pred.c:637) — same normative derivation,
+ * shared-grid data layout designed for this framework's flat numpy
+ * MiState arrays.  Single and compound reference paths, no temporal MVs
+ * (enable_ref_frame_mvs = 0).
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+#define MAX_STACK 8
+#define MAX_CAND 2
+#define REF_CAT_LEVEL 640
+#define MVREF_ROWS 3
+#define MV_BORDER (16 << 3)
+
+/* block geometry (constants.py BLOCK_W/H >> 2) */
+#define N_BSIZES 22
+static const uint8_t BW4[N_BSIZES] = {1, 1, 2, 2,  2,  4, 4, 4, 8, 8, 8,
+                                      16, 16, 16, 32, 32, 1, 4, 2, 8, 4, 16};
+static const uint8_t BH4[N_BSIZES] = {1, 2, 1, 2,  4,  2, 4, 8, 4, 8, 16,
+                                      8, 16, 32, 16, 32, 4, 1, 8, 2, 16, 4};
+
+typedef struct {
+    const int8_t *ref_frame, *ref_frame1, *is_newmv, *bsize;
+    const int16_t *mv_row, *mv_col, *mv_row1, *mv_col1;
+    const uint8_t *sign_bias; /* [8] */
+    int mi_rows, mi_cols;
+} MiGrids;
+
+typedef struct { int16_t y0, x0, y1, x1; } Entry;
+
+typedef struct {
+    MiGrids g;
+    int mi_row, mi_col;
+    int n8_w, n8_h;
+    int rf0, rf1, is_comp;
+    Entry stack[MAX_STACK];
+    int weights[MAX_STACK];
+    int n;
+    int row_match, col_match, newmv_cnt;
+    int proc_rows, proc_cols;
+    int max_row_off, max_col_off;
+} Ctx;
+
+#define AT(grid, r, c) ((grid)[(int64_t)(r) * s->g.mi_cols + (c)])
+
+static void push(Ctx *s, Entry e, int weight) {
+    for (int i = 0; i < s->n; i++)
+        if (s->stack[i].y0 == e.y0 && s->stack[i].x0 == e.x0 &&
+            s->stack[i].y1 == e.y1 && s->stack[i].x1 == e.x1) {
+            s->weights[i] += weight;
+            return;
+        }
+    if (s->n < MAX_STACK) {
+        s->stack[s->n] = e;
+        s->weights[s->n] = weight;
+        s->n++;
+    }
+}
+
+static void add_candidate(Ctx *s, int rr, int cc, int length, int weight,
+                          int is_row, int count_newmv) {
+    if (AT(s->g.ref_frame, rr, cc) < 0) return;
+    int matched = 0;
+    if (s->is_comp) {
+        if (AT(s->g.ref_frame, rr, cc) == s->rf0 &&
+            AT(s->g.ref_frame1, rr, cc) == s->rf1) {
+            Entry e = {AT(s->g.mv_row, rr, cc), AT(s->g.mv_col, rr, cc),
+                       AT(s->g.mv_row1, rr, cc), AT(s->g.mv_col1, rr, cc)};
+            push(s, e, weight * length);
+            matched = 1;
+        }
+    } else {
+        int r0 = AT(s->g.ref_frame, rr, cc);
+        if (r0 >= 1 && r0 == s->rf0) {
+            Entry e = {AT(s->g.mv_row, rr, cc), AT(s->g.mv_col, rr, cc), 0, 0};
+            push(s, e, weight * length);
+            matched = 1;
+        }
+        int r1 = AT(s->g.ref_frame1, rr, cc);
+        if (r1 >= 1 && r1 == s->rf0) {
+            Entry e = {AT(s->g.mv_row1, rr, cc), AT(s->g.mv_col1, rr, cc), 0, 0};
+            push(s, e, weight * length);
+            matched = 1;
+        }
+    }
+    if (matched) {
+        if (count_newmv && AT(s->g.is_newmv, rr, cc)) s->newmv_cnt++;
+        if (is_row) s->row_match++; else s->col_match++;
+    }
+}
+
+static void scan_row(Ctx *s, int row_offset, int count_newmv) {
+    int end_mi = s->n8_w;
+    if (s->g.mi_cols - s->mi_col < end_mi) end_mi = s->g.mi_cols - s->mi_col;
+    if (end_mi > 16) end_mi = 16;
+    int col_off = (row_offset < -1 || row_offset > 1) ? 1 : 0;
+    if (col_off && (s->mi_col & 1) && s->n8_w < 2) col_off = 0;
+    const int use_step_16 = s->n8_w >= 16;
+    const int rr = s->mi_row + row_offset;
+    int i = 0;
+    while (i < end_mi) {
+        int cc = s->mi_col + col_off + i;
+        if (cc >= s->g.mi_cols) break;
+        int cand_bsize = AT(s->g.bsize, rr, cc);
+        int cand_w = BW4[cand_bsize];
+        int length = cand_w < s->n8_w ? cand_w : s->n8_w;
+        if (use_step_16) { if (length < 4) length = 4; }
+        else if (row_offset < -1 || row_offset > 1) {
+            if (length < 2) length = 2;
+        }
+        int weight = 2;
+        if (2 <= s->n8_w && s->n8_w <= cand_w) {
+            int inc = -s->max_row_off + row_offset + 1;
+            int ch = BH4[cand_bsize];
+            if (ch < inc) inc = ch;
+            if (inc > weight) weight = inc;
+            s->proc_rows = inc - row_offset - 1;
+        }
+        add_candidate(s, rr, cc, length, weight, 1, count_newmv);
+        i += length;
+    }
+}
+
+static void scan_col(Ctx *s, int col_offset, int count_newmv) {
+    int end_mi = s->n8_h;
+    if (s->g.mi_rows - s->mi_row < end_mi) end_mi = s->g.mi_rows - s->mi_row;
+    if (end_mi > 16) end_mi = 16;
+    int row_off = (col_offset < -1 || col_offset > 1) ? 1 : 0;
+    if (row_off && (s->mi_row & 1) && s->n8_h < 2) row_off = 0;
+    const int use_step_16 = s->n8_h >= 16;
+    const int cc = s->mi_col + col_offset;
+    int i = 0;
+    while (i < end_mi) {
+        int rr = s->mi_row + row_off + i;
+        if (rr >= s->g.mi_rows) break;
+        int cand_bsize = AT(s->g.bsize, rr, cc);
+        int cand_h = BH4[cand_bsize];
+        int length = cand_h < s->n8_h ? cand_h : s->n8_h;
+        if (use_step_16) { if (length < 4) length = 4; }
+        else if (col_offset < -1 || col_offset > 1) {
+            if (length < 2) length = 2;
+        }
+        int weight = 2;
+        if (2 <= s->n8_h && s->n8_h <= cand_h) {
+            int inc = -s->max_col_off + col_offset + 1;
+            int cw = BW4[cand_bsize];
+            if (cw < inc) inc = cw;
+            if (inc > weight) weight = inc;
+            s->proc_cols = inc - col_offset - 1;
+        }
+        add_candidate(s, rr, cc, length, weight, 0, count_newmv);
+        i += length;
+    }
+}
+
+static void scan_blk(Ctx *s, int row_offset, int col_offset, int is_row,
+                     int count_newmv) {
+    int rr = s->mi_row + row_offset, cc = s->mi_col + col_offset;
+    if (rr < 0 || cc < 0 || rr >= s->g.mi_rows || cc >= s->g.mi_cols) return;
+    add_candidate(s, rr, cc, 2, 2, is_row, count_newmv);
+}
+
+static int has_top_right(int mi_row, int mi_col, int bs, int n8_w, int n8_h) {
+    const int sb_mi = 16;
+    if (bs > 16) return 0;
+    if (n8_w != n8_h) {
+        int is_sec_rect = 0;
+        if (n8_w < n8_h && !((mi_col + n8_w) & (n8_h - 1))) is_sec_rect = 1;
+        if (n8_w > n8_h && (mi_row & (n8_w - 1))) is_sec_rect = 1;
+        if (n8_w > n8_h && is_sec_rect) return 0;
+        if (n8_w < n8_h && !is_sec_rect) return 1;
+    }
+    const int mask_row = mi_row & (sb_mi - 1);
+    const int mask_col = mi_col & (sb_mi - 1);
+    int has_tr = !((mask_row & bs) && (mask_col & bs));
+    while (bs < sb_mi) {
+        if (mask_col & bs) {
+            if ((mask_col & (2 * bs)) && (mask_row & (2 * bs))) {
+                has_tr = 0;
+                break;
+            }
+        } else
+            break;
+        bs <<= 1;
+    }
+    return has_tr;
+}
+
+static inline int16_t clampi16(int v, int lo, int hi) {
+    return (int16_t)(v < lo ? lo : (v > hi ? hi : v));
+}
+
+/* out (int32): [count, mode_ctx,
+ *   then MAX_STACK x (mv0y, mv0x, mv1y, mv1x, weight)] = 42 words */
+void svt_find_mv_stack(const int8_t *ref_frame, const int8_t *ref_frame1,
+                       const int16_t *mv_row, const int16_t *mv_col,
+                       const int16_t *mv_row1, const int16_t *mv_col1,
+                       const int8_t *is_newmv, const int8_t *bsize_g,
+                       const uint8_t *sign_bias, int mi_rows, int mi_cols,
+                       int mi_row, int mi_col, int bsize, int rf0, int rf1,
+                       int32_t *out) {
+    Ctx ctx;
+    Ctx *s = &ctx;
+    memset(s, 0, sizeof(*s));
+    s->g.ref_frame = ref_frame;
+    s->g.ref_frame1 = ref_frame1;
+    s->g.mv_row = mv_row;
+    s->g.mv_col = mv_col;
+    s->g.mv_row1 = mv_row1;
+    s->g.mv_col1 = mv_col1;
+    s->g.is_newmv = is_newmv;
+    s->g.bsize = bsize_g;
+    s->g.sign_bias = sign_bias;
+    s->g.mi_rows = mi_rows;
+    s->g.mi_cols = mi_cols;
+    s->mi_row = mi_row;
+    s->mi_col = mi_col;
+    s->n8_w = BW4[bsize];
+    s->n8_h = BH4[bsize];
+    s->rf0 = rf0;
+    s->rf1 = rf1;
+    s->is_comp = rf1 >= 1;
+    const int n8_w = s->n8_w, n8_h = s->n8_h;
+    const int bs = n8_w > n8_h ? n8_w : n8_h;
+
+    const int up_avail = mi_row > 0;
+    const int left_avail = mi_col > 0;
+    const int row_adj = (n8_h < 2 && (mi_row & 1)) ? 1 : 0;
+    const int col_adj = (n8_w < 2 && (mi_col & 1)) ? 1 : 0;
+    if (up_avail) {
+        s->max_row_off = -(MVREF_ROWS << 1) + row_adj;
+        if (n8_h < 2) s->max_row_off = -(2 << 1) + row_adj;
+        if (s->max_row_off < -mi_row) s->max_row_off = -mi_row;
+    }
+    if (left_avail) {
+        s->max_col_off = -(MVREF_ROWS << 1) + col_adj;
+        if (n8_w < 2) s->max_col_off = -(2 << 1) + col_adj;
+        if (s->max_col_off < -mi_col) s->max_col_off = -mi_col;
+    }
+
+    if (s->max_row_off <= -1) scan_row(s, -1, 1);
+    if (s->max_col_off <= -1) scan_col(s, -1, 1);
+    if (has_top_right(mi_row, mi_col, bs, n8_w, n8_h))
+        scan_blk(s, -1, n8_w, 1, 1);
+
+    const int nearest_match = (s->row_match > 0) + (s->col_match > 0);
+    const int newmv_count = s->newmv_cnt;
+    for (int i = 0; i < s->n; i++) s->weights[i] += REF_CAT_LEVEL;
+
+    scan_blk(s, -1, -1, 1, 0);
+    for (int idx = 2; idx <= MVREF_ROWS; idx++) {
+        int row_offset = -(idx << 1) + 1 + row_adj;
+        int col_offset = -(idx << 1) + 1 + col_adj;
+        int aro = row_offset < 0 ? -row_offset : row_offset;
+        int amr = s->max_row_off < 0 ? -s->max_row_off : s->max_row_off;
+        int aco = col_offset < 0 ? -col_offset : col_offset;
+        int amc = s->max_col_off < 0 ? -s->max_col_off : s->max_col_off;
+        if (aro <= amr && aro > s->proc_rows) scan_row(s, row_offset, 0);
+        if (aco <= amc && aco > s->proc_cols) scan_col(s, col_offset, 0);
+    }
+
+    const int ref_match_count = (s->row_match > 0) + (s->col_match > 0);
+    int mode_context = 0;
+    if (nearest_match == 0) {
+        if (ref_match_count >= 1) mode_context |= 1;
+        if (ref_match_count == 1) mode_context |= 1 << 4;
+        else if (ref_match_count >= 2) mode_context |= 2 << 4;
+    } else if (nearest_match == 1) {
+        mode_context |= newmv_count > 0 ? 2 : 3;
+        if (ref_match_count == 1) mode_context |= 3 << 4;
+        else if (ref_match_count >= 2) mode_context |= 4 << 4;
+    } else {
+        mode_context |= newmv_count >= 1 ? 4 : 5;
+        mode_context |= 5 << 4;
+    }
+
+    /* bubble sort, stable, identical to sort_mvp_table */
+    int length = s->n;
+    while (length > 0) {
+        int nr_len = 0;
+        for (int idx = 1; idx < length; idx++) {
+            if (s->weights[idx - 1] < s->weights[idx]) {
+                Entry te = s->stack[idx - 1];
+                s->stack[idx - 1] = s->stack[idx];
+                s->stack[idx] = te;
+                int tw = s->weights[idx - 1];
+                s->weights[idx - 1] = s->weights[idx];
+                s->weights[idx] = tw;
+                nr_len = idx;
+            }
+        }
+        length = nr_len;
+    }
+
+    int true_count = s->n;
+    int mi_width = n8_w;
+    if (mi_cols - mi_col < mi_width) mi_width = mi_cols - mi_col;
+    if (mi_width > 16) mi_width = 16;
+    int mi_height = n8_h;
+    if (mi_rows - mi_row < mi_height) mi_height = mi_rows - mi_row;
+    if (mi_height > 16) mi_height = 16;
+    const int mi_size = mi_width < mi_height ? mi_width : mi_height;
+
+    if (s->is_comp && true_count < MAX_CAND) {
+        /* compound relaxed rescan (adaptive_mv_pred.c:470) */
+        int16_t ref_id[2][2][2];   /* [cmp][slot][y/x] */
+        int n_id[2] = {0, 0};
+        int16_t ref_diff[2][2][2];
+        int n_diff[2] = {0, 0};
+        const int rfc[2] = {s->rf0, s->rf1};
+
+#define COLLECT(rr, cc)                                                       \
+        do {                                                                  \
+            int refs_[2];                                                     \
+            int16_t mvs_[2][2];                                               \
+            int nc_ = 0;                                                      \
+            int r0_ = AT(s->g.ref_frame, rr, cc);                             \
+            if (r0_ >= 1) {                                                   \
+                refs_[nc_] = r0_;                                             \
+                mvs_[nc_][0] = AT(s->g.mv_row, rr, cc);                       \
+                mvs_[nc_][1] = AT(s->g.mv_col, rr, cc);                       \
+                nc_++;                                                        \
+            }                                                                 \
+            int r1_ = AT(s->g.ref_frame1, rr, cc);                            \
+            if (r1_ >= 1) {                                                   \
+                refs_[nc_] = r1_;                                             \
+                mvs_[nc_][0] = AT(s->g.mv_row1, rr, cc);                      \
+                mvs_[nc_][1] = AT(s->g.mv_col1, rr, cc);                      \
+                nc_++;                                                        \
+            }                                                                 \
+            for (int k_ = 0; k_ < nc_; k_++)                                  \
+                for (int ci_ = 0; ci_ < 2; ci_++) {                           \
+                    if (refs_[k_] == rfc[ci_] && n_id[ci_] < 2) {             \
+                        ref_id[ci_][n_id[ci_]][0] = mvs_[k_][0];              \
+                        ref_id[ci_][n_id[ci_]][1] = mvs_[k_][1];              \
+                        n_id[ci_]++;                                          \
+                    } else if (n_diff[ci_] < 2) {                             \
+                        int flip_ = s->g.sign_bias[refs_[k_]] !=              \
+                                    s->g.sign_bias[rfc[ci_]];                 \
+                        ref_diff[ci_][n_diff[ci_]][0] =                       \
+                            flip_ ? -mvs_[k_][0] : mvs_[k_][0];               \
+                        ref_diff[ci_][n_diff[ci_]][1] =                       \
+                            flip_ ? -mvs_[k_][1] : mvs_[k_][1];               \
+                        n_diff[ci_]++;                                        \
+                    }                                                         \
+                }                                                             \
+        } while (0)
+
+        if (s->max_row_off <= -1) {
+            int i = 0;
+            while (i < mi_size) {
+                int rr = mi_row - 1, cc = mi_col + i;
+                COLLECT(rr, cc);
+                i += BW4[AT(s->g.bsize, rr, cc)];
+            }
+        }
+        if (s->max_col_off <= -1) {
+            int i = 0;
+            while (i < mi_size) {
+                int rr = mi_row + i, cc = mi_col - 1;
+                COLLECT(rr, cc);
+                i += BH4[AT(s->g.bsize, rr, cc)];
+            }
+        }
+#undef COLLECT
+
+        int16_t comp_list[MAX_CAND + 1][2][2];
+        memset(comp_list, 0, sizeof(comp_list));
+        for (int idx = 0; idx < 2; idx++) {
+            int ci = 0;
+            for (int k = 0; k < n_id[idx] && ci < MAX_CAND; k++, ci++) {
+                comp_list[ci][idx][0] = ref_id[idx][k][0];
+                comp_list[ci][idx][1] = ref_id[idx][k][1];
+            }
+            for (int k = 0; k < n_diff[idx] && ci < MAX_CAND; k++, ci++) {
+                comp_list[ci][idx][0] = ref_diff[idx][k][0];
+                comp_list[ci][idx][1] = ref_diff[idx][k][1];
+            }
+            /* remaining slots already zero (gm candidates) */
+        }
+
+        if (true_count == 1) {
+            Entry e;
+            if (comp_list[0][0][0] == s->stack[0].y0 &&
+                comp_list[0][0][1] == s->stack[0].x0 &&
+                comp_list[0][1][0] == s->stack[0].y1 &&
+                comp_list[0][1][1] == s->stack[0].x1) {
+                e.y0 = comp_list[1][0][0]; e.x0 = comp_list[1][0][1];
+                e.y1 = comp_list[1][1][0]; e.x1 = comp_list[1][1][1];
+            } else {
+                e.y0 = comp_list[0][0][0]; e.x0 = comp_list[0][0][1];
+                e.y1 = comp_list[0][1][0]; e.x1 = comp_list[0][1][1];
+            }
+            s->stack[s->n] = e;
+            s->weights[s->n] = 2;
+            s->n++;
+            true_count = 2;
+        } else if (true_count == 0) {
+            for (int idx = 0; idx < MAX_CAND; idx++) {
+                Entry e = {comp_list[idx][0][0], comp_list[idx][0][1],
+                           comp_list[idx][1][0], comp_list[idx][1][1]};
+                s->stack[s->n] = e;
+                s->weights[s->n] = 2;
+                s->n++;
+            }
+            true_count = MAX_CAND;
+        }
+    } else if (!s->is_comp && true_count < MAX_CAND) {
+        /* single-ref relaxed rescan (adaptive_mv_pred.c:570) */
+        const int bias_us = s->g.sign_bias[s->rf0] != 0;
+
+#define EXTEND(rr, cc)                                                        \
+        do {                                                                  \
+            int refs_[2];                                                     \
+            int16_t mvs_[2][2];                                               \
+            int nc_ = 0;                                                      \
+            int r0_ = AT(s->g.ref_frame, rr, cc);                             \
+            if (r0_ >= 1) {                                                   \
+                refs_[nc_] = r0_;                                             \
+                mvs_[nc_][0] = AT(s->g.mv_row, rr, cc);                       \
+                mvs_[nc_][1] = AT(s->g.mv_col, rr, cc);                       \
+                nc_++;                                                        \
+            }                                                                 \
+            int r1_ = AT(s->g.ref_frame1, rr, cc);                            \
+            if (r1_ >= 1) {                                                   \
+                refs_[nc_] = r1_;                                             \
+                mvs_[nc_][0] = AT(s->g.mv_row1, rr, cc);                      \
+                mvs_[nc_][1] = AT(s->g.mv_col1, rr, cc);                      \
+                nc_++;                                                        \
+            }                                                                 \
+            for (int k_ = 0; k_ < nc_; k_++) {                                \
+                if (s->n >= MAX_CAND) break;                                  \
+                int16_t my_ = mvs_[k_][0], mx_ = mvs_[k_][1];                 \
+                if ((s->g.sign_bias[refs_[k_]] != 0) != bias_us) {            \
+                    my_ = -my_; mx_ = -mx_;                                   \
+                }                                                             \
+                Entry e_ = {my_, mx_, 0, 0};                                  \
+                int dup_ = 0;                                                 \
+                for (int q_ = 0; q_ < s->n; q_++)                             \
+                    if (s->stack[q_].y0 == e_.y0 &&                           \
+                        s->stack[q_].x0 == e_.x0 &&                           \
+                        s->stack[q_].y1 == 0 && s->stack[q_].x1 == 0) {       \
+                        dup_ = 1;                                             \
+                        break;                                                \
+                    }                                                         \
+                if (!dup_) {                                                  \
+                    s->stack[s->n] = e_;                                      \
+                    s->weights[s->n] = 2;                                     \
+                    s->n++;                                                   \
+                }                                                             \
+            }                                                                 \
+        } while (0)
+
+        if (s->max_row_off <= -1) {
+            int i = 0;
+            while (i < mi_size && s->n < MAX_CAND) {
+                int rr = mi_row - 1, cc = mi_col + i;
+                EXTEND(rr, cc);
+                i += BW4[AT(s->g.bsize, rr, cc)];
+            }
+        }
+        if (s->max_col_off <= -1) {
+            int i = 0;
+            while (i < mi_size && s->n < MAX_CAND) {
+                int rr = mi_row + i, cc = mi_col - 1;
+                EXTEND(rr, cc);
+                i += BH4[AT(s->g.bsize, rr, cc)];
+            }
+        }
+#undef EXTEND
+        true_count = s->n;
+        while (s->n < MAX_CAND) {
+            Entry z = {0, 0, 0, 0};
+            s->stack[s->n] = z;
+            s->weights[s->n] = 0;
+            s->n++;
+        }
+    }
+
+    /* clamp (spec clamp_mv_ref), true-count entries only */
+    const int bw_px = n8_w * 4, bh_px = n8_h * 4;
+    const int lo_col = -(mi_col * 4 * 8) - bw_px * 8 - MV_BORDER;
+    const int hi_col = (mi_cols - n8_w - mi_col) * 4 * 8 + bw_px * 8 + MV_BORDER;
+    const int lo_row = -(mi_row * 4 * 8) - bh_px * 8 - MV_BORDER;
+    const int hi_row = (mi_rows - n8_h - mi_row) * 4 * 8 + bh_px * 8 + MV_BORDER;
+    for (int i = 0; i < true_count; i++) {
+        s->stack[i].y0 = clampi16(s->stack[i].y0, lo_row, hi_row);
+        s->stack[i].x0 = clampi16(s->stack[i].x0, lo_col, hi_col);
+        s->stack[i].y1 = clampi16(s->stack[i].y1, lo_row, hi_row);
+        s->stack[i].x1 = clampi16(s->stack[i].x1, lo_col, hi_col);
+    }
+
+    out[0] = true_count;
+    out[1] = mode_context;
+    for (int i = 0; i < MAX_STACK; i++) {
+        int32_t *o = out + 2 + i * 5;
+        if (i < s->n) {
+            o[0] = s->stack[i].y0;
+            o[1] = s->stack[i].x0;
+            o[2] = s->stack[i].y1;
+            o[3] = s->stack[i].x1;
+            o[4] = s->weights[i];
+        } else {
+            o[0] = o[1] = o[2] = o[3] = o[4] = 0;
+        }
+    }
+    out[2 + MAX_STACK * 5] = s->n; /* slots filled (DRL reads past count) */
+}

@@ -157,10 +157,63 @@ def _mvp_has_top_right(mi_row: int, mi_col: int, bs: int, n8_w: int, n8_h: int,
     return has_tr
 
 
+_MVP_LIB = None  # resolved lazily; False = unavailable / disabled
+
+
+def _mvp_lib():
+    global _MVP_LIB
+    if _MVP_LIB is None:
+        import ctypes
+        import os
+
+        from ..native.ecenc import get_lib
+
+        lib = get_lib()
+        if (lib is None or not hasattr(lib, "svt_find_mv_stack")
+                or os.environ.get("SVT_TPU_PY_MVP") == "1"):
+            _MVP_LIB = False
+        else:
+            lib.svt_find_mv_stack.argtypes = (
+                [ctypes.c_void_p] * 9 + [ctypes.c_int] * 7
+                + [ctypes.c_void_p])
+            _MVP_LIB = lib
+    return _MVP_LIB
+
+
 def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
                   ref_frame) -> MvStack:
     """MVP stack for a single ref (int) or a compound pair (tuple).
-    GLOBALMV candidates are (0,0) (IDENTITY gm)."""
+    GLOBALMV candidates are (0,0) (IDENTITY gm).
+
+    Dispatches to the C port (native/mvp.c) when built; the Python body
+    below is the oracle (SVT_TPU_PY_MVP=1), fuzzed for equality by
+    tests/test_native_mvp.py."""
+    lib = _mvp_lib()
+    if lib:
+        is_comp = isinstance(ref_frame, tuple)
+        rf0, rf1 = ref_frame if is_comp else (int(ref_frame), -1)
+        out = np.empty(43, np.int32)
+        lib.svt_find_mv_stack(
+            mi.ref_frame.ctypes.data, mi.ref_frame1.ctypes.data,
+            mi.mv_row.ctypes.data, mi.mv_col.ctypes.data,
+            mi.mv_row1.ctypes.data, mi.mv_col1.ctypes.data,
+            mi.is_newmv.ctypes.data, mi.bsize.ctypes.data,
+            mi.sign_bias.ctypes.data, mi.mi_rows, mi.mi_cols,
+            mi_row, mi_col, int(bsize), rf0, rf1, out.ctypes.data)
+        slots = int(out[42])
+        ent = out[2 : 2 + 40].reshape(8, 5)
+        return MvStack(
+            mvs=[(int(ent[i, 0]), int(ent[i, 1])) for i in range(slots)],
+            comp_mvs=[(int(ent[i, 2]), int(ent[i, 3]))
+                      for i in range(slots)],
+            weights=[int(ent[i, 4]) for i in range(slots)],
+            mode_context=int(out[1]), count=int(out[0]))
+    return _find_mv_stack_py(mi, mi_row, mi_col, bsize, ref_frame)
+
+
+def _find_mv_stack_py(mi: MiState, mi_row: int, mi_col: int, bsize: int,
+                      ref_frame) -> MvStack:
+    """Pure-Python MVP stack derivation (the conformance oracle)."""
     is_comp = isinstance(ref_frame, tuple)
     rf = ref_frame if is_comp else (int(ref_frame), -1)
     n8_w = int(BLOCK_W[bsize]) >> 2
