@@ -343,14 +343,20 @@ class SvtAv1Encoder:
             # this group's ARF (its group index = length-1)
             tpl_q = None
             if self._tpl_on() and not self._rc and length > 1:
+                import os as _os
+                import time as _time
+
                 from ..codec.tpl import run_tpl, tpl_frame_qindex
 
+                _t0 = _time.perf_counter()
                 ordered = [srcs[d][0] for d in sorted(srcs)]
                 la = self.config.look_ahead_distance
                 la = 8 if la < 0 else min(la, 32)
                 look = ordered + [p[0] for p, _, _ in list(self._in_q)[:la]]
                 tpl = run_tpl(look, self.config.qindex,
                               self.config.encoder_bit_depth)
+                if _os.environ.get("SVT_TPU_TIMING") == "1":
+                    self._enc._tick("tpl", _t0)
                 hl = max(length.bit_length() - 1, 1)  # 4 -> 2 layers
                 arf_q = tpl_frame_qindex(
                     self.config.qindex, tpl.r0(length - 1), 0, hl, False,
@@ -363,9 +369,16 @@ class SvtAv1Encoder:
                         self.config.encoder_bit_depth,
                         self.config.qp_scale_compress_strength,
                         arf_q=arf_q)
-            for pl in plans:
-                src = srcs.get(pl.disp_idx)
-                is_se = pl.show_existing_slot is not None
+            # resolve per-plan q up front, then walk the coded order in
+            # layer runs: all frames of a run are begun together (their
+            # device analyses queue asynchronously) and resumed in order,
+            # overlapping device compute with the host commit/entropy
+            # tail of earlier frames. plan_minigop's BFS slot discipline
+            # guarantees same-layer frames never reference each other.
+            def pick_q(pl, src, is_se) -> int:
+                """Per-frame q: RC feedback / TPL ladder / CRF, plus the
+                luminance bias. With RC this MUST run in coded order
+                right before the frame encodes (bit feedback)."""
                 if self._rc and not is_se:
                     q = self._rc.pick_qindex(False, pl.layer,
                                               complexity=self._fp_w(pl.disp_idx))
@@ -388,11 +401,49 @@ class SvtAv1Encoder:
                             q + pl.q_offset, avg, pl.layer,
                             self.config.luminance_qp_bias) - pl.q_offset,
                         1, 255))
-                tu = self._enc.encode_frame(None if is_se else src, q, plan=pl)
-                if self._rc and not is_se:
-                    self._rc.update(len(tu) * 8)
-                shown = pl.show_frame or is_se
-                self._emit(tu, pl.disp_idx, 1, shown=shown)
+                return q
+
+            items = [(pl, srcs.get(pl.disp_idx),
+                      pl.show_existing_slot is not None) for pl in plans]
+            i = 0
+            while i < len(items):
+                pl, src, is_se = items[i]
+                if is_se or self._rc is not None:
+                    # show_existing, or RC's sequential bit feedback
+                    q = pick_q(pl, src, is_se)
+                    tu = self._enc.encode_frame(None if is_se else src, q,
+                                                plan=pl)
+                    if self._rc and not is_se:
+                        self._rc.update(len(tu) * 8)
+                    self._emit(tu, pl.disp_idx, 1,
+                               shown=pl.show_frame or is_se)
+                    i += 1
+                    continue
+                # maximal run: same-layer coded frames, show_existing
+                # entries allowed in between (they touch no DPB slot)
+                j, run = i, []
+                while j < len(items):
+                    plj, _, sej = items[j]
+                    if not sej and plj.layer != pl.layer:
+                        break
+                    run.append(j)
+                    j += 1
+                while items[run[-1]][2]:  # leave trailing se's to the
+                    run.pop()             # sequential path (next GOP's
+                j = run[-1] + 1           # key could follow)
+                sts = {k: self._enc.begin_frame(
+                           items[k][1], pick_q(*items[k]), plan=items[k][0])
+                       for k in run if not items[k][2]}
+                for k in run:
+                    plk, srck, sek = items[k]
+                    if sek:
+                        tu = self._enc.encode_frame(None, self.config.qindex,
+                                                    plan=plk)
+                    else:
+                        tu = self._enc.resume_frame(sts.pop(k))
+                    self._emit(tu, plk.disp_idx, 1,
+                               shown=plk.show_frame or sek)
+                i = j
             if length > 1:
                 self._anchor_slot = future
 

@@ -190,9 +190,31 @@ class Av1Encoder:
     def encode_frame(self, planes: list[np.ndarray] | None, base_q_idx: int = 80,
                      force_key: bool = False, plan=None,
                      _analysis_row=None, _group=None) -> bytes:
-        """Encode one frame. `plan` (codec.gop.FramePlan) selects refs/
-        refresh/show semantics; None = legacy low-delay IPPP (LAST in every
-        slot, refresh all).
+        """Encode one frame (begin + resume in one step). See
+        begin_frame for the pipeline-parallel two-step form."""
+        st = self.begin_frame(planes, base_q_idx, force_key=force_key,
+                              plan=plan, _analysis_row=_analysis_row,
+                              _group=_group)
+        if isinstance(st, (bytes, bytearray)):
+            return st
+        return self.resume_frame(st)
+
+    def begin_frame(self, planes: list[np.ndarray] | None, base_q_idx: int = 80,
+                    force_key: bool = False, plan=None,
+                    _analysis_row=None, _group=None):
+        """First half of a frame encode: header/config derivation, MD
+        construction and the *dispatch* of the device analysis (async —
+        nothing blocks on the device). Returns a state dict for
+        resume_frame, or TU bytes for show_existing plans.
+
+        The split is the TPU-native pipeline-parallelism seam (SURVEY
+        §2.1 process pipeline): the caller begins several independent
+        frames (same GOP layer — no mutual references), letting the
+        device work through their lattices while the host runs the
+        commit/filter/entropy tail of earlier frames.
+
+        `plan` (codec.gop.FramePlan) selects refs/refresh/show semantics;
+        None = legacy low-delay IPPP (LAST in every slot, refresh all).
 
         Group-pipeline hooks (encode_keyframes): `_analysis_row` is a
         precomputed device MD lattice row; `_group` is a list collector —
@@ -461,7 +483,7 @@ class Av1Encoder:
         # lattice for key frames, fused ME+inter lattice for inter
         # frames), host does argmin + conformant commit
         use_device = dev_ok and fr.frame_is_intra
-        sb_plans = []
+        dmd = None
         if use_device or use_device_inter:
             from .md_device import DeviceInterMD, DeviceIntraMD
 
@@ -469,10 +491,54 @@ class Av1Encoder:
                 fr.reference_select = False  # single-ref candidates only
                 dmd = DeviceInterMD(md, seq, fr, sb_qmap,
                                     ref_names=sorted(ref_planes))
-                dmd.analyze()
+                dmd.analyze_dispatch()
             else:
                 dmd = DeviceIntraMD(md, seq, fr, sb_qmap)
-                dmd.analyze(_analysis_row)
+                if _analysis_row is None:
+                    dmd.analyze_dispatch()
+        return {"fr": fr, "tw": tw, "cdfs": cdfs, "pctx": pctx, "md": md,
+                "dmd": dmd, "sb_qmap": sb_qmap, "ref_planes": ref_planes,
+                "n_tiles": n_tiles, "sb_mi": sb_mi, "sb_bsize": sb_bsize,
+                "make_md": make_md, "is_key": is_key,
+                "analysis_row": _analysis_row, "group": _group}
+
+    def _tick(self, key: str, t0: float) -> float:
+        """SVT_TPU_TIMING=1 stage profiler: accumulate seconds per stage
+        into self.timing (the JAX-profiler-lite of SURVEY §5 tracing)."""
+        import time
+
+        t1 = time.perf_counter()
+        tm = getattr(self, "timing", None)
+        if tm is None:
+            tm = self.timing = {}
+        tm[key] = tm.get(key, 0.0) + (t1 - t0)
+        return t1
+
+    def resume_frame(self, st: dict):
+        """Second half of a frame encode: fetch the device lattice,
+        argmin + conformant commit, in-loop filters, then the bitstream
+        pass (or group deferral). Must run in coding order."""
+        import os
+        import time
+
+        from .rd import compute_rdmult
+
+        timing = os.environ.get("SVT_TPU_TIMING") == "1"
+        t0 = time.perf_counter() if timing else 0.0
+
+        seq = self.seq
+        fr, tw, cdfs = st["fr"], st["tw"], st["cdfs"]
+        pctx, md, dmd = st["pctx"], st["md"], st["dmd"]
+        sb_qmap, ref_planes = st["sb_qmap"], st["ref_planes"]
+        n_tiles, sb_mi, sb_bsize = st["n_tiles"], st["sb_mi"], st["sb_bsize"]
+        is_key = st["is_key"]
+        _group = st["group"]
+
+        sb_plans = []
+        if dmd is not None:
+            dmd.analyze(st["analysis_row"])
+            if timing:
+                t0 = self._tick("device_wait", t0)
             # whole-frame native commit (native/frame_enc.c): flatten the
             # argmin plans and run the entire conformant tail in one C
             # call; SVT_TPU_PY_COMMIT=1 keeps the per-leaf oracle path
@@ -495,9 +561,13 @@ class Av1Encoder:
                         node = dmd.encode_sb(r, c, sb_bsize,
                                              self._min_partition_bsize)
                         sb_plans.append((node, r, c))
+            if timing:
+                t0 = self._tick("pick", t0)
             if use_frame_c:
                 fc = native_frame.FrameCommitter(md, seq, fr, ref_planes)
                 sb_plans = fc.commit(plans)
+            if timing:
+                t0 = self._tick("commit", t0)
         elif n_tiles == 1:
             for r in range(0, self.mi_rows, sb_mi):
                 for c in range(0, self.mi_cols, sb_mi):
@@ -521,7 +591,7 @@ class Av1Encoder:
                               recon=p.recon[:, (c0 * 4) >> p.ss_x : (c1 * 4) >> p.ss_x],
                               ss_x=p.ss_x, ss_y=p.ss_y)
                     for p in pctx]
-                md_t = make_md(tview, c1 - c0, None, x_off=x0)
+                md_t = st["make_md"](tview, c1 - c0, None, x_off=x0)
                 for r in range(0, self.mi_rows, sb_mi):
                     for c in range(c0, c1, sb_mi):
                         if sb_qmap is not None:
@@ -587,6 +657,8 @@ class Av1Encoder:
                     level=self._cdef_search_level, bit_depth=seq.bit_depth)
                 self._apply_cdef_result(fr, tw, res)
 
+        if timing:
+            t0 = self._tick("filters", t0)
         st = {"tw": tw, "fr": fr, "cdfs": cdfs, "sb_plans": sb_plans,
               "pctx": pctx, "cdef_job": None, "deblock": deblock_planes}
         if _group is not None:
@@ -632,17 +704,26 @@ class Av1Encoder:
     def _finalize_frame(self, st: dict) -> bytes:
         """Bitstream pass + packaging + DPB update (the tail of
         encode_frame; split out so the group pipeline can defer it)."""
+        import os
+        import time
+
+        timing = os.environ.get("SVT_TPU_TIMING") == "1"
+        t0 = time.perf_counter() if timing else 0.0
         seq = self.seq
         tw, fr, cdfs = st["tw"], st["fr"], st["cdfs"]
         pctx = st["pctx"]
         if seq.enable_restoration and st.get("deblock") is not None:
             self._search_apply_lr(st)
+            if timing:
+                t0 = self._tick("lr", t0)
         if fr.tile.tile_cols == 1:
             for node, r, c in st["sb_plans"]:
                 tw.write_superblock(node, r, c)
             tile_payload = tw.finish()
         else:
             tile_payload = self._write_tiles(st)
+        if timing:
+            t0 = self._tick("ec", t0)
         # frame-context save: keep adapted values, reset visit counters
         if not fr.disable_frame_end_update_cdf:
             cdfs.reset_counters()

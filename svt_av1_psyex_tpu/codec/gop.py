@@ -51,7 +51,17 @@ def plan_minigop(anchor_slot: int, start_disp: int, length: int,
     """Coded-order plans for one dyadic mini-GOP of `length` (power of 2,
     <= 16) displayed frames start_disp .. start_disp+length-1, referencing
     the previous anchor in `anchor_slot`. The mini-GOP's ARF lands in
-    `future_slot`; pyramid levels use slots mid_slot + layer - 1."""
+    `future_slot`; pyramid internals use slots >= mid_slot.
+
+    Coding order is BFS-by-layer (with a top split when the pyramid has
+    more internal frames than free DPB slots): every frame of a layer is
+    coded before the next layer starts, and concurrently-live pyramid
+    frames hold DISTINCT slots. Same-layer frames never reference each
+    other, so the encoder can begin them together and pipeline their
+    device analyses against the host commit/entropy tail (the
+    picture-level parallelism of SURVEY §2.1 — the reference runs N
+    EncDec instances on different pictures, enc_handle.c:478; here the
+    parallel axis is device-queue depth instead of threads)."""
     assert length & (length - 1) == 0 and 1 <= length <= MAX_MINIGOP
     if length == 1:
         return [FramePlan(start_disp, 1, True,
@@ -75,28 +85,71 @@ def plan_minigop(anchor_slot: int, start_disp: int, length: int,
             return {LAST: past, ALTREF: future}
         return {LAST: past, BWDREF: future, ALTREF: future_slot}
 
-    def rec(lo: int, hi: int, past: int, future: int, layer: int) -> None:
-        """Plan displayed frames lo..hi (exclusive of the anchors that
-        bound them), shown in display order."""
+    def leaf(disp: int, past: int, future: int, layer: int) -> FramePlan:
+        return FramePlan(disp, 1, True, refs=make_refs(past, future),
+                         refresh_flags=0, primary_ref_name=LAST,
+                         layer=layer, q_offset=_qoff(layer))
+
+    def mid_plan(disp: int, past: int, future: int, layer: int,
+                 slot: int) -> FramePlan:
+        return FramePlan(disp, 1, False, refs=make_refs(past, future),
+                         refresh_flags=1 << slot, primary_ref_name=LAST,
+                         layer=layer, q_offset=_qoff(layer))
+
+    pool = [s for s in range(mid_slot, 8)
+            if s not in (anchor_slot, future_slot)]
+
+    def bfs(lo: int, hi: int, past: int, future: int, layer: int,
+            free: list) -> None:
+        """Whole-segment BFS: every internal frame gets its own slot,
+        layers coded together, then leaves + show_existing in display
+        order."""
+        nodes = []  # (disp, past_slot, future_slot_idx, layer, is_leaf)
+        slot_of: dict[int, int] = {}
+
+        def walk(lo, hi, past, future, layer):
+            if lo > hi:
+                return
+            if lo == hi:
+                nodes.append((lo, past, future, layer, True))
+                return
+            mid = (lo + hi) // 2
+            s = free[len(slot_of)]
+            slot_of[mid] = s
+            nodes.append((mid, past, future, layer, False))
+            walk(lo, mid - 1, past, s, layer + 1)
+            walk(mid + 1, hi, s, future, layer + 1)
+
+        walk(lo, hi, past, future, layer)
+        mids = sorted((n for n in nodes if not n[4]),
+                      key=lambda n: (n[3], n[0]))
+        for disp, p, f, lyr, _ in mids:
+            plans.append(mid_plan(disp, p, f, lyr, slot_of[disp]))
+        for disp, p, f, lyr, _ in sorted((n for n in nodes if n[4]),
+                                         key=lambda n: n[0]):
+            plans.append(leaf(disp, p, f, lyr))
+            if disp + 1 in slot_of:  # next displayed frame is a pyramid mid
+                plans.append(FramePlan(disp + 1, 1,
+                                       show_existing_slot=slot_of[disp + 1]))
+
+    def schedule(lo: int, hi: int, past: int, future: int, layer: int,
+                 free: list) -> None:
         if lo > hi:
             return
         if lo == hi:
-            plans.append(FramePlan(lo, 1, True, refs=make_refs(past, future),
-                                   refresh_flags=0,
-                                   primary_ref_name=LAST, layer=layer,
-                                   q_offset=_qoff(layer)))
+            plans.append(leaf(lo, past, future, layer))
+            return
+        if (hi - lo + 1) >> 1 <= len(free):
+            bfs(lo, hi, past, future, layer, free)
             return
         mid = (lo + hi) // 2
-        slot = mid_slot + layer - 1
-        plans.append(FramePlan(mid, 1, False, refs=make_refs(past, future),
-                               refresh_flags=1 << slot,
-                               primary_ref_name=LAST, layer=layer,
-                               q_offset=_qoff(layer)))
-        rec(lo, mid - 1, past, slot, layer + 1)
+        slot = free[0]
+        plans.append(mid_plan(mid, past, future, layer, slot))
+        schedule(lo, mid - 1, past, slot, layer + 1, free[1:])
         plans.append(FramePlan(mid, 1, show_existing_slot=slot))
-        rec(mid + 1, hi, slot, future, layer + 1)
+        schedule(mid + 1, hi, slot, future, layer + 1, free[1:])
 
-    rec(start_disp, arf_disp - 1, anchor_slot, future_slot, 1)
+    schedule(start_disp, arf_disp - 1, anchor_slot, future_slot, 1, pool)
     plans.append(FramePlan(arf_disp, 1, show_existing_slot=future_slot))
     return plans
 

@@ -312,9 +312,8 @@ class ModeDecision:
             # subsampling on that axis they'd need the spec's sub-8x8
             # chroma-pair coding (not implemented yet) — gate to formats
             # where every chroma tx stays >= 4px.
-            # try_4way default False: intra-in-inter children of 4-way
-            # shapes still desync vs dav1d (keyframes are bit-exact) —
-            # see tests/test_ext_partitions.py xfails; round-3 item.
+            # (4-way inter desync resolved late round 2: SIZE_GROUP ext
+            # tail + MVP has_top_right; try_4way is preset-gated.)
             mono = self.seq.mono_chrome
             s4h = subsize(Partition.HORZ_4, bsize)
             if (self.try_4way and s4h >= 0 and bh4 >= 4

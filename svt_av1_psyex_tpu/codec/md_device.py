@@ -100,29 +100,44 @@ class DeviceIntraMD:
             self.mode_rate.astype(np.int32),
             np.array([self.psy_fixed], np.int32)])
 
-    def analyze(self, packed_row: np.ndarray | None = None) -> None:
-        """Pull the device (J, mode) lattice. `packed_row` = precomputed
-        row from intra_analysis_batch (group pipeline); None = single-
-        frame device call."""
-        from ..device.intra import (
-            intra_analysis_batch,
-            qp_row_for,
-            unpack_rd_analysis,
-        )
+    def analyze_dispatch(self) -> None:
+        """Launch the device analysis WITHOUT blocking (JAX async
+        dispatch): the returned device array is fetched by analyze().
+        Lets the caller overlap this frame's device compute with host
+        commit/EC of earlier frames (pipeline parallelism, SURVEY §2.1)."""
+        import jax
+
+        from ..device.intra import intra_analysis_batch, qp_row_for
 
         src = self.pad_src(self.md.pctx[0].src)
-        hp, wp = src.shape
-        if packed_row is None:
-            import jax
+        self._hp, self._wp = src.shape
+        qp = qp_row_for(self.fr.base_q_idx, self.fr.delta_q_y_dc, 0,
+                        self.seq.bit_depth)
+        # narrow upload dtype: the tunnel link is bandwidth-bound and the
+        # jitted lattice casts to int32 on device
+        lum_dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
+        self._pending = intra_analysis_batch(
+            jax.device_put(src.astype(lum_dt)[None]),
+            jax.device_put(qp[None]),
+            jax.device_put(self.rd_row()[None]),
+            depths=self.DEPTHS, bit_depth=self.seq.bit_depth,
+            psy=self.psy_fixed > 0)
 
-            qp = qp_row_for(self.fr.base_q_idx, self.fr.delta_q_y_dc, 0,
-                            self.seq.bit_depth)
-            packed_row = np.asarray(intra_analysis_batch(
-                jax.device_put(src.astype(np.int32)[None]),
-                jax.device_put(qp[None]),
-                jax.device_put(self.rd_row()[None]),
-                depths=self.DEPTHS, bit_depth=self.seq.bit_depth,
-                psy=self.psy_fixed > 0))[0]
+    def analyze(self, packed_row: np.ndarray | None = None) -> None:
+        """Pull the device (J, mode) lattice. `packed_row` = precomputed
+        row from intra_analysis_batch (group pipeline); None = fetch the
+        dispatched call (dispatching now if needed)."""
+        from ..device.intra import unpack_rd_analysis
+
+        if packed_row is None:
+            if getattr(self, "_pending", None) is None:
+                self.analyze_dispatch()
+            packed_row = np.asarray(self._pending)[0]
+            self._pending = None
+            hp, wp = self._hp, self._wp
+        else:
+            src = self.pad_src(self.md.pctx[0].src)
+            hp, wp = src.shape
         self.stats = unpack_rd_analysis(packed_row, hp, wp, self.DEPTHS)
 
     # ---- partition argmin ------------------------------------------------
@@ -338,14 +353,17 @@ class DeviceInterMD(DeviceIntraMD):
             mode_rate, new_base, zero_base,
             np.array([self.psy_fixed], np.int64)]).astype(np.int32)
 
-    def analyze(self) -> None:
+    def analyze_dispatch(self) -> None:
+        """Non-blocking launch of the fused inter lattice (see
+        DeviceIntraMD.analyze_dispatch)."""
         import jax
 
-        from ..device.inter import inter_analysis, unpack_inter_analysis
+        from ..device.inter import inter_analysis
         from ..device.intra import qp_row_for
 
         src = self.pad_src(self.md.pctx[0].src)
         hp, wp = src.shape
+        self._hp, self._wp = hp, wp
 
         def pad64(p):
             h, w = p.shape
@@ -353,17 +371,28 @@ class DeviceInterMD(DeviceIntraMD):
                 p = np.pad(p, ((0, hp - h), (0, wp - w)), mode="edge")
             return p
 
+        lum_dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
         refs = np.stack([pad64(np.ascontiguousarray(
             self.md.ref_planes[n][0])) for n in self.ref_names])
         qp = qp_row_for(self.fr.base_q_idx, self.fr.delta_q_y_dc, 0,
                         self.seq.bit_depth)
-        row = np.asarray(inter_analysis(
-            jax.device_put(src.astype(np.int32)),
-            jax.device_put(refs.astype(np.int32)),
+        self._pending = inter_analysis(
+            jax.device_put(src.astype(lum_dt)),
+            jax.device_put(refs.astype(lum_dt)),
             jax.device_put(qp), jax.device_put(self.rd_row()),
             depths=self.DEPTHS, bit_depth=self.seq.bit_depth,
-            psy=self.psy_fixed > 0))
-        self.stats = unpack_inter_analysis(row, hp, wp, self.DEPTHS)
+            psy=self.psy_fixed > 0)
+
+    def analyze(self, packed_row: np.ndarray | None = None) -> None:
+        from ..device.inter import unpack_inter_analysis
+
+        if packed_row is None:
+            if getattr(self, "_pending", None) is None:
+                self.analyze_dispatch()
+            packed_row = np.asarray(self._pending)
+            self._pending = None
+        self.stats = unpack_inter_analysis(packed_row, self._hp, self._wp,
+                                           self.DEPTHS)
 
     # ---- argmin leaf payload ---------------------------------------------
     def _leaf_j(self, blk: int, by: int, bx: int, rdmult: int):

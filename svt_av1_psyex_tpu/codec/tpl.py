@@ -250,8 +250,21 @@ def run_tpl(group_lumas: list, base_qindex: int,
         return p
 
     srcs = np.stack([pad64(np.asarray(p)) for p in group_lumas])
+    # bucket the group length to a multiple of 8 (repeat the last frame):
+    # the jitted device scan's length is part of the compiled shape, and
+    # over a tunnelled link each new shape is a ~100s XLA compile — the
+    # shrinking end-of-stream lookahead must not mint fresh programs.
+    # Trailing repeats predict perfectly from themselves, so their
+    # propagated dependency is ~zero; the host model only reads the real
+    # frames' rows anyway.
+    n_real = len(srcs)
+    pad_to = (n_real + 7) & ~7
+    if pad_to != n_real:
+        srcs = np.concatenate(
+            [srcs, np.repeat(srcs[-1:], pad_to - n_real, axis=0)])
     qp = qp_row_for(int(np.clip(base_qindex, 1, 255)), 0, 0, bit_depth)
+    lum_dt = np.uint8 if bit_depth == 8 else np.uint16
     stats = np.asarray(tpl_group_stats(
-        jax.device_put(srcs.astype(np.int32)), jax.device_put(qp),
-        bit_depth=bit_depth))
+        jax.device_put(srcs.astype(lum_dt)), jax.device_put(qp),
+        bit_depth=bit_depth))[:n_real]
     return TplModel(stats, base_qindex, bit_depth)

@@ -1,6 +1,6 @@
-"""Device compute kernels.
+"""Spec-exact integer reference kernels (numpy, batched).
 
-Every op has a spec-exact integer reference implementation (numpy,
-batched) used for conformance-critical paths and as the test oracle for
-the Pallas/TPU kernels. TPU variants live in ops/pallas/.
+These are the conformance-critical implementations and the test oracles.
+The TPU analysis-tier counterparts live in svt_av1_psyex_tpu/device/
+(jnp/XLA lattices; MXU matmul DCTs in device/matdct.py).
 """

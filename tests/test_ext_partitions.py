@@ -52,7 +52,7 @@ def _force(monkeypatch, target_part, at_bsize=6):
     orig_init = mdmod.ModeDecision.__init__
 
     def init(self, *a, **kw):
-        kw["try_4way"] = True  # inter 4-way is xfail below; search gate off
+        kw["try_4way"] = True  # force the search on regardless of preset
         orig_init(self, *a, **kw)
 
     monkeypatch.setattr(mdmod.ModeDecision, "__init__", init)
