@@ -220,6 +220,20 @@ class Av1Encoder:
         precomputed device MD lattice row; `_group` is a list collector —
         when set, CDEF search and the bitstream pass are deferred (the
         state dict is appended and returned instead of TU bytes)."""
+        import os as _os
+        import time as _time
+
+        _timing = _os.environ.get("SVT_TPU_TIMING") == "1"
+        _t0 = _time.perf_counter() if _timing else 0.0
+        try:
+            return self._begin_frame_impl(planes, base_q_idx, force_key,
+                                          plan, _analysis_row, _group)
+        finally:
+            if _timing:
+                self._tick("begin", _t0)
+
+    def _begin_frame_impl(self, planes, base_q_idx=80, force_key=False,
+                          plan=None, _analysis_row=None, _group=None):
         seq = self.seq
         if not hasattr(self, "slots"):
             self.slots = [None] * 8
@@ -963,10 +977,13 @@ class Av1Encoder:
             ck = int(os.environ.get("SVT_TPU_GROUP_CHUNK", "0")) or n
             chunks = [(s, min(s + ck, n)) for s in range(0, n, ck)]
 
+        grp_depths = DeviceIntraMD.depths_for(
+            self._min_partition_bsize, self.mi_rows, self.mi_cols)
+
         def launch(s, e):
             return intra_analysis_batch(
                 args[0][s:e], args[1][s:e], args[2][s:e],
-                depths=DeviceIntraMD.DEPTHS, bit_depth=self.seq.bit_depth,
+                depths=grp_depths, bit_depth=self.seq.bit_depth,
                 psy=psy_fixed > 0)
 
         group: list = []

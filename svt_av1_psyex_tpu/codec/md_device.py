@@ -48,6 +48,25 @@ class DeviceIntraMD:
 
     DEPTHS = (64, 32, 16, 8)
 
+    @staticmethod
+    def depths_for(min_bsize: int, mi_rows: int = 0, mi_cols: int = 0):
+        """Depths the partition argmin can actually reach: computing
+        lattice tiers below the preset min split size is pure waste (the
+        jitted program shrinks with it).  Frame-boundary SBs are forced
+        to split below the preset min until blocks fit inside the frame,
+        so we also keep every depth down to the largest power-of-two
+        that tiles both frame dimensions (e.g. 720 = 11*64+16 needs
+        16-px leaves along the bottom edge)."""
+        blk = int(BLOCK_W[min_bsize])
+        if mi_rows and mi_cols:
+            h, w = mi_rows * 4, mi_cols * 4
+            align = next(d for d in (64, 32, 16, 8)
+                         if h % d == 0 and w % d == 0)
+            blk = min(blk, align)
+        else:
+            blk = 8  # dims unknown: keep everything (safe)
+        return tuple(d for d in (64, 32, 16, 8) if d >= blk)
+
     # RD constant cache: keyframe CDFs are a pure function of base_q_idx,
     # so the derived cost tables are too (inter/forwarded CDFs must not
     # use this)
@@ -59,6 +78,8 @@ class DeviceIntraMD:
         self.fr = fr
         self.sb_qmap = sb_qmap
         self.mi_rows, self.mi_cols = md.mi_rows, md.mi_cols
+        self.DEPTHS = self.depths_for(getattr(md, "min_bsize", 3),
+                                      self.mi_rows, self.mi_cols)
         from ..device.intra import DEVICE_MODES
 
         self.modes = np.array(DEVICE_MODES, np.int32)
@@ -311,6 +332,8 @@ class DeviceInterMD(DeviceIntraMD):
         self.fr = fr
         self.sb_qmap = sb_qmap
         self.mi_rows, self.mi_cols = md.mi_rows, md.mi_cols
+        self.DEPTHS = self.depths_for(getattr(md, "min_bsize", 3),
+                                      self.mi_rows, self.mi_cols)
         self.ref_names = ref_names  # lattice ref index -> named ref (1..7)
         from ..device.intra import DEVICE_MODES
 
