@@ -19,3 +19,33 @@ try:
     jax.config.update("jax_platforms", "cpu")
 except ImportError:  # pragma: no cover
     pass
+
+# ---- quick/slow split (VERDICT r2 #10) ------------------------------------
+# `pytest -m quick` = kernel/unit tier for the inner dev loop (< 3 min);
+# `pytest -m slow` = e2e encodes + dav1d round-trips; no -m = everything.
+# Slow files are marked wholesale: each runs multi-frame encoder e2e.
+_SLOW_FILES = {
+    "test_10bit.py", "test_444.py", "test_api.py", "test_cdf_forwarding.py",
+    "test_cfl.py", "test_conformance_intra.py", "test_e2e_inter.py",
+    "test_e2e_intra.py", "test_ext_partitions.py", "test_film_grain.py",
+    "test_filter_intra.py", "test_gop.py", "test_mono.py",
+    "test_psy_knobs.py", "test_qm.py", "test_rc.py", "test_restoration.py",
+    "test_scd.py", "test_segmentation.py", "test_tiles.py",
+    "test_twopass.py", "test_tx_select.py",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: multi-frame e2e encodes")
+    config.addinivalue_line("markers", "quick: kernel/unit tier")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pathlib
+
+    import pytest
+
+    for item in items:
+        name = pathlib.Path(str(item.fspath)).name
+        item.add_marker(pytest.mark.slow if name in _SLOW_FILES
+                        else pytest.mark.quick)

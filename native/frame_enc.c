@@ -17,7 +17,9 @@
  * Scope (v1): single tile, 64x64 superblocks, NONE/SPLIT partitions,
  * one max-rect tx block per plane per leaf, non-directional intra modes
  * (the device lattice's candidate set), single-ref inter with
- * NEAREST/NEAR/GLOBAL/NEW mapping. Python falls back for anything wider.
+ * NEAREST/NEAR/GLOBAL/NEW mapping, compound average inter
+ * (NEW_NEW/GLOBAL_GLOBAL + joint NEAREST/NEAR matches). Python falls
+ * back for anything wider.
  */
 
 #include <stdint.h>
@@ -57,10 +59,12 @@ enum {
     LF_SKIP, LF_EOB_Y, LF_EOB_U, LF_EOB_V,
     LF_OFF_Y, LF_OFF_U, LF_OFF_V,
     LF_MVY_OUT, LF_MVX_OUT, LF_MODE_OUT, LF_DRL_OUT,
-    LF_TXS_Y, LF_TXS_UV, LF_RSVD,
+    LF_TXS_Y, LF_TXS_UV,
+    LF_REF1, LF_MVY1, LF_MVX1, LF_MVY1_OUT, LF_MVX1_OUT, LF_RSVD,
     LEAF_I32
 };
 #define FLAG_INTER 1
+#define FLAG_COMP 2
 
 /* ---- commit job (pointers marshalled from Python as int64 slots) ------ */
 typedef struct {
@@ -265,6 +269,106 @@ static void mc_block(const int32_t *ref, int stride, int rw, int rh, int x,
         }
 }
 
+/* ---- compound MC (ops/mc.py mc_block_convbuf + compound_average) ------
+ * Counterpart: svt_av1_jnt_convolve_* (inter_prediction.c:494-660),
+ * compound_idx = 1 (plain average), REGULAR filter. Predictions stay in
+ * the high-precision CONV domain (round_0 = 3, round_1 = 7), then the
+ * pair is averaged and rounded to pixels. */
+#define COMP_ROUND1 7
+
+static int32_t CONV0[64 * 64], CONV1[64 * 64];
+
+static void mc_convbuf(const int32_t *ref, int stride, int rw, int rh,
+                       int x, int y, int w, int h, int mv_row, int mv_col,
+                       int ss_x, int ss_y, int bit_depth, const int16_t *f8,
+                       const int16_t *f4, int32_t *out) {
+    int ix, iy, subx, suby;
+    if (ss_x) { ix = x + (mv_col >> 4); subx = mv_col & 15; }
+    else      { ix = x + (mv_col >> 3); subx = (mv_col & 7) << 1; }
+    if (ss_y) { iy = y + (mv_row >> 4); suby = mv_row & 15; }
+    else      { iy = y + (mv_row >> 3); suby = (mv_row & 7) << 1; }
+    const int bd = bit_depth;
+    const int offset_bits = bd + 2 * FILTER_BITS - ROUND0;
+    const int64_t round_offset =
+        ((int64_t)1 << (offset_bits - COMP_ROUND1)) +
+        ((int64_t)1 << (offset_bits - COMP_ROUND1 - 1));
+    const int16_t *ftab_x = (w <= 4) ? f4 : f8;
+    const int16_t *ftab_y = (h <= 4) ? f4 : f8;
+    const int16_t *kx = ftab_x + (subx & 15) * 8;
+    const int16_t *ky = ftab_y + (suby & 15) * 8;
+
+    if (subx == 0 && suby == 0) { /* jnt_convolve_2d_copy */
+        const int bits = 2 * FILTER_BITS - ROUND0 - COMP_ROUND1;
+        for (int r = 0; r < h; r++) {
+            const int32_t *row =
+                ref + (int64_t)clampi(iy + r, 0, rh - 1) * stride;
+            for (int c = 0; c < w; c++)
+                out[(int64_t)r * w + c] = (int32_t)(
+                    ((int64_t)row[clampi(ix + c, 0, rw - 1)] << bits) +
+                    round_offset);
+        }
+        return;
+    }
+    if (suby == 0) { /* jnt_convolve_x: bits = FILTER_BITS - round_1 = 0 */
+        mc_patch(ref, stride, rw, rh, ix - 3, iy, w + 7, h, MC_TMP);
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++) {
+                int64_t s = 0;
+                for (int k = 0; k < 8; k++)
+                    s += (int64_t)kx[k] * MC_TMP[(int64_t)r * (w + 7) + c + k];
+                out[(int64_t)r * w + c] =
+                    (int32_t)(rp2(s, ROUND0) + round_offset);
+            }
+        return;
+    }
+    if (subx == 0) { /* jnt_convolve_y */
+        const int bits = FILTER_BITS - ROUND0; /* 4 */
+        mc_patch(ref, stride, rw, rh, ix, iy - 3, w, h + 7, MC_TMP);
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++) {
+                int64_t s = 0;
+                for (int k = 0; k < 8; k++)
+                    s += (int64_t)ky[k] * MC_TMP[(int64_t)(r + k) * w + c];
+                out[(int64_t)r * w + c] =
+                    (int32_t)(rp2(s << bits, COMP_ROUND1) + round_offset);
+            }
+        return;
+    }
+    /* 2D */
+    const int im_h = h + 7;
+    mc_patch(ref, stride, rw, rh, ix - 3, iy - 3, w + 7, im_h, MC_TMP);
+    for (int r = 0; r < im_h; r++)
+        for (int c = 0; c < w; c++) {
+            int64_t s = 0;
+            for (int k = 0; k < 8; k++)
+                s += (int64_t)kx[k] * MC_TMP[(int64_t)r * (w + 7) + c + k];
+            MC_TMP2[(int64_t)r * w + c] =
+                rp2(s + ((int64_t)1 << (bd + FILTER_BITS - 1)), ROUND0);
+        }
+    for (int r = 0; r < h; r++)
+        for (int c = 0; c < w; c++) {
+            int64_t s = 0;
+            for (int k = 0; k < 8; k++)
+                s += (int64_t)ky[k] * MC_TMP2[(int64_t)(r + k) * w + c];
+            out[(int64_t)r * w + c] =
+                (int32_t)rp2(s + ((int64_t)1 << offset_bits), COMP_ROUND1);
+        }
+}
+
+static void comp_avg(const int32_t *b0, const int32_t *b1, int n,
+                     int bit_depth, int32_t *out) {
+    const int offset_bits = bit_depth + 2 * FILTER_BITS - ROUND0;
+    const int64_t round_offset =
+        ((int64_t)1 << (offset_bits - COMP_ROUND1)) +
+        ((int64_t)1 << (offset_bits - COMP_ROUND1 - 1));
+    const int round_bits = 2 * FILTER_BITS - ROUND0 - COMP_ROUND1; /* 4 */
+    const int maxv = (1 << bit_depth) - 1;
+    for (int i = 0; i < n; i++) {
+        int64_t tmp = (((int64_t)b0[i] + b1[i]) >> 1) - round_offset;
+        out[i] = (int32_t)clampi((int)rp2(tmp, round_bits), 0, maxv);
+    }
+}
+
 /* ---- quarter-pel refinement (codec/md.py _subpel_refine) -------------- */
 static int32_t SP_PRED[64 * 64];
 
@@ -378,6 +482,27 @@ static int commit_inter_txb(const CommitJob *j, int plane, int ref_id, int x,
                           qc);
 }
 
+static int commit_comp_txb(const CommitJob *j, int plane, int ref0, int ref1,
+                           int x, int y, int tx, int mvr0, int mvc0,
+                           int mvr1, int mvc1, int qindex, int32_t *qc) {
+    const int w = TXW[tx], h = TXH[tx];
+    const int ss_x = plane ? j->ss_x : 0, ss_y = plane ? j->ss_y : 0;
+    int64_t q10[10];
+    q10_for_tx(j, plane, qindex, tx, q10);
+    mc_convbuf(j->ref_pl[ref0][plane], j->ref_stride[ref0][plane],
+               j->ref_w[ref0][plane], j->ref_h[ref0][plane], x, y, w, h,
+               mvr0, mvc0, ss_x, ss_y, j->bit_depth, j->subpel8, j->subpel4,
+               CONV0);
+    mc_convbuf(j->ref_pl[ref1][plane], j->ref_stride[ref1][plane],
+               j->ref_w[ref1][plane], j->ref_h[ref1][plane], x, y, w, h,
+               mvr1, mvc1, ss_x, ss_y, j->bit_depth, j->subpel8, j->subpel4,
+               CONV1);
+    comp_avg(CONV0, CONV1, w * h, j->bit_depth, PRED);
+    return svt_txb_commit(j->tx_desc[tx], j->src[plane], j->stride[plane],
+                          j->recon[plane], j->stride[plane], PRED, x, y, q10,
+                          qc);
+}
+
 /* run the commit pass over all leaves; returns used qcoeff words, or -1 */
 int64_t svt_frame_commit(void) {
     CommitJob *j = &g_job;
@@ -396,7 +521,19 @@ int64_t svt_frame_commit(void) {
         L[LF_TXS_Y] = tx;
         int eob_y, eob_u = 0, eob_v = 0;
         int mvr = L[LF_MVY], mvc = L[LF_MVX];
-        if (is_inter) {
+        int mvr1 = L[LF_MVY1], mvc1 = L[LF_MVX1];
+        const int is_comp = L[LF_FLAGS] & FLAG_COMP;
+        if (is_comp) {
+            const int ref0 = L[LF_REF0], ref1 = L[LF_REF1];
+            if (mvr != 0 || mvc != 0)
+                subpel_refine(j, ref0, x, y, bw4 * 4, bh4 * 4, &mvr, &mvc);
+            if (mvr1 != 0 || mvc1 != 0)
+                subpel_refine(j, ref1, x, y, bw4 * 4, bh4 * 4, &mvr1, &mvc1);
+            L[LF_OFF_Y] = (int32_t)off;
+            eob_y = commit_comp_txb(j, 0, ref0, ref1, x, y, tx, mvr, mvc,
+                                    mvr1, mvc1, qindex, j->qcoeff + off);
+            off += (int64_t)cwy * chy;
+        } else if (is_inter) {
             const int ref_id = L[LF_REF0];
             if (mvr != 0 || mvc != 0)
                 subpel_refine(j, ref_id, x, y, bw4 * 4, bh4 * 4, &mvr, &mvc);
@@ -412,6 +549,8 @@ int64_t svt_frame_commit(void) {
         }
         L[LF_MVY_OUT] = mvr;
         L[LF_MVX_OUT] = mvc;
+        L[LF_MVY1_OUT] = mvr1;
+        L[LF_MVX1_OUT] = mvc1;
         L[LF_EOB_Y] = eob_y;
         if (has_chroma(j, r, c, bw4, bh4)) {
             int cw_px = (bw4 * 4) >> j->ss_x;
@@ -426,7 +565,11 @@ int64_t svt_frame_commit(void) {
             L[LF_TXS_UV] = uv_tx;
             for (int p = 1; p <= 2; p++) {
                 int eob;
-                if (is_inter)
+                if (is_comp)
+                    eob = commit_comp_txb(j, p, L[LF_REF0], L[LF_REF1], cx,
+                                          cy, uv_tx, mvr, mvc, mvr1, mvc1,
+                                          qindex, j->qcoeff + off);
+                else if (is_inter)
                     eob = commit_inter_txb(j, p, L[LF_REF0], cx, cy, uv_tx,
                                            mvr, mvc, qindex, j->qcoeff + off);
                 else

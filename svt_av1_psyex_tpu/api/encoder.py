@@ -165,6 +165,18 @@ class SvtAv1Encoder:
             low_q_taper=bool(cfg.low_q_taper)
             and cfg.rate_control_mode == 0,
             adaptive_film_grain=bool(cfg.adaptive_film_grain))
+        # pre-dispatch the encode's device programs so the tunnelled
+        # TPU's server-side compiles overlap each other and the host's
+        # startup work instead of stalling mid-encode (encoder.py
+        # warm_device)
+        tpl_frames = 0
+        if self._tpl_on() and not self._rc:
+            from ..codec.tpl import tpl_bucket
+
+            la = cfg.look_ahead_distance
+            la = 8 if la < 0 else min(la, 32)
+            tpl_frames = tpl_bucket(self._max_minigop() + la)
+        self._enc.warm_device(tpl_frames)
         self._initialized = True
 
     def stream_header(self) -> bytes:

@@ -7,10 +7,24 @@ for the implemented set; --svtav1-params k=v:k=v passthrough supported.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+# Honor JAX_PLATFORMS for CLI runs: the axon terminal's sitecustomize
+# (axon.register.pjrt) force-updates jax_platforms to "axon,cpu" in every
+# process at startup, which silently overrides the env var — and a dev
+# run that asked for CPU then dials the TPU tunnel. conftest.py does the
+# same re-update for tests.
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except ImportError:  # pragma: no cover
+        pass
 
 from ..api.config import EncoderConfig
 from ..api.encoder import SvtAv1Encoder, svt_av1_get_version

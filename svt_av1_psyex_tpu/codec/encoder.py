@@ -160,6 +160,105 @@ class Av1Encoder:
             return 5
         return 7
 
+    def _device_md_precheck(self) -> bool:
+        """Frame-independent device-MD eligibility (the fr-dependent
+        gates — QM, segmentation, tx select — are re-checked per frame
+        in begin_frame's dev_ok). Presets 7+ ride the device lattice;
+        slower presets still need host-only tools (ext partitions,
+        filter-intra/CfL search, restoration-aware RD)."""
+        import os
+
+        seq = self.seq
+        return (self.preset >= 7 and not seq.use_128x128_superblock
+                and self.tile_cols_log2 == 0 and self.qm is None
+                and self.noise_norm_strength == 0 and not self.seg_aq
+                and not self.max_32_tx_size  # needs TX_MODE_SELECT splits
+                and (seq.mono_chrome
+                     or (seq.subsampling_x and seq.subsampling_y))
+                and os.environ.get("SVT_TPU_HOST_MD") != "1")
+
+    def warm_device(self, tpl_frames: int = 0) -> None:
+        """Pre-dispatch every device program this encode will use, on a
+        background thread, with zero-filled inputs of the REAL shapes.
+
+        The axon-tunnelled TPU compiles server-side at first execution
+        (~60-200s per program) and compiles distinct programs
+        concurrently — dispatching them all up front turns a sum of
+        mid-encode stalls into one overlapped warm-up that also runs
+        under the host's own startup work. No-op on CPU (tests) and for
+        configs the device path can't serve. SVT_TPU_NO_WARM=1 disables.
+
+        tpl_frames: padded TPL group length (codec.tpl.tpl_bucket of the
+        minigop+lookahead size); 0 = encode won't run TPL."""
+        import os
+        import threading
+
+        if os.environ.get("SVT_TPU_NO_WARM") == "1":
+            return
+        if not self._device_md_precheck():
+            return
+        import jax
+
+        # Decide from config/env WITHOUT touching jax backends:
+        # jax.default_backend() initializes every registered PJRT plugin,
+        # and the axon register hook (_axon_get_backend_uncached) dials
+        # the TPU tunnel even under JAX_PLATFORMS=cpu — a blocked tunnel
+        # would hang init() on the main thread. The worker thread below
+        # re-checks the real backend and bails on CPU.
+        plats = (getattr(jax.config, "jax_platforms", None)
+                 or os.environ.get("JAX_PLATFORMS", ""))
+        if plats.split(",")[0].strip().lower() == "cpu":
+            return
+
+        seq = self.seq
+        hp = (self.aligned_h + 63) & ~63
+        wp = (self.aligned_w + 63) & ~63
+        lum_dt = np.uint8 if seq.bit_depth == 8 else np.uint16
+        psy = self.psy_rd > 0.0
+        bd = seq.bit_depth
+        from .md_device import REFS_CANON, DeviceIntraMD
+
+        depths = DeviceIntraMD.depths_for(self._min_partition_bsize,
+                                          self.mi_rows, self.mi_cols)
+
+        def work():
+            if jax.default_backend() == "cpu":
+                return
+            from ..device.inter import inter_analysis
+            from ..device.intra import N_MODES, intra_analysis_batch, qp_row_for
+
+            qp = jax.device_put(qp_row_for(100, 0, 0, bd))
+            src = jax.device_put(np.zeros((hp, wp), lum_dt))
+            # dispatch in first-use order (the device stream drains FIFO:
+            # the key frame's intra program should be runnable first)
+            rdi = np.zeros(3 + N_MODES + 1, np.int32)
+            rdi[0] = 1
+            out = [intra_analysis_batch(
+                jax.device_put(np.zeros((1, hp, wp), lum_dt)),
+                jax.device_put(qp_row_for(100, 0, 0, bd)[None]),
+                jax.device_put(rdi[None]), depths=depths, bit_depth=bd,
+                psy=psy)]
+            if tpl_frames:
+                from ..device.tpl import tpl_group_stats
+
+                out.append(tpl_group_stats(
+                    jax.device_put(np.zeros((tpl_frames, hp, wp), lum_dt)),
+                    qp, bit_depth=bd))
+            rd = np.zeros(3 + N_MODES + 18 + 1, np.int32)
+            rd[0] = 1
+            out.append(inter_analysis(
+                src, jax.device_put(np.zeros((REFS_CANON, hp, wp), lum_dt)),
+                qp, jax.device_put(rd), depths=depths, bit_depth=bd,
+                psy=psy))
+            # hold until executed: fetching one element of the LAST
+            # program keeps the thread (and the tracebacks of any compile
+            # failure) alive through the whole warm-up
+            np.asarray(out[-1])
+
+        self._warm_thread = threading.Thread(target=work, daemon=True,
+                                             name="svt-tpu-warm")
+        self._warm_thread.start()
+
     @property
     def _min_partition_bsize(self) -> int:
         """Preset -> smallest searched square bsize (depth ladder)."""
@@ -259,8 +358,12 @@ class Av1Encoder:
         fr.refresh_frame_flags = plan.refresh_flags
         # TX_MODE_SELECT at the slower presets (the reference's tx-depth
         # search levels, product_coding_loop.c tx_size search); faster
-        # presets stay TX_MODE_LARGEST
-        fr.tx_mode_select = self.preset <= 9
+        # presets stay TX_MODE_LARGEST. Frames the device-MD lattice will
+        # carry also stay TX_MODE_LARGEST: the lattice costs and the
+        # native commit assume max-rect transforms, and the tx-depth
+        # search is the trade the device tier makes for its 10x+ speedup
+        # (same speed-feature direction as the reference's fast tiers).
+        fr.tx_mode_select = self.preset <= 9 and not self._device_md_precheck()
         if not is_key:
             # map each named ref (LAST..ALTREF = 1..7) to a DPB slot;
             # unspecified names alias the first specified slot
@@ -443,7 +546,7 @@ class Av1Encoder:
 
         # device-MD eligibility (shared gates): fused inter lattice for
         # inter frames, intra lattice for key frames
-        dev_ok = (self.preset >= 10 and not fr.tx_mode_select
+        dev_ok = (self.preset >= 7 and not fr.tx_mode_select
                   and not seq.use_128x128_superblock
                   and n_tiles == 1 and not fr.using_qmatrix
                   and self.noise_norm_strength == 0
@@ -502,7 +605,6 @@ class Av1Encoder:
             from .md_device import DeviceInterMD, DeviceIntraMD
 
             if use_device_inter:
-                fr.reference_select = False  # single-ref candidates only
                 dmd = DeviceInterMD(md, seq, fr, sb_qmap,
                                     ref_names=sorted(ref_planes))
                 dmd.analyze_dispatch()
@@ -919,9 +1021,7 @@ class Av1Encoder:
 
         import jax
 
-        use_device = (self.preset >= 10
-                      and not self.seq.use_128x128_superblock
-                      and os.environ.get("SVT_TPU_HOST_MD") != "1")
+        use_device = self._device_md_precheck()
         if not use_device or len(frames) <= 1:
             return [self.encode_frame(f, base_q_idx, force_key=True)
                     for f in frames]

@@ -37,6 +37,8 @@ from .rd import cdf_costs, compute_rdmult
 
 _BLK_TO_BSIZE = {8: BlockSize.B8X8, 16: BlockSize.B16X16,
                  32: BlockSize.B32X32, 64: BlockSize.B64X64}
+# canonical device ref-stack size (see DeviceInterMD.analyze_dispatch)
+REFS_CANON = 3
 # partition-cdf ctx row at neutral neighbors: ctx = bsl_ctx * 4
 _BSL_CTX = {8: 0, 16: 1, 32: 2, 64: 3}
 
@@ -334,7 +336,23 @@ class DeviceInterMD(DeviceIntraMD):
         self.mi_rows, self.mi_cols = md.mi_rows, md.mi_cols
         self.DEPTHS = self.depths_for(getattr(md, "min_bsize", 3),
                                       self.mi_rows, self.mi_cols)
-        self.ref_names = ref_names  # lattice ref index -> named ref (1..7)
+        # lattice ref index -> named ref (1..7). Compound convention
+        # (device/inter.py): the legal (forward, backward) pair — the
+        # host MD's pick, md.py _inter_candidates — rides slots 0 and 1,
+        # so the one compiled program serves every frame; frames without
+        # a pair keep prohibitive compound bases in rd_row.
+        names = list(ref_names)
+        self.comp_pair = None
+        if getattr(fr, "reference_select", False) and md.mi_state is not None:
+            bias = md.mi_state.sign_bias
+            fwds = [n for n in names if not bias[n]]
+            bwds = [n for n in names if bias[n]]
+            if fwds and bwds:
+                pair = (fwds[0], bwds[-1])
+                names = [pair[0], pair[1]] + [n for n in names
+                                              if n not in pair]
+                self.comp_pair = pair
+        self.ref_names = names
         from ..device.intra import DEVICE_MODES
 
         self.modes = np.array(DEVICE_MODES, np.int32)
@@ -350,11 +368,11 @@ class DeviceInterMD(DeviceIntraMD):
 
     def rd_row(self) -> np.ndarray:
         """[rdmult, skip0, skip1, intra mode costs x M, NEWMV base x 8,
-        zero-MV base x 8, psy_factor<<8] — neutral-context snapshot costs
-        (the exact neighbor-dependent rates only re-weight the host tree
-        walk)."""
+        zero-MV base x 8, compound NEW/zero bases, psy_factor<<8] —
+        neutral-context snapshot costs (the exact neighbor-dependent
+        rates only re-weight the host tree walk)."""
         md = self.md
-        from .constants import SIZE_GROUP
+        from .constants import InterMode
         from .rd import cdf_costs as cc
 
         ii = cc(md.cdfs.intra_inter[0][0])
@@ -363,17 +381,34 @@ class DeviceInterMD(DeviceIntraMD):
         mode_rate = ym + int(ii[0])
         newmv_c = cc(md.cdfs.newmv[0][0])
         zeromv_c = cc(md.cdfs.zeromv[0][0])
-        refmv_c = cc(md.cdfs.refmv[0][0])
-        new_base = np.zeros(8, np.int64)
-        zero_base = np.zeros(8, np.int64)
+        # single-vs-compound symbol (comp_inter, neutral ctx) precedes
+        # the ref trees whenever the frame signals reference_select
+        cm0 = cm1 = 0
+        if self.comp_pair is not None:
+            cm = cc(md.cdfs.comp_inter[0][0])
+            cm0, cm1 = int(cm[0]), int(cm[1])
+        # padded ref slots (shape canonicalization, analyze_dispatch) get
+        # a prohibitive base cost so they can never win the RD reduction
+        new_base = np.full(8, 1 << 28, np.int64)
+        zero_base = np.full(8, 1 << 28, np.int64)
         for ri, name in enumerate(self.ref_names):
-            rr = md._single_ref_rate(0, 0, 0, name)
+            rr = md._single_ref_rate(0, 0, 0, name) + cm0
             new_base[ri] = int(ii[1]) + rr + int(newmv_c[0])
             zero_base[ri] = (int(ii[1]) + rr + int(newmv_c[1])
                              + int(zeromv_c[0]))
+        comp_base = np.full(2, 1 << 28, np.int64)
+        if self.comp_pair is not None:
+            cmode = cc(md.cdfs.inter_compound_mode[0][0])
+            ref_r = int(ii[1]) + cm1 + md._comp_ref_rate(0, 0,
+                                                         self.comp_pair)
+            base0 = int(InterMode.NEAREST_NEARESTMV)
+            comp_base[0] = ref_r + int(
+                cmode[int(InterMode.NEW_NEWMV) - base0])
+            comp_base[1] = ref_r + int(
+                cmode[int(InterMode.GLOBAL_GLOBALMV) - base0])
         return np.concatenate([
             np.array([md.rdmult, self.skip0, self.skip1], np.int64),
-            mode_rate, new_base, zero_base,
+            mode_rate, new_base, zero_base, comp_base,
             np.array([self.psy_fixed], np.int64)]).astype(np.int32)
 
     def analyze_dispatch(self) -> None:
@@ -397,6 +432,15 @@ class DeviceInterMD(DeviceIntraMD):
         lum_dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
         refs = np.stack([pad64(np.ascontiguousarray(
             self.md.ref_planes[n][0])) for n in self.ref_names])
+        # canonical ref count: every inter frame compiles to the SAME
+        # device program (BFS layers see 2 or 3 refs; each distinct count
+        # would otherwise be its own ~60-200s server-side compile over
+        # the tunnel). Padded slots repeat ref 0 and carry the 1<<28 base
+        # cost from rd_row, so they never win.
+        if refs.shape[0] < REFS_CANON:
+            refs = np.concatenate(
+                [refs, np.repeat(refs[:1], REFS_CANON - refs.shape[0],
+                                 axis=0)])
         qp = qp_row_for(self.fr.base_q_idx, self.fr.delta_q_y_dc, 0,
                         self.seq.bit_depth)
         self._pending = inter_analysis(
@@ -419,11 +463,22 @@ class DeviceInterMD(DeviceIntraMD):
 
     # ---- argmin leaf payload ---------------------------------------------
     def _leaf_j(self, blk: int, by: int, bx: int, rdmult: int):
+        from ..device.inter import CAND_COMP_NEW, CAND_COMP_ZERO
+
         s = self.stats[blk]
         j = int(s["j"][by, bx])
         cand = int(s["cand"][by, bx])
         if cand < 10:
             return j, int(self.modes[cand])
+        if cand >= CAND_COMP_NEW:
+            if cand == CAND_COMP_ZERO:
+                mv0 = mv1 = (0, 0)
+            else:
+                mv0 = (int(s["mv_y"][by, bx]) * 8,
+                       int(s["mv_x"][by, bx]) * 8)
+                mv1 = (int(s["mv_y1"][by, bx]) * 8,
+                       int(s["mv_x1"][by, bx]) * 8)
+            return j, ("comp", self.comp_pair, mv0, mv1)
         ri, is_zero = divmod(cand - 10, 2)
         mv = (0, 0) if is_zero else (int(s["mv_y"][by, bx]) * 8,
                                      int(s["mv_x"][by, bx]) * 8)
@@ -435,8 +490,87 @@ class DeviceInterMD(DeviceIntraMD):
             leaf = super()._commit_leaf(r, c, bsize, payload)
             self.md.mi_state.set_block(r, c, bsize, -1, (0, 0), False)
             return leaf
+        if payload[0] == "comp":
+            return self._commit_comp_leaf(r, c, bsize, payload[1],
+                                          payload[2], payload[3])
         _, ref_id, mv = payload
         return self._commit_inter_leaf(r, c, bsize, ref_id, mv)
+
+    def _commit_comp_leaf(self, r: int, c: int, bsize: int, rf,
+                          mv0, mv1) -> LeafBlock:
+        """Conformant compound commit: per-ref subpel refine, joint MVP
+        match -> cheapest legal compound mode, spec compound-average MC
+        (ops.mc.mc_block_compound), exact txb chain."""
+        from ..ops.mc import mc_block_compound
+        from .constants import InterMode, mode_has_newmv
+        from .mvp import find_mv_stack
+
+        md = self.md
+        x, y = c * 4, r * 4
+        stack = find_mv_stack(md.mi_state, r, c, bsize, rf)
+        bw_px, bh_px = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+        if mv0 != (0, 0):
+            mv0 = md._subpel_refine(x, y, bw_px, bh_px, mv0, rf[0])
+        if mv1 != (0, 0):
+            mv1 = md._subpel_refine(x, y, bw_px, bh_px, mv1, rf[1])
+        pair = (tuple(mv0), tuple(mv1))
+        if pair == (tuple(stack.mvs[0]), tuple(stack.comp_mvs[0])):
+            mode = InterMode.NEAREST_NEARESTMV
+        elif stack.count >= 2 and pair == (tuple(stack.mvs[1]),
+                                           tuple(stack.comp_mvs[1])):
+            mode = InterMode.NEAR_NEARMV
+        elif pair == ((0, 0), (0, 0)):
+            mode = InterMode.GLOBAL_GLOBALMV
+        else:
+            mode = InterMode.NEW_NEWMV
+
+        ctx = self._commit_ctx
+        if ctx is None:
+            from ..native import commit as native_commit
+
+            if native_commit.available():
+                ctx = self._commit_ctx = native_commit.CommitCtx(
+                    self.seq.bit_depth)
+            else:
+                ctx = self._commit_ctx = False
+
+        ref_pl0 = md.ref_planes[rf[0]]
+        ref_pl1 = md.ref_planes[rf[1]]
+        tx_size = int(MAX_TX_SIZE_RECT[bsize])
+        pred = mc_block_compound(ref_pl0[0], ref_pl1[0], x, y, bw_px,
+                                 bh_px, mv0, mv1, 0, 0,
+                                 bit_depth=self.seq.bit_depth)
+        qc, eob = self._commit_pred(md.pctx[0], pred, x, y, tx_size, 0, ctx)
+        txbs = [{"plane": 0, "plane_bsize": bsize, "tx_size": tx_size,
+                 "tx_type": int(TxType.DCT_DCT), "qcoeff": qc, "eob": eob,
+                 "ux": x >> 2, "uy": y >> 2}]
+        bw4, bh4 = bw_px >> 2, bh_px >> 2
+        if md._has_chroma(r, c, bw4, bh4):
+            ssx, ssy = md.pctx[1].ss_x, md.pctx[1].ss_y
+            cw_px = max(bw_px >> ssx, 4)
+            ch_px = max(bh_px >> ssy, 4)
+            uv_bsize = block_size_of(cw_px, ch_px)
+            uv_tx = int(MAX_TX_SIZE_RECT[uv_bsize])
+            cx, cy = x >> ssx, y >> ssy
+            for p in (1, 2):
+                predc = mc_block_compound(
+                    ref_pl0[p], ref_pl1[p], cx, cy, int(TX_W[uv_tx]),
+                    int(TX_H[uv_tx]), mv0, mv1, ssx, ssy,
+                    bit_depth=self.seq.bit_depth)
+                qcc, eobc = self._commit_pred(md.pctx[p], predc, cx, cy,
+                                              uv_tx, p, ctx)
+                txbs.append({"plane": p, "plane_bsize": uv_bsize,
+                             "tx_size": uv_tx,
+                             "tx_type": int(TxType.DCT_DCT), "qcoeff": qcc,
+                             "eob": eobc, "ux": cx >> 2, "uy": cy >> 2})
+        skip = all(t["eob"] == 0 for t in txbs)
+        md.mi_state.set_block(r, c, bsize, rf[0], mv0,
+                              mode_has_newmv(int(mode)),
+                              ref_frame1=rf[1], mv1=mv1)
+        return LeafBlock(bsize, skip=skip, is_inter=True, ref_frame=rf[0],
+                         ref_frame1=rf[1], inter_mode=int(mode),
+                         mv=tuple(mv0), mv1=tuple(mv1), drl_index=0,
+                         coeffs=None if skip else txbs)
 
     def _commit_inter_leaf(self, r: int, c: int, bsize: int, ref_id: int,
                            mv) -> LeafBlock:

@@ -233,6 +233,18 @@ def tpl_frame_qindex(base_qindex: int, r0: float, layer: int,
     return int(np.clip(q, 1, base_qindex))
 
 
+TPL_BUCKETS = (16, 32)
+
+
+def tpl_bucket(n: int) -> int:
+    """Padded TPL group length: the smallest bucket that holds n, capped
+    at the largest (one compiled device program per bucket)."""
+    for b in TPL_BUCKETS:
+        if n <= b:
+            return b
+    return TPL_BUCKETS[-1]
+
+
 def run_tpl(group_lumas: list, base_qindex: int,
             bit_depth: int = 8) -> TplModel:
     """Pad + stack the group's source lumas, run the device dispenser,
@@ -250,15 +262,20 @@ def run_tpl(group_lumas: list, base_qindex: int,
         return p
 
     srcs = np.stack([pad64(np.asarray(p)) for p in group_lumas])
-    # bucket the group length to a multiple of 8 (repeat the last frame):
+    # bucket the group length to TPL_BUCKETS (repeat the last frame):
     # the jitted device scan's length is part of the compiled shape, and
-    # over a tunnelled link each new shape is a ~100s XLA compile — the
-    # shrinking end-of-stream lookahead must not mint fresh programs.
-    # Trailing repeats predict perfectly from themselves, so their
-    # propagated dependency is ~zero; the host model only reads the real
-    # frames' rows anyway.
+    # over a tunnelled link each new shape is a ~60-200s server-side XLA
+    # compile — the shrinking end-of-stream lookahead must not mint fresh
+    # programs, and a whole encode should use ONE tpl program (warmed at
+    # init by Av1Encoder.warm_device). Trailing repeats predict perfectly
+    # from themselves, so their propagated dependency is ~zero; the host
+    # model only reads the real frames' rows anyway. Groups longer than
+    # the largest bucket drop tail lookahead (diminishing propagation).
     n_real = len(srcs)
-    pad_to = (n_real + 7) & ~7
+    pad_to = tpl_bucket(n_real)
+    if n_real > pad_to:
+        srcs = srcs[:pad_to]
+        n_real = pad_to
     if pad_to != n_real:
         srcs = np.concatenate(
             [srcs, np.repeat(srcs[-1:], pad_to - n_real, axis=0)])

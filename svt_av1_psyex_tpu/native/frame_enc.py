@@ -9,8 +9,9 @@ SURVEY §7: the TPU decides, the native tail executes.
 
 Scope matches the device-MD lattice output: NONE/SPLIT partitions, one
 max-rect tx block per plane per leaf, non-directional intra modes,
-single-ref inter.  The Python per-leaf path (SVT_TPU_PY_COMMIT=1)
-remains the oracle; tests hold the two bit-identical.
+single-ref and compound-average inter.  The Python per-leaf path
+(SVT_TPU_PY_COMMIT=1) remains the oracle; tests hold the two
+bit-identical.
 """
 
 from __future__ import annotations
@@ -41,9 +42,12 @@ _I64P = ctypes.POINTER(ctypes.c_int64)
  LF_SKIP, LF_EOB_Y, LF_EOB_U, LF_EOB_V,
  LF_OFF_Y, LF_OFF_U, LF_OFF_V,
  LF_MVY_OUT, LF_MVX_OUT, LF_MODE_OUT, LF_DRL_OUT,
- LF_TXS_Y, LF_TXS_UV, LF_RSVD) = range(24)
-LEAF_I32 = 24
+ LF_TXS_Y, LF_TXS_UV,
+ LF_REF1, LF_MVY1, LF_MVX1, LF_MVY1_OUT, LF_MVX1_OUT,
+ LF_RSVD) = range(29)
+LEAF_I32 = 29
 FLAG_INTER = 1
+FLAG_COMP = 2
 
 _registered = False
 
@@ -79,7 +83,14 @@ def _flatten(plan, r, c, qindex, leaves, mi_rows, mi_cols):
     rec = np.zeros(LEAF_I32, np.int32)
     rec[LF_R], rec[LF_C], rec[LF_BSIZE] = r, c, bsize
     rec[LF_QIDX] = qindex
-    if isinstance(payload, tuple):  # ("inter", ref_name, (mvy, mvx))
+    if isinstance(payload, tuple) and payload[0] == "comp":
+        # ("comp", (ref0, ref1), (mvy0, mvx0), (mvy1, mvx1))
+        _, rf, mv0, mv1 = payload
+        rec[LF_FLAGS] = FLAG_INTER | FLAG_COMP
+        rec[LF_REF0], rec[LF_REF1] = rf
+        rec[LF_MVY], rec[LF_MVX] = mv0
+        rec[LF_MVY1], rec[LF_MVX1] = mv1
+    elif isinstance(payload, tuple):  # ("inter", ref_name, (mvy, mvx))
         _, ref_name, mv = payload
         rec[LF_FLAGS] = FLAG_INTER
         rec[LF_REF0] = ref_name
@@ -270,13 +281,35 @@ class FrameCommitter:
                 md.mi_state.set_block(r, c, bsize, -1, (0, 0), False)
             return leaf
         # inter: map the refined MV onto the MVP stack (codec/md_device.py
-        # _commit_inter_leaf mode mapping), in the same coding order the
-        # C pass committed in
+        # _commit_inter_leaf / _commit_comp_leaf mode mapping), in the
+        # same coding order the C pass committed in
         from ..codec.constants import InterMode, mode_has_newmv
         from ..codec.mvp import find_mv_stack
 
         ref_id = int(rec[LF_REF0])
         mv = (int(rec[LF_MVY_OUT]), int(rec[LF_MVX_OUT]))
+        if rec[LF_FLAGS] & FLAG_COMP:
+            rf = (ref_id, int(rec[LF_REF1]))
+            mv1 = (int(rec[LF_MVY1_OUT]), int(rec[LF_MVX1_OUT]))
+            stack = find_mv_stack(md.mi_state, r, c, bsize, rf)
+            pair = (mv, mv1)
+            if pair == (tuple(stack.mvs[0]), tuple(stack.comp_mvs[0])):
+                mode = InterMode.NEAREST_NEARESTMV
+            elif stack.count >= 2 and pair == (tuple(stack.mvs[1]),
+                                               tuple(stack.comp_mvs[1])):
+                mode = InterMode.NEAR_NEARMV
+            elif pair == ((0, 0), (0, 0)):
+                mode = InterMode.GLOBAL_GLOBALMV
+            else:
+                mode = InterMode.NEW_NEWMV
+            md.mi_state.set_block(r, c, bsize, rf[0], mv,
+                                  mode_has_newmv(int(mode)),
+                                  ref_frame1=rf[1], mv1=mv1)
+            return LeafBlock(bsize, skip=skip, is_inter=True,
+                             ref_frame=rf[0], ref_frame1=rf[1],
+                             inter_mode=int(mode), mv=mv, mv1=mv1,
+                             drl_index=0,
+                             coeffs=None if skip else self._txbs(rec, qcoeff))
         stack = find_mv_stack(md.mi_state, r, c, bsize, ref_id)
         if tuple(mv) == tuple(stack.mvs[0]):
             mode = InterMode.NEARESTMV

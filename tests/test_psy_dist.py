@@ -42,14 +42,15 @@ def test_modulation_ladder():
     assert hvs_modulation_factor(1.0, False, 3) == 1.0
 
 
-def test_psy_rd_changes_output():
+def test_psy_rd_changes_output(monkeypatch):
     """--psy-rd with tune 0 must change the encoded stream (VERDICT r1:
-    no silent no-op), host MD path and device MD path both. Content mixes
-    hard diagonal edges with textured stripes — the regime where the
-    SA8D energy delta actually reorders candidates."""
+    no silent no-op) on the HOST MD path (preset 8 forced host). Content
+    mixes hard diagonal edges with textured stripes — the regime where
+    the SA8D energy delta actually reorders candidates."""
     from svt_av1_psyex_tpu.bitstream.headers import SequenceConfig
     from svt_av1_psyex_tpu.codec.encoder import Av1Encoder
 
+    monkeypatch.setenv("SVT_TPU_HOST_MD", "1")
     rng = np.random.default_rng(2)
     yy, xx = np.mgrid[0:96, 0:128]
     y = ((yy + xx) % 32 < 16).astype(np.uint8) * 120 + 60
@@ -62,6 +63,30 @@ def test_psy_rd_changes_output():
         seq = SequenceConfig(width=128, height=96)
         enc = Av1Encoder(seq, preset=8, psy_rd=psy, tune=0)
         outs.append(enc.encode_keyframe([y.copy(), u.copy(), v.copy()], 100))
+    assert outs[0] != outs[1]
+
+
+def test_psy_rd_changes_output_device_path():
+    """Same no-silent-no-op guarantee on the DEVICE MD path (preset 8 is
+    device-eligible since the round-3 gate lift): the lattice's psy
+    energy term must be able to flip argmin winners, not just shift J.
+    Content: ramps + noise stripes + edge bands (found by search — the
+    reduced device candidate set flips less readily than host RDO)."""
+    from svt_av1_psyex_tpu.bitstream.headers import SequenceConfig
+    from svt_av1_psyex_tpu.codec.encoder import Av1Encoder
+
+    rng = np.random.default_rng(2)
+    yy, xx = np.mgrid[0:64, 0:64]
+    y = (xx * 2 + yy).astype(np.float32)
+    y += rng.normal(0, 18, (64, 64)) * ((xx // 8) % 2)
+    y += ((yy // 8) % 2) * 40
+    y = np.clip(y, 0, 255).astype(np.uint8)
+    u = np.full((32, 32), 128, np.uint8)
+    outs = []
+    for psy in (0.0, 6.0):
+        seq = SequenceConfig(width=64, height=64)
+        enc = Av1Encoder(seq, preset=8, psy_rd=psy, tune=0)
+        outs.append(enc.encode_keyframe([y.copy(), u.copy(), u.copy()], 120))
     assert outs[0] != outs[1]
 
 
