@@ -27,17 +27,22 @@ def qindex_to_q_fp8(qindex: int, bit_depth: int) -> int:
     return ac_q(qindex, bit_depth) << shift
 
 
+def _q_fp8_table(bit_depth: int) -> np.ndarray:
+    tab = getattr(_q_fp8_table, "_cache", {}).get(bit_depth)
+    if tab is None:
+        tab = np.array([qindex_to_q_fp8(i, bit_depth) for i in range(256)],
+                       np.int64)
+        _q_fp8_table._cache = getattr(_q_fp8_table, "_cache", {})
+        _q_fp8_table._cache[bit_depth] = tab
+    return tab
+
+
 def compute_qdelta_fp(qstart_fp8: int, qtarget_fp8: int, bit_depth: int) -> int:
-    start_index = 255
-    for i in range(256):
-        start_index = i
-        if qindex_to_q_fp8(i, bit_depth) >= qstart_fp8:
-            break
-    target_index = 255
-    for i in range(256):
-        target_index = i
-        if qindex_to_q_fp8(i, bit_depth) >= qtarget_fp8:
-            break
+    # first qindex whose q_fp8 >= target (ac_q is monotone in qindex);
+    # falls back to 255 like the reference's linear scan
+    tab = _q_fp8_table(bit_depth)
+    start_index = min(int(np.searchsorted(tab, qstart_fp8, "left")), 255)
+    target_index = min(int(np.searchsorted(tab, qtarget_fp8, "left")), 255)
     return target_index - start_index
 
 

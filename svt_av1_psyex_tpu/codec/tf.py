@@ -64,12 +64,82 @@ def _block_motion(center: np.ndarray, ref: np.ndarray, by: int, bx: int,
     return dy, dx, sse
 
 
+def _decay_px(y: np.ndarray, qindex: int, bit_depth: int,
+              strength: int) -> float:
+    """Per-pixel squared-error decay for the exp weights (shared by the
+    host and device paths)."""
+    noise = estimate_noise_mad(y)
+    q_decay = max(0.5, min(4.0, (qindex / 120.0) ** 2))
+    decay = max(12.0 * (1 << (2 * (bit_depth - 8))),
+                2.5 * noise * noise) * q_decay
+    # --tf-strength 0..4: power-of-two filter strength ladder
+    # (temporal_filtering.c:2996 tf_shift_factor; 3 = default)
+    return decay * 2.0 ** (min(strength, 4) - 3)
+
+
 def temporal_filter(center: list, neighbors: list, qindex: int,
                     bit_depth: int = 8, strength: int = 3) -> list:
     """Filter `center` planes [Y,U,V] using `neighbors` (list of plane
-    lists). Returns new planes with the same dtypes."""
+    lists). Returns new planes with the same dtypes.
+
+    The search + accumulate runs as one jitted device program
+    (device/tf.py); SVT_TPU_HOST_TF=1 selects the original per-block
+    host loop (kept as a readable second opinion for tests)."""
+    import os
+
     if not neighbors:
         return center
+    if os.environ.get("SVT_TPU_HOST_TF") != "1":
+        return _temporal_filter_device(center, neighbors, qindex,
+                                       bit_depth, strength)
+    return _temporal_filter_host(center, neighbors, qindex, bit_depth,
+                                 strength)
+
+
+def _temporal_filter_device(center, neighbors, qindex, bit_depth,
+                            strength) -> list:
+    import jax.numpy as jnp
+
+    from ..device.tf import BLK, n_bucket, tf_filter
+
+    y = np.asarray(center[0])
+    h, w = y.shape
+    hp = -(-h // BLK) * BLK
+    wp = -(-w // BLK) * BLK
+    ss = []
+    for p in range(len(center)):
+        ph, pw = np.asarray(center[p]).shape
+        ss.append((int(np.log2(h // ph + 0.5)) if ph != h else 0,
+                   int(np.log2(w // pw + 0.5)) if pw != w else 0))
+
+    def pad(a, ss_y, ss_x):
+        a = np.asarray(a)
+        th, tw = hp >> ss_y, wp >> ss_x
+        return np.pad(a, ((0, th - a.shape[0]), (0, tw - a.shape[1])),
+                      mode="edge")
+
+    nb = n_bucket(len(neighbors))
+    cen = tuple(pad(center[p], *ss[p]) for p in range(len(center)))
+    stacks = []
+    for p in range(len(center)):
+        s = [pad(f[p], *ss[p]) for f in neighbors[:nb]]
+        while len(s) < nb:         # zero-weight padding slots
+            s.append(cen[p])
+        stacks.append(np.stack(s))
+    decay = np.float32(_decay_px(y, qindex, bit_depth, strength))
+    outs = tf_filter(cen, tuple(stacks),
+                     jnp.int32(min(len(neighbors), nb)), decay,
+                     bit_depth=bit_depth, planes_ss=tuple(ss))
+    res = []
+    for p in range(len(center)):
+        src = np.asarray(center[p])
+        res.append(np.asarray(outs[p])[:src.shape[0], :src.shape[1]]
+                   .astype(src.dtype))
+    return res
+
+
+def _temporal_filter_host(center: list, neighbors: list, qindex: int,
+                          bit_depth: int = 8, strength: int = 3) -> list:
     y = np.asarray(center[0])
     h, w = y.shape
     ss = []

@@ -86,3 +86,35 @@ def test_tf_saves_bits_and_stays_conformant(tmp_path):
         for i in range(3):
             dh, dw = dec[t][i].shape
             assert np.array_equal(dec[t][i], recs[t][i][:dh, :dw]), (t, i)
+
+
+def test_device_tf_matches_host_quality():
+    """The device TF lattice (device/tf.py) must denoise as well as the
+    per-block host loop on moving noisy content, for Y and chroma, at
+    odd plane sizes (pad/crop path)."""
+    import os
+    from unittest import mock
+
+    from svt_av1_psyex_tpu.codec.tf import temporal_filter
+
+    rng = np.random.RandomState(5)
+    base = np.add.outer(np.linspace(40, 200, 96), np.linspace(0, 55, 130))
+    frames = []
+    for i in range(6):
+        y = np.clip(np.roll(base, i, axis=1) + rng.normal(0, 8, (96, 130)),
+                    0, 255).astype(np.uint8)
+        u = np.clip(120 + rng.normal(0, 4, (48, 65)), 0, 255).astype(np.uint8)
+        frames.append([y, u, u.copy()])
+
+    out_dev = temporal_filter(frames[0], frames[1:], 120)
+    with mock.patch.dict(os.environ, {"SVT_TPU_HOST_TF": "1"}):
+        out_host = temporal_filter(frames[0], frames[1:], 120)
+
+    mse_in = np.mean((frames[0][0].astype(np.float64) - base) ** 2)
+    mse_dev = np.mean((out_dev[0].astype(np.float64) - base) ** 2)
+    mse_host = np.mean((out_host[0].astype(np.float64) - base) ** 2)
+    assert mse_dev < 0.5 * mse_in
+    assert mse_dev < mse_host * 1.1, (mse_dev, mse_host)
+    for p in range(3):
+        assert out_dev[p].shape == frames[0][p].shape
+        assert out_dev[p].dtype == frames[0][p].dtype
