@@ -55,6 +55,17 @@ import os
 _USE_MATDCT = os.environ.get("SVT_TPU_INTDCT") != "1"
 
 
+def _use_pallas_fullloop(blk: int) -> bool:
+    """The fused Pallas full-loop replaces the jnp chain for blk <= 32
+    (the 64x64 kron factor exceeds VMEM) when the matmul-form DCTs are
+    active; SVT_TPU_PALLAS=0 opts out."""
+    if blk > 32 or not _USE_MATDCT:
+        return False
+    from ..ops.pallas.fullloop import use_pallas
+
+    return use_pallas()
+
+
 def _fwd_dct2d(resid: jnp.ndarray, n: int) -> jnp.ndarray:
     """(B, n, n) int32 -> (B, cn, cn) DCT_DCT coefficients (exact integer
     network, ops/txfm semantics), cn = min(n, 32)."""
@@ -244,14 +255,31 @@ def _analyze_depth(luma, blk: int, qp_row, bit_depth: int,
     preds = _predict_modes(tiles, above, left, tl, blk)  # (M,B,blk,blk)
     m, b = preds.shape[0], preds.shape[1]
     resid = (tiles[None] - preds).reshape(m * b, blk, blk)
-    sse = (resid.astype(jnp.float32) ** 2).sum(axis=(1, 2))
-    coeffs = _fwd_dct2d(resid, blk)
     log_scale = 2 if blk == 64 else (1 if blk == 32 else 0)
-    qabs, dq = _quantize_analysis(
-        coeffs, qp_row[4], qp_row[9],
-        _rp2(qp_row[1], log_scale), _rp2(qp_row[6], log_scale),
-        _rp2(qp_row[0], log_scale), _rp2(qp_row[5], log_scale), log_scale)
-    dist, rate, eob, inv = _rate_dist(qabs, dq, resid, blk, bit_depth)
+    if _use_pallas_fullloop(blk):
+        # fused Pallas full-loop: fwd DCT + quantize + inv DCT + metrics
+        # in one VMEM-resident kernel (ops/pallas/fullloop.py)
+        from ..ops.pallas.fullloop import fullloop
+
+        qp6 = jnp.stack([qp_row[4], qp_row[9],
+                         _rp2(qp_row[1], log_scale),
+                         _rp2(qp_row[6], log_scale),
+                         _rp2(qp_row[0], log_scale),
+                         _rp2(qp_row[5], log_scale)])
+        metrics, inv = fullloop(resid, qp6, blk, log_scale, want_inv=psy)
+        dist = metrics[:, 0]
+        rate = metrics[:, 1].astype(jnp.int32)
+        eob = metrics[:, 2].astype(jnp.int32)
+        sse = metrics[:, 3]
+    else:
+        sse = (resid.astype(jnp.float32) ** 2).sum(axis=(1, 2))
+        coeffs = _fwd_dct2d(resid, blk)
+        qabs, dq = _quantize_analysis(
+            coeffs, qp_row[4], qp_row[9],
+            _rp2(qp_row[1], log_scale), _rp2(qp_row[6], log_scale),
+            _rp2(qp_row[0], log_scale), _rp2(qp_row[5], log_scale),
+            log_scale)
+        dist, rate, eob, inv = _rate_dist(qabs, dq, resid, blk, bit_depth)
     if psy:
         maxpix = (1 << bit_depth) - 1
         scale = 0.5 if bit_depth == 8 else 4.0

@@ -178,6 +178,14 @@ def fullpel_lattice(src: jnp.ndarray, ref: jnp.ndarray, maxpix: int):
 
     def lattice(cy_full, cx_full):
         win, _ = _gather_windows(ref, cy_full, cx_full, 64, R2)
+        from ..ops.pallas.fullloop import use_pallas
+
+        if use_pallas():
+            # VMEM-resident offset sweep (ops/pallas/sad.py): the window
+            # is read from HBM once instead of once per offset
+            from ..ops.pallas.sad import sad_lattice
+
+            return sad_lattice(t1, win)               # (nSB, O2, 8, 8)
 
         def body2(_, off):
             cand = jax.lax.dynamic_slice(win, (0, off[0], off[1]),
