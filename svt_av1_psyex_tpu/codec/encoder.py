@@ -163,13 +163,15 @@ class Av1Encoder:
     def _device_md_precheck(self) -> bool:
         """Frame-independent device-MD eligibility (the fr-dependent
         gates — QM, segmentation, tx select — are re-checked per frame
-        in begin_frame's dev_ok). Presets 7+ ride the device lattice;
-        slower presets still need host-only tools (ext partitions,
-        filter-intra/CfL search, restoration-aware RD)."""
+        in begin_frame's dev_ok). Presets 6+ ride the device lattice
+        (config 3's psy tools — psy-rd, variance boost, CDEF,
+        restoration — all run with it); presets <= 5 still need
+        host-only tools (ext/4-way partitions, filter-intra/CfL
+        search)."""
         import os
 
         seq = self.seq
-        return (self.preset >= 7 and not seq.use_128x128_superblock
+        return (self.preset >= 6 and not seq.use_128x128_superblock
                 and self.tile_cols_log2 == 0 and self.qm is None
                 and self.noise_norm_strength == 0 and not self.seg_aq
                 and not self.max_32_tx_size  # needs TX_MODE_SELECT splits
@@ -546,7 +548,7 @@ class Av1Encoder:
 
         # device-MD eligibility (shared gates): fused inter lattice for
         # inter frames, intra lattice for key frames
-        dev_ok = (self.preset >= 7 and not fr.tx_mode_select
+        dev_ok = (self.preset >= 6 and not fr.tx_mode_select
                   and not seq.use_128x128_superblock
                   and n_tiles == 1 and not fr.using_qmatrix
                   and self.noise_norm_strength == 0
