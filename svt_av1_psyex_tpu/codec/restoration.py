@@ -337,6 +337,8 @@ def search_plane(src: np.ndarray, cdef: np.ndarray, deblock: np.ndarray,
     type_costs: dict with 'switchable' (3,), 'wiener' (2,), 'sgrproj' (2,)
     symbol costs (x512) from the frame CDF snapshot.
     """
+    import os
+
     from ..ops.restoration import filter_unit_into
 
     rows, cols = unit_rows_cols(unit_size, plane_w, plane_h, ss_y)
@@ -345,6 +347,195 @@ def search_plane(src: np.ndarray, cdef: np.ndarray, deblock: np.ndarray,
 
     def rd(rate512: int, sse: int) -> float:
         return rate512 * rdmult / 512.0 + sse * 128.0
+
+    if os.environ.get("SVT_TPU_HOST_LR") != "1":
+        cand = _cand_device(src, cdef, deblock, plane_w, plane_h, ss_y,
+                            unit_size, bit_depth, chroma, preset, rows,
+                            cols, rd, sw_c)
+    else:
+        cand = _cand_host(src, cdef, deblock, plane_w, plane_h, ss_y,
+                          bit_depth, chroma, preset, rows, cols, rd,
+                          sw_c)
+    return _finish_search(cand, cdef, deblock, plane_w, plane_h, ss_y,
+                          unit_size, bit_depth, chroma, rd, sw_c, wn_c,
+                          sg_c)
+
+
+def _cand_device(src, cdef, deblock, plane_w, plane_h, ss_y, unit_size,
+                 bit_depth, chroma, preset, rows, cols, rd, sw_c):
+    """Device-batched candidate scoring (device/restoration.py): every
+    RU's Wiener tap descent and SGR ep ranking runs in a handful of
+    jitted calls; the bit-exact striped apply evaluates only the single
+    winner per type per RU."""
+    from ..device.restoration import sgr_corr, wiener_sse
+    from ..ops.restoration import filter_unit_into, wiener_kernel7
+
+    n_ru = len(rows) * len(cols)
+    # static worst extent: < 1.5*unit, plus the 8-px stripe offset the
+    # first/last rows can absorb (unit_rows_cols voff handling)
+    rh_max = unit_size + unit_size // 2 + 8
+    pads = np.zeros((n_ru, rh_max + 6, rh_max + 6), np.int32)
+    srcs = np.zeros((n_ru, rh_max, rh_max), np.int32)
+    masks = np.zeros((n_ru, rh_max, rh_max), np.int32)
+    lims, sse_none_l, init_cands = [], [], []
+    i = 0
+    for (v0, v1) in rows:
+        for (h0, h1) in cols:
+            s = src[v0:v1, h0:h1]
+            d = cdef[v0:v1, h0:h1]
+            sse_none_l.append(int(((s - d).astype(np.int64) ** 2).sum()))
+            vv0, vv1 = max(v0 - 3, 0), min(v1 + 3, plane_h)
+            hh0, hh1 = max(h0 - 3, 0), min(h1 + 3, plane_w)
+            pad_full = np.pad(cdef[vv0:vv1, hh0:hh1],
+                              ((3 - (v0 - vv0), 3 - (vv1 - v1)),
+                               (3 - (h0 - hh0), 3 - (hh1 - h1))),
+                              mode="edge")
+            rh, rw = v1 - v0, h1 - h0
+            pads[i, :rh + 6, :rw + 6] = pad_full
+            srcs[i, :rh, :rw] = s
+            masks[i, :rh, :rw] = 1
+            lims.append((v0, v1, h0, h1))
+            init_cands.append(solve_wiener(d, s, chroma))
+            i += 1
+
+    first = 1 if chroma else 0
+
+    def kern_stack(tapsets):
+        """[(ht, vt)] x T per RU -> (N, T, 7) int32 h/v kernels."""
+        t = len(tapsets[0])
+        hk = np.zeros((n_ru, t, 7), np.int32)
+        vk = np.zeros((n_ru, t, 7), np.int32)
+        for r_i, sets in enumerate(tapsets):
+            for t_i, (ht, vt) in enumerate(sets):
+                hk[r_i, t_i] = wiener_kernel7(ht)
+                vk[r_i, t_i] = wiener_kernel7(vt)
+        return hk, vk
+
+    # --- wiener: initial damped-LS candidates, one device call ---------
+    t0 = max(len(c) for c in init_cands)
+    init_padded = [c + [c[0]] * (t0 - len(c)) for c in
+                   ([list(c) for c in init_cands])]
+    hk, vk = kern_stack(init_padded)
+    import jax.numpy as jnp
+
+    sse0 = np.asarray(wiener_sse(jnp.asarray(pads), jnp.asarray(srcs),
+                                 jnp.asarray(masks), jnp.asarray(hk),
+                                 jnp.asarray(vk), bit_depth))
+    state = [init_padded[r][int(np.argmin(sse0[r]))] for r in range(n_ru)]
+    best_plain = sse0.min(axis=1)
+
+    # --- +-1 steepest-descent rounds, one device call per round --------
+    n_rounds = 2 if preset <= 6 else 0
+    for _ in range(n_rounds):
+        variants = []
+        for r_i in range(n_ru):
+            ht, vt = state[r_i]
+            vs = [(ht, vt)]
+            for d_i in range(2):
+                for j in range(first, 3):
+                    for step in (1, -1):
+                        t = [list(ht), list(vt)]
+                        v = t[d_i][j] + step
+                        if not (WIENER_TAPS_MIN[j] <= v
+                                <= WIENER_TAPS_MAX[j]):
+                            vs.append((ht, vt))
+                            continue
+                        t[d_i][j] = v
+                        vs.append((tuple(t[0]), tuple(t[1])))
+            variants.append(vs)
+        hk, vk = kern_stack(variants)
+        sse_r = np.asarray(wiener_sse(jnp.asarray(pads), jnp.asarray(srcs),
+                                      jnp.asarray(masks), jnp.asarray(hk),
+                                      jnp.asarray(vk), bit_depth))
+        arg = sse_r.argmin(axis=1)
+        improved = False
+        for r_i in range(n_ru):
+            if sse_r[r_i, arg[r_i]] < best_plain[r_i] - 0.5:
+                state[r_i] = variants[r_i][int(arg[r_i])]
+                best_plain[r_i] = sse_r[r_i, arg[r_i]]
+                improved = True
+        if not improved:
+            break
+
+    # --- sgr: correlations for every ep, one device call ---------------
+    eps = tuple(_sgr_ep_list(preset))
+    corr = np.asarray(sgr_corr(jnp.asarray(pads), jnp.asarray(srcs),
+                               jnp.asarray(masks), eps,
+                               bit_depth)).astype(np.float64)
+
+    # --- exact striped eval of the winners only -------------------------
+    cand = []
+    stripe_cache: dict = {}
+    scratch = np.empty_like(cdef)
+    ref_s = [_SGR_XQD_MID[0], _SGR_XQD_MID[1]]
+    for r_i, lim in enumerate(lims):
+        v0, v1, h0, h1 = lim
+        s = src[v0:v1, h0:h1]
+        s64 = s.astype(np.int64)
+        entry = {"none": (sse_none_l[r_i], 0, None)}
+        if best_plain[r_i] < sse_none_l[r_i] * 2:
+            htaps, vtaps = state[r_i]
+            filter_unit_into(scratch, cdef, deblock, lim, RESTORE_WIENER,
+                             (htaps, vtaps), plane_w, plane_h, ss_y,
+                             bit_depth, stripe_cache)
+            sse = int(((s64 - scratch[v0:v1, h0:h1]) ** 2).sum())
+            mid = list(WIENER_TAPS_MID if not chroma
+                       else (0,) + WIENER_TAPS_MID[1:])
+            rate = (wiener_taps_rate(vtaps, mid, chroma)
+                    + wiener_taps_rate(htaps, mid, chroma))
+            entry["wiener"] = (sse, rate, (tuple(htaps), tuple(vtaps)))
+        # rank eps by closed-form SSE from the correlations, with the
+        # QUANTIZED-then-decoded xq (what the apply actually uses)
+        best_sgr = None
+        for e_i, ep in enumerate(eps):
+            h00, h11, h01, c0, c1, ss_ = corr[r_i, e_i]
+            r0, r1 = SGR_PARAMS[ep][0], SGR_PARAMS[ep][1]
+            if r0 and r1:
+                det = h00 * h11 - h01 * h01
+                if abs(det) < 1e-9:
+                    continue
+                xq0 = (h11 * c0 - h01 * c1) / det * (1 << SGRPROJ_PRJ_BITS)
+                xq1 = (h00 * c1 - h01 * c0) / det * (1 << SGRPROJ_PRJ_BITS)
+            elif r0:
+                if h00 < 1e-9:
+                    continue
+                xq0 = c0 / h00 * (1 << SGRPROJ_PRJ_BITS)
+                xq1 = 0.0
+            else:
+                if h11 < 1e-9:
+                    continue
+                xq0 = 0.0
+                xq1 = c1 / h11 * (1 << SGRPROJ_PRJ_BITS)
+            xqd = _encode_xq(xq0, xq1, ep)
+            from ..ops.restoration import decode_xq
+
+            x0, x1 = decode_xq(xqd, ep)
+            e2 = (ss_ * (1 << 14) - (1 << 8) * (x0 * c0 + x1 * c1)
+                  + x0 * x0 * h00 + 2 * x0 * x1 * h01 + x1 * x1 * h11)
+            sse_apx = max(e2, 0.0) / (1 << 22)
+            j = rd(sgr_rate(ep, xqd, ref_s), int(sse_apx))
+            if best_sgr is None or j < best_sgr[0]:
+                best_sgr = (j, ep, xqd)
+        if best_sgr is not None:
+            _, ep, xqd = best_sgr
+            filter_unit_into(scratch, cdef, deblock, lim, RESTORE_SGRPROJ,
+                             (ep, xqd), plane_w, plane_h, ss_y,
+                             bit_depth, stripe_cache)
+            sse = int(((s64 - scratch[v0:v1, h0:h1]) ** 2).sum())
+            entry["sgrproj"] = (sse, sgr_rate(ep, xqd, ref_s), (ep, xqd))
+            if ("wiener" not in entry
+                    or rd(entry["sgrproj"][1], sse)
+                    < rd(entry["wiener"][1], entry["wiener"][0])):
+                ref_s = list(xqd)
+        cand.append(entry)
+    return cand
+
+
+def _cand_host(src, cdef, deblock, plane_w, plane_h, ss_y, bit_depth,
+               chroma, preset, rows, cols, rd, sw_c):
+    """Original per-RU numpy search (kept as the oracle path,
+    SVT_TPU_HOST_LR=1)."""
+    from ..ops.restoration import filter_unit_into
 
     cand = []  # per RU: dict of per-type (sse, rate_payload, params)
     stripe_cache: dict = {}
@@ -420,7 +611,11 @@ def search_plane(src: np.ndarray, cdef: np.ndarray, deblock: np.ndarray,
                                   list(entry["wiener"][2][1]))
             elif js < jn:
                 ref_s = list(entry["sgrproj"][2][1])
+    return cand
 
+
+def _finish_search(cand, cdef, deblock, plane_w, plane_h, ss_y, unit_size,
+                   bit_depth, chroma, rd, sw_c, wn_c, sg_c):
     # frame-type strategies (rest_finish_search): NONE / all-WIENER /
     # all-SGR / SWITCHABLE, exact running-ref rates per strategy
     def strategy_cost(ftype: int):
