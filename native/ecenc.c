@@ -378,6 +378,16 @@ static void transpose64(const int64_t *in, int64_t *out, int rows, int cols) {
 
 static int64_t CBUF_A[64 * 64], CBUF_B[64 * 64], CBUF_T[64 * 64];
 
+extern int svt_rdoq_enabled(void);
+extern int32_t svt_rdoq_commit_txb(int tx_enum, int plane, int is_inter,
+                                   int qindex, const int32_t *tcoeff,
+                                   int32_t *qcoeff, int32_t *dqcoeff,
+                                   int32_t eob, const int32_t *scan, int cw,
+                                   int ch, int shift, int32_t dqv_dc,
+                                   int32_t dqv_ac);
+
+static int32_t RDOQ_TCO[32 * 32], RDOQ_DQ[32 * 32];
+
 int32_t svt_txb_commit(const int64_t *d,
                        const int32_t *src, int src_stride,
                        int32_t *recon, int rec_stride,
@@ -385,7 +395,9 @@ int32_t svt_txb_commit(const int64_t *d,
                        int x0, int y0,
                        const int64_t *q10, /* zbin,rnd,quant,qshift,deq x dc,ac
                                               (zbin/rnd already log_scale-rounded) */
-                       int32_t *qcoeff /* (ch*cw) raster out */) {
+                       int32_t *qcoeff, /* (ch*cw) raster out */
+                       int tx_enum, int plane, int is_inter, int qindex
+                       /* tx_enum < 0 disables the RDOQ trellis */) {
     const int w = (int)d[0], h = (int)d[1];
     const int cw = w > 32 ? 32 : w, ch = h > 32 ? 32 : h;
     const int ls = (int)d[41];
@@ -429,7 +441,50 @@ int32_t svt_txb_commit(const int64_t *d,
     const int32_t *scan = (const int32_t *)(intptr_t)d[42];
     const int n = cw * ch;
     int32_t eob = 0;
+    const int do_rdoq = tx_enum >= 0 && svt_rdoq_enabled();
     memset(CBUF_A, 0, (size_t)w * ch * sizeof(int64_t));
+    if (do_rdoq) {
+        /* fp quantization ahead of the trellis (quantize_fp_helper_c,
+         * reference full_loop.c:282): no zbin/quant_shift, round=deq/2 */
+        const int64_t deq_dc = q10[4], deq_ac = q10[9];
+        const int64_t qfp_dc = (1 << 16) / deq_dc;
+        const int64_t qfp_ac = (1 << 16) / deq_ac;
+        const int64_t r_dc = ls ? (((64 * deq_dc) >> 7) + (1 << (ls - 1))) >> ls
+                                : (64 * deq_dc) >> 7;
+        const int64_t r_ac = ls ? (((64 * deq_ac) >> 7) + (1 << (ls - 1))) >> ls
+                                : (64 * deq_ac) >> 7;
+        for (int r = 0; r < ch; r++) {
+            for (int c = 0; c < cw; c++) {
+                const int i = r * cw + c;
+                const int isdc = (i == 0);
+                const int64_t coeff = CBUF_T[(size_t)c * ch + r];
+                const int64_t deq = isdc ? deq_dc : deq_ac;
+                int64_t a = coeff < 0 ? -coeff : coeff;
+                int32_t q = 0;
+                int64_t dq = 0;
+                if ((a << (1 + ls)) >= deq) {
+                    int64_t t = a + (isdc ? r_dc : r_ac);
+                    if (t > 32767) t = 32767;
+                    q = (int32_t)((t * (isdc ? qfp_dc : qfp_ac)) >>
+                                  (16 - ls));
+                    dq = ((int64_t)q * deq) >> ls;
+                }
+                RDOQ_TCO[i] = (int32_t)coeff;
+                qcoeff[i] = coeff < 0 ? -q : q;
+                RDOQ_DQ[i] = (int32_t)(coeff < 0 ? -dq : dq);
+            }
+        }
+        for (int k = 0; k < n; k++)
+            if (qcoeff[scan[k]]) eob = k + 1;
+        if (eob)
+            eob = svt_rdoq_commit_txb(tx_enum, plane, is_inter, qindex,
+                                      RDOQ_TCO, qcoeff, RDOQ_DQ, eob, scan,
+                                      cw, ch, ls, (int32_t)deq_dc,
+                                      (int32_t)deq_ac);
+        for (int r = 0; r < ch; r++)
+            for (int c = 0; c < cw; c++)
+                CBUF_A[(size_t)c * ch + r] = RDOQ_DQ[r * cw + c];
+    } else {
     for (int r = 0; r < ch; r++) {
         for (int c = 0; c < cw; c++) {
             const int i = r * cw + c;
@@ -457,6 +512,7 @@ int32_t svt_txb_commit(const int64_t *d,
     }
     for (int k = 0; k < n; k++)
         if (qcoeff[scan[k]]) eob = k + 1;
+    }
 
     if (!eob) {
         for (int r = 0; r < h; r++) {
@@ -709,12 +765,14 @@ int32_t svt_txb_commit_pred(const int64_t *d,
                             int have_left, const int32_t *sm_w,
                             const int32_t *sm_h,
                             int x0, int y0, const int64_t *q10,
-                            int32_t *qcoeff) {
+                            int32_t *qcoeff, int tx_enum, int plane,
+                            int is_inter, int qindex) {
     const int w = (int)d[0], h = (int)d[1];
     svt_intra_predict(mode, above, left, w, h, have_above, have_left,
                       (int)d[43], sm_w, sm_h, PRED_BUF);
     return svt_txb_commit(d, src, src_stride, recon, rec_stride, PRED_BUF,
-                          x0, y0, q10, qcoeff);
+                          x0, y0, q10, qcoeff, tx_enum, plane, is_inter,
+                          qindex);
 }
 
 /* ---- coefficient-context derivation (coeff_writer._txb_ctx) ----------- */

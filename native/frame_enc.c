@@ -30,7 +30,9 @@
 extern int32_t svt_txb_commit(const int64_t *d, const int32_t *src,
                               int src_stride, int32_t *recon, int rec_stride,
                               const int32_t *pred, int x, int y,
-                              const int64_t *q10, int32_t *qcoeff);
+                              const int64_t *q10, int32_t *qcoeff,
+                              int tx_enum, int plane, int is_inter,
+                              int qindex);
 extern void svt_intra_predict(int mode, const int32_t *above,
                               const int32_t *left, int w, int h,
                               int have_above, int have_left, int bit_depth,
@@ -463,7 +465,7 @@ static int commit_intra_txb(const CommitJob *j, int plane, int mode, int x,
                           j->sm_weights + h, PRED);
     }
     return svt_txb_commit(j->tx_desc[tx], j->src[plane], st, j->recon[plane],
-                          st, PRED, x, y, q10, qc);
+                          st, PRED, x, y, q10, qc, tx, plane, 0, qindex);
 }
 
 static int commit_inter_txb(const CommitJob *j, int plane, int ref_id, int x,
@@ -479,7 +481,7 @@ static int commit_inter_txb(const CommitJob *j, int plane, int ref_id, int x,
              PRED);
     return svt_txb_commit(j->tx_desc[tx], j->src[plane], j->stride[plane],
                           j->recon[plane], j->stride[plane], PRED, x, y, q10,
-                          qc);
+                          qc, tx, plane, 1, qindex);
 }
 
 static int commit_comp_txb(const CommitJob *j, int plane, int ref0, int ref1,
@@ -500,7 +502,7 @@ static int commit_comp_txb(const CommitJob *j, int plane, int ref0, int ref1,
     comp_avg(CONV0, CONV1, w * h, j->bit_depth, PRED);
     return svt_txb_commit(j->tx_desc[tx], j->src[plane], j->stride[plane],
                           j->recon[plane], j->stride[plane], PRED, x, y, q10,
-                          qc);
+                          qc, tx, plane, 1, qindex);
 }
 
 /* run the commit pass over all leaves; returns used qcoeff words, or -1 */

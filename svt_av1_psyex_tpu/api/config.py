@@ -20,7 +20,6 @@ _PENDING_FIELDS = frozenset({
     "sframe_dist", "sframe_mode", "use_qp_file",
     "recode_loop", "vbr_bias_pct", "vbr_min_section_pct",
     "vbr_max_section_pct",
-    "spy_rd", "sharp_tx",
     "hbd_mds", "complex_hvs",
     "noise_adaptive_filtering",
     "lossless",
@@ -87,7 +86,7 @@ class EncoderConfig:
     psy_rd: float = 1.0  # SA8D energy-delta distortion (ops/psy_dist.py);
     # reference default 1.0 (enc_settings.c:1108); inert under tune 1
     spy_rd: int = 0  # [pending]
-    sharp_tx: int = 1  # [pending]
+    sharp_tx: int = 1  # keeps luma detail: disables RDOQ down-rounding
     hbd_mds: int = 0  # [pending]
     complex_hvs: int = 0  # [pending]
     adaptive_film_grain: bool = True  # [pending]

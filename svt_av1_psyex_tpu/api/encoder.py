@@ -164,7 +164,9 @@ class SvtAv1Encoder:
             seg_aq=cfg.enable_adaptive_quantization == 1,
             low_q_taper=bool(cfg.low_q_taper)
             and cfg.rate_control_mode == 0,
-            adaptive_film_grain=bool(cfg.adaptive_film_grain))
+            adaptive_film_grain=bool(cfg.adaptive_film_grain),
+            sharpness=cfg.sharpness, sharp_tx=bool(cfg.sharp_tx),
+            spy_rd=cfg.spy_rd)
         # pre-dispatch the encode's device programs so the tunnelled
         # TPU's server-side compiles overlap each other and the host's
         # startup work instead of stalling mid-encode (encoder.py

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--frames", type=int, default=0, help="max frames (0=all)")
     p.add_argument("--tune", type=int, default=1)
     p.add_argument("--sharpness", type=int, default=0)
+    p.add_argument("--sharp-tx", type=int, default=1, dest="sharp_tx",
+                   help="keep luma detail: no RDOQ down-rounding (0/1)")
+    p.add_argument("--spy-rd", type=int, default=0, dest="spy_rd",
+                   help="alternate psy RD pathways (0 off, 1 full, 2 partial)")
     p.add_argument("--psy-rd", type=float, default=None, dest="psy_rd")
     p.add_argument("--hierarchical-levels", type=int, default=0,
                    dest="hierarchical_levels", help="0 auto, 1-4 = 2^n GOP")
@@ -96,6 +100,8 @@ def main(argv: list[str] | None = None) -> int:
     cfg.intra_period_length = args.keyint
     cfg.tune = args.tune
     cfg.sharpness = args.sharpness
+    cfg.sharp_tx = args.sharp_tx
+    cfg.spy_rd = args.spy_rd
     if args.psy_rd is not None:
         cfg.psy_rd = args.psy_rd
     cfg.hierarchical_levels = args.hierarchical_levels

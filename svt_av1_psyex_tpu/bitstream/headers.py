@@ -328,9 +328,12 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig, w: BitWriter) -> No
         _write_frame_size(w, seq)
         # allow_high_precision_mv (force_integer_mv==0)
         w.f(0, 1)
-        # read_interpolation_filter
-        w.f(0, 1)  # is_filter_switchable = 0
-        w.f(fr.interp_filter, 2)
+        # read_interpolation_filter (4 == SWITCHABLE)
+        if fr.interp_filter == 4:
+            w.f(1, 1)  # is_filter_switchable
+        else:
+            w.f(0, 1)
+            w.f(fr.interp_filter, 2)
         w.f(1 if fr.is_motion_mode_switchable else 0, 1)
         if not fr.error_resilient_mode and seq.enable_ref_frame_mvs:
             w.f(1 if fr.use_ref_frame_mvs else 0, 1)

@@ -149,6 +149,8 @@ class FrameCdfs:
         self.comp_ref = self._wrap(clone("default_comp_ref_cdf"))
         self.comp_bwdref = self._wrap(clone("default_comp_bwdref_cdf"))
         self.inter_compound_mode = self._wrap(clone("default_inter_compound_mode_cdf"))
+        self.switchable_interp = self._wrap(
+            clone("default_switchable_interp_cdf"))
         self.newmv = self._wrap(clone("default_newmv_cdf"))
         self.zeromv = self._wrap(clone("default_zeromv_cdf"))
         self.refmv = self._wrap(clone("default_refmv_cdf"))

@@ -58,6 +58,7 @@ class LeafBlock:
     filter_intra_mode: int = 0
     cfl_alpha_u: int = 0  # signed alpha_q3 per component (uv_mode 13)
     cfl_alpha_v: int = 0
+    interp_filter: int = 0  # REGULAR/SMOOTH/SHARP (SWITCHABLE frames)
 
 
 @dataclass
@@ -91,6 +92,11 @@ class TileWriter:
         self.y_modes = np.zeros((mi_rows, mi_cols), dtype=np.int8)
         self.skips = np.zeros((mi_rows, mi_cols), dtype=np.int8)
         self.inters = np.zeros((mi_rows, mi_cols), dtype=np.int8)
+        # switchable-interp neighbor state: per-mi filter (3 = none/intra)
+        # and ref frames (0 = intra) for get_pred_context_switchable_interp
+        self.flt = np.full((mi_rows, mi_cols), 3, dtype=np.int8)
+        self.ref0g = np.zeros((mi_rows, mi_cols), dtype=np.int8)
+        self.ref1g = np.full((mi_rows, mi_cols), -1, dtype=np.int8)
         # coefficient contexts are managed by the coeff writer (set later)
         self.coeff_writer = None
         # inter frames: MVP mi-state (set by the encoder), replayed in
@@ -541,6 +547,12 @@ class TileWriter:
         self.y_modes[r:r_end, c:c_end] = leaf.y_mode
         self.skips[r:r_end, c:c_end] = skip
         self.inters[r:r_end, c:c_end] = 1 if leaf.is_inter else 0
+        self.flt[r:r_end, c:c_end] = (leaf.interp_filter if leaf.is_inter
+                                      else 3)
+        self.ref0g[r:r_end, c:c_end] = (leaf.ref_frame if leaf.is_inter
+                                        else 0)
+        self.ref1g[r:r_end, c:c_end] = (leaf.ref_frame1 if leaf.is_inter
+                                        else -1)
         if self.mi_state is not None:
             self.mi_state.set_block(
                 r, c, bsize,
@@ -729,6 +741,7 @@ class TileWriter:
                 self._write_mv(leaf.mv, stack.mvs[leaf.drl_index])
             if sub1 == InterMode.NEWMV:
                 self._write_mv(leaf.mv1, stack.comp_mvs[leaf.drl_index])
+            self._write_interp_filter(leaf, r, c, avail_u, avail_l)
             return
 
         # write_inter_mode (single reference)
@@ -751,6 +764,46 @@ class TileWriter:
         if mode == InterMode.NEWMV:
             ref_mv = stack.mvs[leaf.drl_index]
             self._write_mv(leaf.mv, ref_mv)
+        self._write_interp_filter(leaf, r, c, avail_u, avail_l)
+
+    def _interp_ctx(self, r: int, c: int, avail_u: bool, avail_l: bool,
+                    rf0: int, rf1: int, dir_: int) -> int:
+        """get_pred_context_switchable_interp (entropy_coding.c:1564):
+        combine left/above per-dir filters of neighbors that share rf0."""
+        def ref_filter(rr, cc):
+            if (self.ref0g[rr, cc] == rf0 or self.ref1g[rr, cc] == rf0):
+                return int(self.flt[rr, cc])
+            return 3  # SWITCHABLE_FILTERS
+
+        ctx = (4 if rf1 >= 1 else 0) + (dir_ & 1) * 8
+        left = ref_filter(r, c - 1) if avail_l else 3
+        above = ref_filter(r - 1, c) if avail_u else 3
+        if left == above:
+            return ctx + left
+        if left == 3:
+            return ctx + above
+        if above == 3:
+            return ctx + left
+        return ctx + 3
+
+    def _write_interp_filter(self, leaf: LeafBlock, r: int, c: int,
+                             avail_u: bool, avail_l: bool) -> None:
+        """read_interp_filter mirror (spec 5.11.26 needs_interp_filter;
+        write_mb_interp_filter entropy_coding.c:1636).  No skip_mode /
+        warp here; GLOBALMV blocks with min dim >= 8 skip the symbol
+        because our global motion is IDENTITY (GmType != TRANSLATION);
+        enable_dual_filter is off => one symbol for both axes."""
+        if self.fr.interp_filter != 4:  # SWITCHABLE
+            return
+        from ..codec.constants import BLOCK_H, BLOCK_W, InterMode
+
+        large = min(int(BLOCK_W[leaf.bsize]), int(BLOCK_H[leaf.bsize])) >= 8
+        if large and leaf.inter_mode in (int(InterMode.GLOBALMV),
+                                         int(InterMode.GLOBAL_GLOBALMV)):
+            return  # decoder infers EIGHTTAP (GmType == IDENTITY)
+        ctx = self._interp_ctx(r, c, avail_u, avail_l, leaf.ref_frame,
+                               leaf.ref_frame1, 0)
+        self._sym_at(leaf.interp_filter, self.cdfs.switchable_interp, ctx)
 
     def _write_drl(self, mode, drl_index, stack, has_new: bool,
                    near_like: bool) -> None:

@@ -14,6 +14,7 @@ coding_loop.c) collapsed into its minimal intra form.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -99,7 +100,9 @@ class Av1Encoder:
                  tile_cols_log2: int = 0, film_grain: int = 0,
                  qm: tuple | None = None, noise_norm_strength: int = 0,
                  max_32_tx_size: bool = False, seg_aq: bool = False,
-                 low_q_taper: bool = False, adaptive_film_grain: bool = True):
+                 low_q_taper: bool = False, adaptive_film_grain: bool = True,
+                 rdoq: int | None = None, sharpness: int = 0,
+                 sharp_tx: bool = True, spy_rd: int = 0):
         self.seq = seq
         self.preset = preset
         # 4:4:4 (profile 1): the CDEF search/filter backends are still
@@ -138,6 +141,20 @@ class Av1Encoder:
         self.low_q_taper = bool(low_q_taper)
         # psy-rd acts whenever set and tune is not PSNR (enc_settings.c:1270)
         self.psy_rd = psy_rd if tune != 1 else 0.0
+        # RDOQ trellis: reference rdoq_level = 1 at every non-rtc preset
+        # (enc_mode_config.c:7481); SVT_TPU_NO_RDOQ=1 or rdoq=0 disables
+        self.rdoq_level = (1 if rdoq is None else int(rdoq))
+        if os.environ.get("SVT_TPU_NO_RDOQ") == "1":
+            self.rdoq_level = 0
+        # PSYEX sharp-tx (default 1, enc_settings.c:1111) + --sharpness;
+        # the rdoq sharpness gate needs tune 0/3 (derive_vq_params)
+        self.sharpness = int(sharpness)
+        self.sharp_tx = bool(sharp_tx)
+        self.rdoq_use_sharpness = tune in (0, 3)
+        self.tune = tune
+        # PSYEX spy-rd (0 off / 1 full / 2 partial): alternate psy RD
+        # pathways — mode-class distortion biases (Parameters.md:104)
+        self.spy_rd = int(spy_rd)
         self.enable_dlf = enable_dlf
         self.enable_variance_boost = enable_variance_boost
         self.vb_strength = variance_boost_strength
@@ -411,14 +428,20 @@ class Av1Encoder:
             else:
                 sb_qmap = None
         if self.film_grain > 0:
-            noise = None
+            fg = None
             if self.adaptive_film_grain and planes is not None:
-                from .tf import estimate_noise_mad
+                fg = self._grain_model_params(planes, plan.disp_idx, is_key)
+            if fg is not None:
+                fr.film_grain = fg
+            else:
+                noise = None
+                if self.adaptive_film_grain and planes is not None:
+                    from .tf import estimate_noise_mad
 
-                noise = estimate_noise_mad(
-                    np.asarray(planes[0]).astype(np.int64)
-                    >> (seq.bit_depth - 8))
-            fr.film_grain = self._film_grain_params(plan.disp_idx, noise)
+                    noise = estimate_noise_mad(
+                        np.asarray(planes[0]).astype(np.int64)
+                        >> (seq.bit_depth - 8))
+                fr.film_grain = self._film_grain_params(plan.disp_idx, noise)
         if self.qm is not None:
             from ..ops.quant import get_qmlevel
 
@@ -558,6 +581,15 @@ class Av1Encoder:
                   and os.environ.get("SVT_TPU_HOST_MD") != "1")
         use_device_inter = dev_ok and not fr.frame_is_intra and bool(ref_planes)
 
+        # switchable interpolation filters: host-path inter frames at the
+        # slower presets search REG/SMOOTH/SHARP per block
+        # (enc_inter_prediction.c:2276 interpolation_filter_search);
+        # device-path frames keep the fixed REGULAR header for now
+        if (not fr.frame_is_intra and bool(ref_planes)
+                and not use_device_inter and self.preset <= 6
+                and os.environ.get("SVT_TPU_NO_IFS") != "1"):
+            fr.interp_filter = 4  # SWITCHABLE
+
         # device full-pel motion field: ONE batched HME/ME call over all
         # refs replaces the per-block host raster (device/me.py); skipped
         # when the fused inter lattice (which embeds ME) will run.
@@ -577,6 +609,17 @@ class Av1Encoder:
 
             psy_factor = hvs_modulation_factor(self.psy_rd, is_key,
                                                plan.layer)
+        rdoq_frame = None
+        if self.rdoq_level:
+            from .rdoq import RdoqFrame
+
+            rdoq_frame = RdoqFrame(
+                cdfs, fr.base_q_idx,
+                compute_rdmult(fr.base_q_idx, seq.bit_depth),
+                sharpness=self.sharpness, sharp_tx=self.sharp_tx,
+                use_sharpness=(self.rdoq_use_sharpness
+                               and fr.delta_q_present))
+
         def make_md(p_list, mi_cols, me_f, x_off=0):
             m = ModeDecision(seq, fr, p_list, self.mi_rows, mi_cols,
                              rdmult=compute_rdmult(fr.base_q_idx, seq.bit_depth),
@@ -592,7 +635,9 @@ class Av1Encoder:
                              filter_intra=seq.enable_filter_intra,
                              cfl=self.preset <= 6, tile_x_off=x_off,
                              noise_norm=self.noise_norm_strength,
-                             max_32_tx=self.max_32_tx_size)
+                             max_32_tx=self.max_32_tx_size,
+                             rdoq=rdoq_frame, spy_rd=self.spy_rd,
+                             temporal_layer=plan.layer)
             if m.mi_state is not None:
                 m.mi_state.sign_bias = sign_bias
             return m
@@ -921,6 +966,47 @@ class Av1Encoder:
                                              "little")
             out += p
         return out
+
+    def _grain_model_params(self, planes, disp_idx: int, is_key: bool):
+        """Content-fitted grain parameters (ops/noise_model.py, the
+        reference's denoise_and_model path, noise_model.c:2280): flat
+        blocks + AR fit + strength LUT, cached per keyframe interval.
+        Returns FilmGrainParams or None (fall back to the flat ladder)."""
+        if is_key or not hasattr(self, "_grain_fit"):
+            from ..ops.noise_model import estimate_grain_params
+
+            seq = self.seq
+            ss = (seq.subsampling_x, seq.subsampling_y)
+            try:
+                self._grain_fit = estimate_grain_params(
+                    [np.asarray(p) for p in planes], seq.bit_depth, ss)
+            except np.linalg.LinAlgError:
+                self._grain_fit = None
+        fit = self._grain_fit
+        if fit is None:
+            return None
+        from ..ops.film_grain import FilmGrainParams
+
+        return FilmGrainParams(
+            apply_grain=True,
+            grain_seed=(7391 + 3 * disp_idx) & 0xFFFF,
+            num_y_points=len(fit["scaling_points_y"]),
+            scaling_points_y=list(fit["scaling_points_y"]),
+            num_cb_points=len(fit["scaling_points_cb"]),
+            scaling_points_cb=list(fit["scaling_points_cb"]),
+            num_cr_points=len(fit["scaling_points_cr"]),
+            scaling_points_cr=list(fit["scaling_points_cr"]),
+            chroma_scaling_from_luma=False,
+            scaling_shift=fit["scaling_shift"],
+            ar_coeff_lag=fit["ar_coeff_lag"],
+            ar_coeffs_y=list(fit["ar_coeffs_y"]),
+            ar_coeffs_cb=list(fit["ar_coeffs_cb"]),
+            ar_coeffs_cr=list(fit["ar_coeffs_cr"]),
+            ar_coeff_shift=fit["ar_coeff_shift"],
+            cb_mult=fit["cb_mult"], cb_luma_mult=fit["cb_luma_mult"],
+            cb_offset=fit["cb_offset"], cr_mult=fit["cr_mult"],
+            cr_luma_mult=fit["cr_luma_mult"], cr_offset=fit["cr_offset"],
+            overlap_flag=True)
 
     def _film_grain_params(self, disp_idx: int, noise: float | None = None):
         """Per-frame grain parameters from the configured strength

@@ -98,7 +98,8 @@ class ModeDecision:
                  me_field=None, psy_factor: float = 0.0,
                  filter_intra: bool = False, cfl: bool = False,
                  tile_x_off: int = 0, noise_norm: int = 0,
-                 max_32_tx: bool = False, try_4way: bool = False):
+                 max_32_tx: bool = False, try_4way: bool = False,
+                 rdoq=None, spy_rd: int = 0, temporal_layer: int = 0):
         # layer-modulated psy-rd strength (0 = off); adds the SA8D energy
         # delta to every txb's distortion (full_loop.c:2285-2536 hook)
         self.psy_factor = psy_factor
@@ -109,6 +110,16 @@ class ModeDecision:
         self.tile_x_off = tile_x_off
         # PSYEX noise normalization strength (full_loop.c:1467)
         self.noise_norm = noise_norm
+        # RDOQ trellis (codec/rdoq.py RdoqFrame or None)
+        self.rdoq = rdoq
+        # PSYEX spy-rd: mode-class distortion biases for candidate
+        # ranking (pic_operators.c:241 facade); 0 off, 1 full, 2 partial
+        self.spy_rd = int(spy_rd)
+        self.temporal_layer = int(temporal_layer)
+        # switchable interp filter search: on when the frame header
+        # signals SWITCHABLE (encoder preset gate sets fr.interp_filter)
+        self.interp_search = getattr(fr, "interp_filter", 0) == 4
+        self._ifs_cost_cache: dict = {}
         # 4-way ext partitions: keyframe-exact but inter still desyncs
         # (round-3 item); AB shapes are governed by try_ext alone
         self.try_4way = try_4way
@@ -925,11 +936,56 @@ class ModeDecision:
         ax = x + self.tile_x_off
         if is_comp:
             ref_pl1 = self.ref_planes[ref_id1]
-            pred = mc_block_compound(ref_pl[0], ref_pl1[0], ax, y, tx_w, tx_h,
-                                     mv, mv1, 0, 0, bit_depth=self.bd)
+
+            def mk_pred(f):
+                return mc_block_compound(ref_pl[0], ref_pl1[0], ax, y, tx_w,
+                                         tx_h, mv, mv1, 0, 0,
+                                         bit_depth=self.bd, interp=f)
         else:
-            pred = mc_block(ref_pl[0], ax, y, tx_w, tx_h, mv[0], mv[1], 0, 0,
-                            bit_depth=self.bd)
+            def mk_pred(f):
+                return mc_block(ref_pl[0], ax, y, tx_w, tx_h, mv[0], mv[1],
+                                0, 0, f, f, bit_depth=self.bd)
+
+        # switchable interpolation filter search (SWITCHABLE frames):
+        # prediction-domain SSE + symbol rate over REG/SMOOTH/SHARP, the
+        # reference's interpolation_filter_search restricted to dual-off
+        # (enc_inter_prediction.c:2276-2352; spy-rd filter biases :2551)
+        flt = 0
+        subpel = ((mv[0] | mv[1]) & 7) or (is_comp and (mv1[0] | mv1[1]) & 7)
+        import os as _os
+
+        _force = _os.environ.get("SVT_TPU_FORCE_INTERP")
+        if self.interp_search and _force is not None:
+            flt = int(_force)
+            pred = mk_pred(flt)
+        elif self.interp_search and subpel:
+            fcosts = self._interp_fcosts(is_comp)
+            src = self.pctx[0].src[y : y + tx_h, x : x + tx_w]
+            best = None
+            for f in (0, 1, 2):
+                p_f = mk_pred(f)
+                sse = int(((src - p_f).astype(np.int64) ** 2).sum())
+                j = rdcost(self.rdmult, int(fcosts[f]), sse)
+                if self.spy_rd:
+                    if f == 2:
+                        j = j * 75 // 100
+                    elif f == 0:
+                        j = j * 80 // 100
+                if best is None or j < best[0]:
+                    best = (j, f, p_f)
+            flt = best[1]
+            pred = best[2]
+        else:
+            pred = mk_pred(flt)
+        # needs_interp_filter (spec 5.11.26): large GLOBALMV blocks skip
+        # the symbol (identity GM), matching the writer's rule
+        large = min(int(BLOCK_W[bsize]), int(BLOCK_H[bsize])) >= 8
+        codes_filter = not (large and mode in (InterMode.GLOBALMV,
+                                               InterMode.GLOBAL_GLOBALMV))
+        if self.fr.interp_filter == 4 and codes_filter:
+            rate += int(self._interp_fcosts(is_comp)[flt])
+        elif not codes_filter:
+            flt = 0
         txbs = []
         dist = 0
         qc, eob, rec, d = self._txb_rd_pred(self.pctx[0], pred, x, y, tx_size,
@@ -951,11 +1007,11 @@ class ModeDecision:
                     predc = mc_block_compound(ref_pl[p], ref_pl1[p], acx, cy,
                                               int(TX_W[uv_tx]), int(TX_H[uv_tx]),
                                               mv, mv1, ssx, ssy,
-                                              bit_depth=self.bd)
+                                              bit_depth=self.bd, interp=flt)
                 else:
                     predc = mc_block(ref_pl[p], acx, cy,
                                      int(TX_W[uv_tx]), int(TX_H[uv_tx]),
-                                     mv[0], mv[1], ssx, ssy,
+                                     mv[0], mv[1], ssx, ssy, flt, flt,
                                      bit_depth=self.bd)
                 qc, eob, rec, d = self._txb_rd_pred(self.pctx[p], predc, cx, cy,
                                                     uv_tx, TxType.DCT_DCT, p)
@@ -985,12 +1041,53 @@ class ModeDecision:
                          ref_frame1=ref_id1 if is_comp else -1,
                          mv1=tuple(mv1) if is_comp else (0, 0),
                          inter_mode=int(mode), mv=tuple(mv), drl_index=drl_index,
+                         interp_filter=flt,
                          coeffs=None if skip else
                          [{k: v for k, v in t.items() if k != "_rec"} for t in txbs])
-        return rdcost(self.rdmult, rate, dist), leaf, txbs
+        jdist = self._spy_dist(dist, is_intra=False, comp_avg=is_comp)
+        return rdcost(self.rdmult, rate, jdist), leaf, txbs
 
     def _txb_rd_pred(self, pc, pred, x, y, tx_size, tx_type, plane):
-        return self._txb_rd(pc, pred, x, y, tx_size, tx_type, plane)
+        return self._txb_rd(pc, pred, x, y, tx_size, tx_type, plane,
+                            is_inter=True)
+
+    def _interp_fcosts(self, is_comp: bool) -> np.ndarray:
+        """Filter symbol costs at the modal context (both neighbors
+        REGULAR => ctx 0 / 4); the exact per-block context only shifts
+        candidate ties, the writer codes with the true context."""
+        key = bool(is_comp)
+        t = self._ifs_cost_cache.get(key)
+        if t is None:
+            t = cdf_costs(self.cdfs.switchable_interp[0][4 if is_comp else 0])
+            self._ifs_cost_cache[key] = t
+        return t
+
+    def _spy_dist(self, dist: int, *, is_intra: bool, mode: int = -1,
+                  bsize: int = -1, comp_avg: bool = False) -> int:
+        """spy-rd candidate-ranking distortion bias (the reference's
+        full-distortion facade, pic_operators.c:241-292): penalize
+        visually blurry mode classes.  Full tweaks at spy_rd == 1 only;
+        spy_rd == 2 keeps just the non-facade biases (interp filters)."""
+        if self.spy_rd != 1:
+            return dist
+        if is_intra:
+            if (mode in (IntraMode.DC, IntraMode.SMOOTH, IntraMode.SMOOTH_V,
+                         IntraMode.SMOOTH_H) and self.psy_factor == 0.0):
+                dist = dist * 5 // 4
+            elif mode in (IntraMode.H, IntraMode.V, IntraMode.PAETH):
+                dist = dist * 9 // 8
+            if self.temporal_layer >= 2:
+                w = (8, 8, 9, 10, 11, 12)[min(self.temporal_layer, 5)]
+                dist = dist * w // 8
+            bw, bh = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+            if bw == 64 and bh == 64:
+                dist = dist * 3 // 2
+            elif bw * bh <= 32 * 32:
+                dist = dist * 17 // 16
+        elif comp_avg:
+            # our compound inter is COMPOUND_AVERAGE
+            dist = dist * 5 // 4
+        return dist
 
     def _tx_depth_cost(self, r: int, c: int, bsize: int, depth: int) -> int:
         """Rate of the intra tx depth symbol (write_selected_tx_size)."""
@@ -1175,7 +1272,9 @@ class ModeDecision:
                          cfl_alpha_u=cfl_alphas[0], cfl_alpha_v=cfl_alphas[1],
                          coeffs=None if skip else
                          [{k: v for k, v in t.items() if k != "_rec"} for t in txbs])
-        return rdcost(self.rdmult, rate, dist), leaf, txbs
+        jdist = self._spy_dist(dist, is_intra=True, mode=int(mode),
+                               bsize=bsize)
+        return rdcost(self.rdmult, rate, jdist), leaf, txbs
 
     def _txbs_rate(self, txbs) -> int:
         """Coefficient rate (x512) of a txb list via the counting sink,
@@ -1256,7 +1355,8 @@ class ModeDecision:
         return (rdcost(self.rdmult, rate, dist),
                 [comp[1][2], comp[2][2]], dist, rate, (au, av))
 
-    def _txb_rd(self, pc, pred, x, y, tx_size, tx_type, plane):
+    def _txb_rd(self, pc, pred, x, y, tx_size, tx_type, plane,
+                is_inter: bool = False):
         from .encoder import tx_log_scale
 
         fr = self.fr
@@ -1280,7 +1380,36 @@ class ModeDecision:
             qm = qm_tables(level, plane > 0, int(tx_size))
         else:
             qm = None
-        if qm is not None:
+        rdoq = self.rdoq
+        if rdoq is not None:
+            # RDOQ path: fp quantize, then the trellis prunes
+            # (full_loop.c:1723 fp_q + 1764 optimize_b)
+            from ..ops.quant import quantize_fp
+
+            qcoeff, dqcoeff, eob = quantize_fp(
+                coeffs.reshape(1, -1), scan, pq, ls,
+                qm[0] if qm is not None else None,
+                qm[1] if qm is not None else None)
+            if int(eob[0]) > 0:
+                from ..bitstream.coeff_writer import (TX_TYPE_CLASS,
+                                                      _scan_i32)
+
+                tx_class = int(TX_TYPE_CLASS[TxType(tx_type)])
+                qc = np.ascontiguousarray(qcoeff.reshape(-1))
+                dqc = np.ascontiguousarray(dqcoeff.reshape(-1))
+                tco = np.ascontiguousarray(
+                    coeffs.reshape(-1).astype(np.int32))
+                ne = rdoq.optimize(
+                    tco, qc, dqc, int(eob[0]),
+                    _scan_i32(int(tx_size), _scan_kind(tx_type)),
+                    int(tx_size), tx_class, min(tx_w, 32), min(tx_h, 32),
+                    is_inter, plane, ls, pq.dequant[0], pq.dequant[1],
+                    iqm=qm[1] if qm is not None else None,
+                    qindex=self.cur_qindex)
+                qcoeff = qc.reshape(1, -1)
+                dqcoeff = dqc.reshape(1, -1)
+                eob = np.array([ne], np.int32)
+        elif qm is not None:
             qcoeff, dqcoeff, eob = quantize_b_qm(
                 coeffs.reshape(1, -1), scan, pq, ls, qm[0], qm[1])
         else:

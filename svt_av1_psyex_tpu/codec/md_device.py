@@ -241,8 +241,11 @@ class DeviceIntraMD:
             else:
                 self._commit_ctx = False
         if ctx:
+            from .rdoq import arm_for
+
             return ctx.run(pc, pred, x, y, tx_size, self.md.cur_qindex,
-                           dc_delta, ac_delta)
+                           dc_delta, ac_delta, plane=plane,
+                           rdoq=arm_for(self.md.rdoq))
         qc, eob, rec, _ = self.md._txb_rd(pc, pred, x, y, tx_size,
                                           TxType.DCT_DCT, plane)
         pc.recon[y : y + rec.shape[0], x : x + rec.shape[1]] = rec
@@ -272,13 +275,18 @@ class DeviceIntraMD:
                 self.seq.bit_depth)
             dc_delta = fr.delta_q_y_dc if plane == 0 else fr.delta_q_u_dc
             ac_delta = 0 if plane == 0 else fr.delta_q_u_ac
+            from .rdoq import arm_for
+
+            use_rdoq = arm_for(md.rdoq)
             if flat is None:
                 return ctx.run_pred(pc, mode, above, left, have_above,
                                     have_left, x, y, tx_size,
-                                    md.cur_qindex, dc_delta, ac_delta)
+                                    md.cur_qindex, dc_delta, ac_delta,
+                                    plane=plane, rdoq=use_rdoq)
             pred = np.full((tx_h, tx_w), flat, np.int32)
             return ctx.run(pc, pred, x, y, tx_size, md.cur_qindex,
-                           dc_delta, ac_delta)
+                           dc_delta, ac_delta, plane=plane,
+                           rdoq=use_rdoq)
         pred = md._predict(pc, x, y, tx_w, tx_h, have_above, have_left,
                            IntraMode(mode))
         return self._commit_txb(pc, pred, x, y, tx_size, plane)
@@ -643,9 +651,14 @@ class DeviceInterMD(DeviceIntraMD):
         dc_delta = fr.delta_q_y_dc if plane == 0 else fr.delta_q_u_dc
         ac_delta = 0 if plane == 0 else fr.delta_q_u_ac
         if ctx:
+            from .rdoq import arm_for
+
             return ctx.run(pc, np.ascontiguousarray(pred, np.int32), x, y,
-                           tx_size, self.md.cur_qindex, dc_delta, ac_delta)
+                           tx_size, self.md.cur_qindex, dc_delta, ac_delta,
+                           plane=plane, is_inter=True,
+                           rdoq=arm_for(self.md.rdoq))
         qc, eob, rec, _ = self.md._txb_rd(pc, pred, x, y, tx_size,
-                                          TxType.DCT_DCT, plane)
+                                          TxType.DCT_DCT, plane,
+                                          is_inter=True)
         pc.recon[y : y + rec.shape[0], x : x + rec.shape[1]] = rec
         return qc, eob

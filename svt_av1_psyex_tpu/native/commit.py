@@ -32,12 +32,14 @@ def _lib():
         lib.svt_txb_commit.argtypes = [
             _I64P, _I32P, ctypes.c_int, _I32P, ctypes.c_int, _I32P,
             ctypes.c_int, ctypes.c_int, _I64P, _I32P,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.svt_txb_commit_pred.restype = ctypes.c_int32
         lib.svt_txb_commit_pred.argtypes = (
             [_I64P, _I32P, ctypes.c_int, _I32P, ctypes.c_int,
              ctypes.c_int, _I32P, _I32P, ctypes.c_int, ctypes.c_int,
-             _I32P, _I32P, ctypes.c_int, ctypes.c_int, _I64P, _I32P])
+             _I32P, _I32P, ctypes.c_int, ctypes.c_int, _I64P, _I32P,
+             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int])
         _registered = True
     return lib
 
@@ -138,7 +140,8 @@ def txb_commit(src: np.ndarray, recon: np.ndarray, pred: np.ndarray,
         src.ctypes.data_as(_I32P), src.shape[1],
         recon.ctypes.data_as(_I32P), recon.shape[1],
         pred.ctypes.data_as(_I32P), x, y,
-        q10.ctypes.data_as(_I64P), qcoeff.ctypes.data_as(_I32P))
+        q10.ctypes.data_as(_I64P), qcoeff.ctypes.data_as(_I32P),
+        -1, 0, 0, qindex)  # standalone entry: no RDOQ
     return qcoeff.reshape(ch, cw), int(eob)
 
 
@@ -182,7 +185,9 @@ class CommitCtx:
 
     def run_pred(self, pc, mode: int, above: np.ndarray, left: np.ndarray,
                  have_above: bool, have_left: bool, x: int, y: int,
-                 tx_size: int, qindex: int, dc_d: int, ac_d: int):
+                 tx_size: int, qindex: int, dc_d: int, ac_d: int,
+                 plane: int = 0, is_inter: bool = False,
+                 rdoq: bool = False):
         """Predict (C, non-directional commit modes) + commit in one call.
         above: (w+1,) int32 incl. top-left; left: (h,) int32."""
         dptr, ls, w, h, _d, _k = self._desc_ptr(tx_size)
@@ -197,11 +202,13 @@ class CommitCtx:
             above.ctypes.data_as(_I32P), left.ctypes.data_as(_I32P),
             1 if have_above else 0, 1 if have_left else 0,
             smw.ctypes.data_as(_I32P), smh.ctypes.data_as(_I32P),
-            x, y, qptr, qcoeff.ctypes.data_as(_I32P))
+            x, y, qptr, qcoeff.ctypes.data_as(_I32P),
+            tx_size if rdoq else -1, plane, int(is_inter), qindex)
         return qcoeff.reshape(ch, cw), int(eob)
 
     def run(self, pc, pred: np.ndarray, x: int, y: int, tx_size: int,
-            qindex: int, dc_d: int, ac_d: int):
+            qindex: int, dc_d: int, ac_d: int, plane: int = 0,
+            is_inter: bool = False, rdoq: bool = False):
         dptr, ls, w, h, _d, _k = self._desc_ptr(tx_size)
         qptr, _q = self._q_ptr(qindex, dc_d, ac_d, ls)
         sptr, sstride, rptr, rstride = self.plane(pc)
@@ -212,5 +219,6 @@ class CommitCtx:
         eob = self.lib.svt_txb_commit(
             dptr, sptr, sstride, rptr, rstride,
             pred.ctypes.data_as(_I32P), x, y, qptr,
-            qcoeff.ctypes.data_as(_I32P))
+            qcoeff.ctypes.data_as(_I32P),
+            tx_size if rdoq else -1, plane, int(is_inter), qindex)
         return qcoeff.reshape(ch, cw), int(eob)

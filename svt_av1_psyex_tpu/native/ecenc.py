@@ -22,7 +22,7 @@ import numpy as np
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _SRC = _NATIVE_DIR / "ecenc.c"
 _SRCS = [_SRC, _NATIVE_DIR / "cdef.c", _NATIVE_DIR / "frame_enc.c",
-         _NATIVE_DIR / "mvp.c"]
+         _NATIVE_DIR / "mvp.c", _NATIVE_DIR / "rdoq.c"]
 _SO = Path(__file__).parent / "_ecenc.so"
 
 _lib = None

@@ -209,6 +209,9 @@ class FrameCommitter:
             cap += w * h + 2 * 32 * 32
         qcoeff = np.empty(cap + 64, np.int32)
         qindexes = sorted({int(rec[LF_QIDX]) for rec in leaves})
+        from ..codec.rdoq import arm_for
+
+        arm_for(getattr(md, "rdoq", None))
         job = self._pack_job(leaves_arr, qcoeff, qindexes)
         self.lib.svt_commit_init(job.ctypes.data_as(_I64P))
         used = self.lib.svt_frame_commit()

@@ -177,9 +177,9 @@ def compound_average(buf0: np.ndarray, buf1: np.ndarray,
 
 def mc_block_compound(ref0: np.ndarray, ref1: np.ndarray, x: int, y: int,
                       w: int, h: int, mv0, mv1, ss_x: int, ss_y: int,
-                      bit_depth: int = 8) -> np.ndarray:
+                      bit_depth: int = 8, interp: int = 0) -> np.ndarray:
     b0 = mc_block_convbuf(ref0, x, y, w, h, mv0[0], mv0[1], ss_x, ss_y,
-                          bit_depth=bit_depth)
+                          interp, interp, bit_depth=bit_depth)
     b1 = mc_block_convbuf(ref1, x, y, w, h, mv1[0], mv1[1], ss_x, ss_y,
-                          bit_depth=bit_depth)
+                          interp, interp, bit_depth=bit_depth)
     return compound_average(b0, b1, bit_depth)

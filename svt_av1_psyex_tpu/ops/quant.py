@@ -45,6 +45,8 @@ class PlaneQuant:
     quant: tuple
     quant_shift: tuple
     dequant: tuple
+    quant_fp: tuple = (0, 0)   # (1<<16)/dequant (RDOQ fp path)
+    round_fp: tuple = (0, 0)   # dequant/2 (qrounding_factor_fp=64 >> 7)
 
 
 @lru_cache(maxsize=64)
@@ -63,7 +65,8 @@ def build_plane_quant(qindex: int, dc_delta: int = 0, ac_delta: int = 0,
             qzbin = int(np.clip(qzbin, 1, 256))
             qround = int(np.clip(qround, 1, 256))
 
-    out = {k: [0, 0] for k in ("zbin", "round", "quant", "quant_shift", "dequant")}
+    out = {k: [0, 0] for k in ("zbin", "round", "quant", "quant_shift",
+                               "dequant", "quant_fp", "round_fp")}
     for i in range(2):
         delta = dc_delta if i == 0 else ac_delta
         lookup = dc_q if i == 0 else ac_q
@@ -74,6 +77,8 @@ def build_plane_quant(qindex: int, dc_delta: int = 0, ac_delta: int = 0,
         out["zbin"][i] = _round_pow2(qzbin * quant_qtx, 7)
         out["round"][i] = (qround * quant_qtx) >> 7
         out["dequant"][i] = quant_qtx
+        out["quant_fp"][i] = (1 << 16) // quant_qtx
+        out["round_fp"][i] = (64 * quant_qtx) >> 7
     return PlaneQuant(**{k: tuple(v) for k, v in out.items()})
 
 
@@ -105,6 +110,46 @@ def quantize_b(coeffs: np.ndarray, scan: np.ndarray, pq: PlaneQuant,
     dqcoeff = (((tmp32 * deq) >> log_scale) * sign).astype(np.int32)
 
     q_scan = tmp32[:, scan] != 0
+    idx = np.arange(n)[None, :]
+    eob = np.where(q_scan, idx + 1, 0).max(axis=1).astype(np.int32)
+    return qcoeff, dqcoeff, eob
+
+
+def quantize_fp(coeffs: np.ndarray, scan: np.ndarray, pq: PlaneQuant,
+                log_scale: int, qm: np.ndarray | None = None,
+                iqm: np.ndarray | None = None
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched fp quantize (quantize_fp_helper_c, full_loop.c:282): no
+    zbin/quant_shift — a simple dead-zone with round = dequant/2, used
+    ahead of the RDOQ trellis (which then prunes).  qm/iqm: optional
+    raster weight matrices (AOM_QM_BITS fixed point)."""
+    b, n = coeffs.shape
+    is_dc = np.arange(n) == 0
+    rnd = np.where(is_dc, _round_pow2(pq.round_fp[0], log_scale),
+                   _round_pow2(pq.round_fp[1], log_scale)).astype(np.int64)
+    quant = np.where(is_dc, pq.quant_fp[0], pq.quant_fp[1]).astype(np.int64)
+    deq = np.where(is_dc, pq.dequant[0], pq.dequant[1]).astype(np.int64)
+
+    c = coeffs.astype(np.int64)
+    sign = np.where(c < 0, -1, 1).astype(np.int64)
+    abs_c = np.abs(c)
+    if qm is None:
+        passes = (abs_c << (1 + log_scale)) >= deq
+        t = np.clip(abs_c + rnd, -32768, 32767)
+        q = np.where(passes, (t * quant) >> (16 - log_scale), 0)
+        dqv = deq
+    else:
+        wt = qm.reshape(-1).astype(np.int64)
+        iwt = iqm.reshape(-1).astype(np.int64)
+        dqv = (deq * iwt + (1 << (AOM_QM_BITS - 1))) >> AOM_QM_BITS
+        passes = abs_c * wt >= (deq << (AOM_QM_BITS - (1 + log_scale)))
+        t = np.clip(abs_c + rnd, -32768, 32767)
+        q = np.where(passes,
+                     (t * wt * quant) >> (16 - log_scale + AOM_QM_BITS), 0)
+    qcoeff = (q * sign).astype(np.int32)
+    dqcoeff = (((q * dqv) >> log_scale) * sign).astype(np.int32)
+
+    q_scan = q[:, scan] != 0
     idx = np.arange(n)[None, :]
     eob = np.where(q_scan, idx + 1, 0).max(axis=1).astype(np.int32)
     return qcoeff, dqcoeff, eob

@@ -85,16 +85,20 @@ def test_kernels_basic():
     assert cfl_context_v(4) == 4  # SIGN_V(4)=2, SIGN_U(4)=1 -> 2*3+1-3
 
 
-def test_cfl_selected_and_dav1d_bitexact(tmp_path):
+def test_cfl_selected_and_dav1d_bitexact(tmp_path, monkeypatch):
+    # CfL search lives on the host MD path; preset 6 defaults to the
+    # device lattice (round-3 gate lift) whose mode set has no CfL yet
+    monkeypatch.setenv("SVT_TPU_HOST_MD", "1")
     w, h = 192, 128
     enc = Av1Encoder(SequenceConfig(width=w, height=h), preset=6)
     n, _ = _count_cfl_roundtrip(enc, _mosaic(w, h), 60, tmp_path, "cfl")
     assert n > 0, "RD never selected CfL"
 
 
-def test_cfl_saves_bits_on_correlated_chroma(tmp_path):
+def test_cfl_saves_bits_on_correlated_chroma(tmp_path, monkeypatch):
     import svt_av1_psyex_tpu.codec.md as M
 
+    monkeypatch.setenv("SVT_TPU_HOST_MD", "1")
     w, h = 192, 128
     planes = _mosaic(w, h)
     enc = Av1Encoder(SequenceConfig(width=w, height=h), preset=6)
@@ -115,7 +119,8 @@ def test_cfl_saves_bits_on_correlated_chroma(tmp_path):
     assert bytes_cfl < len(tu2), (bytes_cfl, len(tu2))
 
 
-def test_cfl_10bit(tmp_path):
+def test_cfl_10bit(tmp_path, monkeypatch):
+    monkeypatch.setenv("SVT_TPU_HOST_MD", "1")
     w, h = 96, 96
     enc = Av1Encoder(SequenceConfig(width=w, height=h, bit_depth=10),
                      preset=6)

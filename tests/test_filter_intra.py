@@ -70,10 +70,11 @@ def _count_fi_and_roundtrip(enc, planes, q, tmp_path, name):
     return nfi[0]
 
 
-def test_search_selects_fi_and_decodes(tmp_path):
+def test_search_selects_fi_and_decodes(tmp_path, monkeypatch):
     """Real RD picks filter-intra blocks on smooth-blob content and the
     stream (use_filter_intra flags + mode symbols + recursive recon +
     mapped ext-tx context) decodes bit-exactly in dav1d."""
+    monkeypatch.setenv("SVT_TPU_HOST_MD", "1")  # FI search = host MD
     w, h = 192, 128
     enc = Av1Encoder(SequenceConfig(width=w, height=h), preset=6)
     n = _count_fi_and_roundtrip(enc, _blob_frame(w, h), 120, tmp_path, "fi")

@@ -90,6 +90,16 @@ def test_knobs_stay_conformant_and_act(tmp_path):
     assert b1 != b0, "noise normalization had no effect on the stream"
 
 
+def test_spy_rd_conformant_and_acts(tmp_path, monkeypatch):
+    """--spy-rd 1 (alternate psy RD pathways, pic_operators.c:241):
+    mode-class distortion biases must change the stream on the host MD
+    path and stay dav1d bit-exact."""
+    monkeypatch.setenv("SVT_TPU_HOST_MD", "1")
+    b0 = _encode(tmp_path, "spy0", lambda c: None)
+    b1 = _encode(tmp_path, "spy1", lambda c: setattr(c, "spy_rd", 1))
+    assert b1 != b0, "spy-rd had no effect on the stream"
+
+
 def test_max_32_tx_size(tmp_path):
     """--max-32-tx-size forces tx splits on 64-class blocks (intra,
     TX_MODE_SELECT) and stays conformant."""

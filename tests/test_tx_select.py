@@ -47,9 +47,11 @@ def _sharp_frames(w, h, n, bd=8, seed=7):
     return out
 
 
-def test_tx_select_intra_inter_conformance(tmp_path):
+def test_tx_select_intra_inter_conformance(tmp_path, monkeypatch):
     """Key + inter frames at a TX-select preset decode bit-exact, and at
-    least one block signals tx depth 1."""
+    least one block signals tx depth 1 (host MD path — the device
+    lattice at preset 6 commits max-rect only)."""
+    monkeypatch.setenv("SVT_TPU_HOST_MD", "1")
     import svt_av1_psyex_tpu.bitstream.tile_writer as twmod
 
     hist = {}

@@ -1,0 +1,150 @@
+#!/usr/bin/env python3
+"""BD-rate harness: this encoder vs the reference build, matched settings.
+
+For each clip and each CRF point, encodes with both encoders, decodes the
+streams with dav1d, computes weighted YUV PSNR (6/1/1) against the source,
+and integrates the classic Bjontegaard cubic-log-rate delta.
+
+Usage:
+  python tools/bdrate.py [--preset 6] [--crfs 25,32,39,46]
+      [--clips blobs:320x180:48,texture:320x180:48]
+      [--ref /root/repo/.refbin/SvtAv1EncApp] [-o bdrate.json]
+
+Negative BD-rate = we need fewer bits for the same quality.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from fractions import Fraction
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+import numpy as np
+
+
+def _psnr_yuv(dec_frames, src_frames, bit_depth=8) -> float:
+    """Weighted 6/1/1 PSNR over all frames."""
+    maxv = (1 << bit_depth) - 1
+    num = den = 0.0
+    for dec, src in zip(dec_frames, src_frames):
+        for i, wgt in enumerate((6.0, 1.0, 1.0)[: len(dec)]):
+            dh, dw = dec[i].shape
+            d = dec[i].astype(np.float64) - src[i][:dh, :dw]
+            num += wgt * float((d * d).mean())
+            den += wgt
+    mse = max(num / den, 1e-10)
+    return 10.0 * np.log10(maxv * maxv / mse)
+
+
+def bd_rate(rate_a, psnr_a, rate_b, psnr_b) -> float:
+    """Bjontegaard delta rate (%) of B vs A (negative = B cheaper)."""
+    la, lb = np.log(rate_a), np.log(rate_b)
+    pa = np.polyfit(psnr_a, la, 3)
+    pb = np.polyfit(psnr_b, lb, 3)
+    lo = max(min(psnr_a), min(psnr_b))
+    hi = min(max(psnr_a), max(psnr_b))
+    if hi <= lo:
+        return float("nan")
+    ia = np.polyint(pa)
+    ib = np.polyint(pb)
+    va = np.polyval(ia, hi) - np.polyval(ia, lo)
+    vb = np.polyval(ib, hi) - np.polyval(ib, lo)
+    avg = (vb - va) / (hi - lo)
+    return float((np.exp(avg) - 1.0) * 100.0)
+
+
+def make_clip(kind: str, w: int, h: int, frames: int, path: Path):
+    from mkclip import synth_frame
+
+    from svt_av1_psyex_tpu.utils.y4m import VideoFormat, Y4MWriter
+
+    fmt = VideoFormat(w, h, fps=Fraction(30, 1))
+    src = []
+    with open(path, "wb") as fh:
+        wr = Y4MWriter(fh, fmt)
+        for t in range(frames):
+            f = synth_frame(fmt, t, kind)
+            src.append(f)
+            wr.write_frame(f)
+    return src
+
+
+def run_ref(ref_bin: str, y4m: Path, ivf: Path, preset: int, crf: int):
+    env = dict(os.environ, LD_LIBRARY_PATH=str(Path(ref_bin).parent))
+    t0 = time.perf_counter()
+    subprocess.run([ref_bin, "-i", str(y4m), "-b", str(ivf),
+                    "--preset", str(preset), "--crf", str(crf),
+                    "--lp", "1"],
+                   check=True, capture_output=True, env=env)
+    return time.perf_counter() - t0
+
+
+def run_ours(y4m: Path, ivf: Path, preset: int, crf: int):
+    t0 = time.perf_counter()
+    subprocess.run([sys.executable, "-m", "svt_av1_psyex_tpu.app.main",
+                    "-i", str(y4m), "-b", str(ivf),
+                    "--preset", str(preset), "--crf", str(crf)],
+                   check=True, capture_output=True,
+                   cwd=REPO, env=dict(os.environ))
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", type=int, default=6)
+    ap.add_argument("--crfs", default="25,32,39,46")
+    ap.add_argument("--clips", default="blobs:320x180:48")
+    ap.add_argument("--ref", default=str(REPO / ".refbin" / "SvtAv1EncApp"))
+    ap.add_argument("-o", "--output", default="")
+    args = ap.parse_args()
+
+    from svt_av1_psyex_tpu.conformance.dav1d import decode_ivf
+
+    crfs = [int(x) for x in args.crfs.split(",")]
+    results = {}
+    with tempfile.TemporaryDirectory() as td:
+        tdp = Path(td)
+        for spec in args.clips.split(","):
+            kind, size, n = spec.split(":")
+            w, h = (int(x) for x in size.split("x"))
+            y4m = tdp / f"{kind}.y4m"
+            src = make_clip(kind, w, h, int(n), y4m)
+            pts = {"ref": {"rate": [], "psnr": [], "fps": []},
+                   "ours": {"rate": [], "psnr": [], "fps": []}}
+            for crf in crfs:
+                for who, runner in (("ref", run_ref), ("ours", run_ours)):
+                    ivf = tdp / f"{kind}_{who}_{crf}.ivf"
+                    if who == "ref":
+                        dt = runner(args.ref, y4m, ivf, args.preset, crf)
+                    else:
+                        dt = runner(y4m, ivf, args.preset, crf)
+                    dec = decode_ivf(ivf)
+                    pts[who]["rate"].append(ivf.stat().st_size)
+                    pts[who]["psnr"].append(_psnr_yuv(dec, src))
+                    pts[who]["fps"].append(int(n) / dt)
+                    print(f"{kind} crf{crf} {who}: "
+                          f"{ivf.stat().st_size}B "
+                          f"{pts[who]['psnr'][-1]:.3f}dB "
+                          f"{pts[who]['fps'][-1]:.2f}fps", flush=True)
+            bd = bd_rate(pts["ref"]["rate"], pts["ref"]["psnr"],
+                         pts["ours"]["rate"], pts["ours"]["psnr"])
+            results[kind] = {"points": pts, "bd_rate_pct_vs_ref": bd}
+            print(f"== {kind}: BD-rate (ours vs ref) = {bd:+.2f}%", flush=True)
+    if args.output:
+        Path(args.output).write_text(json.dumps(results, indent=1))
+    print(json.dumps({k: round(v["bd_rate_pct_vs_ref"], 2)
+                      for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,18 @@ def synth_frame(fmt: VideoFormat, t: int, kind: str = "blobs") -> list[np.ndarra
         y = np.full((h, w), maxv // 2, np.float32)
     elif kind == "gradient":
         y = (xx / w + yy / h) * 0.5 * maxv
+    elif kind == "texture":
+        # band-limited texture translating at a subpel rate: stresses
+        # interpolation filters, TF and grain tools
+        rng = np.random.RandomState(99)
+        big = rng.normal(0, 1, (h + 64, w + 64)).astype(np.float32)
+        for _ in range(2):  # cheap low-pass to band-limit
+            big = (big + np.roll(big, 1, 0) + np.roll(big, 1, 1)
+                   + np.roll(big, (1, 1), (0, 1))) * 0.25
+        ox, oy = (t * 5) % 48, (t * 3) % 48
+        tex = big[oy : oy + h, ox : ox + w]
+        y = (0.5 + 0.28 * np.sin(2 * np.pi * (xx + 2.0 * t) / 97.0)) * maxv
+        y += tex * 0.18 * maxv
     else:  # blobs: smooth moving gaussians over a gradient
         y = (xx / w) * 0.35 * maxv + (yy / h) * 0.15 * maxv
         rng = np.random.RandomState(1234)
@@ -54,7 +66,8 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--subsampling", default="420")
-    ap.add_argument("--kind", default="blobs", choices=["blobs", "gradient", "flat"])
+    ap.add_argument("--kind", default="blobs",
+                    choices=["blobs", "gradient", "flat", "texture"])
     ap.add_argument("-o", "--output", required=True)
     args = ap.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
