@@ -125,9 +125,10 @@ class SvtAv1Encoder:
         self._rc = None
         self._fp_weights = None
         if cfg.pass_ == 2 and cfg.rc_stats_buffer:
-            from ..codec.firstpass import complexity_weights, parse
+            from ..codec.firstpass import parse, pass2_frame_weights
 
-            self._fp_weights = complexity_weights(parse(cfg.rc_stats_buffer))
+            self._fp_weights = pass2_frame_weights(
+                parse(cfg.rc_stats_buffer), cfg.intra_period_length)
         if cfg.rate_control_mode in (1, 2):
             from ..codec.rc import RateControl
 
@@ -144,7 +145,8 @@ class SvtAv1Encoder:
                                    vbv_bufsize=cfg.vbv_bufsize,
                                    over_shoot_pct=cfg.over_shoot_pct,
                                    under_shoot_pct=cfg.under_shoot_pct,
-                                   max_bit_rate=cfg.max_bit_rate)
+                                   max_bit_rate=cfg.max_bit_rate,
+                                   two_pass=self._fp_weights is not None)
         self._enc = Av1Encoder(
             self._seq, preset=cfg.enc_mode,
             enable_variance_boost=cfg.enable_variance_boost,
@@ -223,6 +225,24 @@ class SvtAv1Encoder:
             self._pts += 1
         self._drain()
 
+    def _encode_rc(self, planes, q: int, **kw) -> bytes:
+        """Encode one frame under rate control with the overshoot recode
+        loop (rc_process.c recode): when the frame blows the tolerance,
+        roll the DPB back and re-encode at the model-inverted higher q
+        (bounded at 2 recodes).  Also feeds the RC bit feedback."""
+        if self._rc is None:
+            return self._enc.encode_frame(planes, q, **kw)
+        snap = self._enc.state_snapshot()
+        tu = self._enc.encode_frame(planes, q, **kw)
+        for _ in range(2):
+            q2 = self._rc.recode_qindex(len(tu) * 8)
+            if q2 is None:
+                break
+            self._enc.state_restore(snap)
+            tu = self._enc.encode_frame(planes, q2, **kw)
+        self._rc.update(len(tu) * 8)
+        return tu
+
     def _fp_w(self, poc: int) -> float:
         w = self._fp_weights
         if w is None or poc >= len(w):
@@ -254,9 +274,7 @@ class SvtAv1Encoder:
                 q = (self._rc.pick_qindex(key, 0,
                                            complexity=self._fp_w(pts))
                      if self._rc else self.config.qindex)
-                tu = self._enc.encode_frame(planes, q, force_key=key)
-                if self._rc:
-                    self._rc.update(len(tu) * 8)
+                tu = self._encode_rc(planes, q, force_key=key)
                 if key:
                     tu = self._with_metadata(tu)
                 self._out_q.append(Packet(tu, pts, pts, frame_type=0 if key else 1))
@@ -308,9 +326,11 @@ class SvtAv1Encoder:
                             self.config.encoder_bit_depth,
                             self.config.qp_scale_compress_strength)
                         self._kf_q = q
-                tu = self._enc.encode_frame(planes, q, plan=plan_key(pts))
                 if self._rc:
-                    self._rc.update(len(tu) * 8)
+                    tu = self._encode_rc(planes, q, plan=plan_key(pts))
+                else:
+                    tu = self._enc.encode_frame(planes, q,
+                                                plan=plan_key(pts))
                 self._emit(tu, pts, 0, shown=True)
                 self._anchor_slot = 0
                 continue
@@ -425,10 +445,11 @@ class SvtAv1Encoder:
                 if is_se or self._rc is not None:
                     # show_existing, or RC's sequential bit feedback
                     q = pick_q(pl, src, is_se)
-                    tu = self._enc.encode_frame(None if is_se else src, q,
-                                                plan=pl)
                     if self._rc and not is_se:
-                        self._rc.update(len(tu) * 8)
+                        tu = self._encode_rc(src, q, plan=pl)
+                    else:
+                        tu = self._enc.encode_frame(None if is_se else src,
+                                                    q, plan=pl)
                     self._emit(tu, pl.disp_idx, 1,
                                shown=pl.show_frame or is_se)
                     i += 1

@@ -305,6 +305,17 @@ class Av1Encoder:
                         base_q_idx: int = 80) -> bytes:
         return self.encode_frame(planes, base_q_idx, force_key=True)
 
+    def state_snapshot(self):
+        """Reference state for the recode loop: slot entries are replaced
+        (never mutated) on refresh, so a shallow slot-list copy + the
+        frame counter fully captures the DPB/CDF-forwarding state."""
+        return (list(getattr(self, "slots", [None] * 8)), self.frame_count)
+
+    def state_restore(self, snap) -> None:
+        slots, count = snap
+        self.slots = list(slots)
+        self.frame_count = count
+
     def encode_frame(self, planes: list[np.ndarray] | None, base_q_idx: int = 80,
                      force_key: bool = False, plan=None,
                      _analysis_row=None, _group=None) -> bytes:

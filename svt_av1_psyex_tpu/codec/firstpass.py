@@ -84,3 +84,42 @@ def complexity_weights(stats: list[FrameStats]) -> np.ndarray:
     wts = err ** 0.6
     wts = np.clip(wts / wts.mean(), 0.25, 4.0)
     return wts / wts.mean()
+
+
+def pass2_frame_weights(stats: list[FrameStats], keyint: int = -1) -> np.ndarray:
+    """Keyframe-group bit allocation (pass2_strategy.c:1630 reduced to
+    its shape): split the stats into kf groups at scene cuts / keyint
+    boundaries, boost each keyframe by how predictable its group is
+    (intra/coded error ratio — cheap keyframes that seed easy groups
+    earn more bits), distribute the rest by the err^0.6 curve.  Returns
+    per-poc weights with overall mean 1.0 (RateControl `complexity`)."""
+    n = len(stats)
+    if n == 0:
+        return np.ones(0)
+    period = 60 if keyint == -2 else keyint
+
+    def is_key(i: int) -> bool:
+        if stats[i].is_cut:
+            return True
+        return period >= 0 and i % (period + 1) == 0
+
+    bounds = [i for i in range(n) if is_key(i)] or [0]
+    bounds.append(n)
+    w = np.ones(n)
+    for g in range(len(bounds) - 1):
+        s, e = bounds[g], bounds[g + 1]
+        grp = stats[s:e]
+        err = np.array([max(f.inter_err, 1e-3) for f in grp])
+        base = np.clip(err ** 0.6 / max((err ** 0.6).mean(), 1e-9),
+                       0.25, 4.0)
+        w[s:e] = base
+        if e - s > 1:
+            # kf boost: mean intra/coded ratio over the group, scaled by
+            # group length (the reference's calculate_boost_factor shape)
+            ratio = np.array([
+                np.clip(max(f.intra_err, 1e-3) / max(f.inter_err, 1e-3),
+                        1.0, 16.0) for f in grp[1:]])
+            boost = np.clip(2.0 + float(ratio.mean())
+                            * min(e - s, 16) / 8.0, 2.0, 10.0)
+            w[s] = boost
+    return w / w.mean()

@@ -349,9 +349,12 @@ class DeviceInterMD(DeviceIntraMD):
         # host MD's pick, md.py _inter_candidates — rides slots 0 and 1,
         # so the one compiled program serves every frame; frames without
         # a pair keep prohibitive compound bases in rd_row.
+        import os as _os
+
         names = list(ref_names)
         self.comp_pair = None
-        if getattr(fr, "reference_select", False) and md.mi_state is not None:
+        if (getattr(fr, "reference_select", False) and md.mi_state is not None
+                and _os.environ.get("SVT_TPU_NO_COMP") != "1"):
             bias = md.mi_state.sign_bias
             fwds = [n for n in names if not bias[n]]
             bwds = [n for n in names if bias[n]]

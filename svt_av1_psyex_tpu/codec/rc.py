@@ -26,7 +26,7 @@ class RateControl:
                  max_qindex: int = 255, keyint: int = -1,
                  low_delay: bool = False, vbv_bufsize: int = 0,
                  over_shoot_pct: int = 25, under_shoot_pct: int = 25,
-                 max_bit_rate: int = 0):
+                 max_bit_rate: int = 0, two_pass: bool = False):
         self.pixels = width * height
         self.fps = max(fps, 1e-6)
         self.target_bps = target_bps
@@ -47,6 +47,11 @@ class RateControl:
         # --mbr: hard per-frame target ceiling (capped-CRF/VBR shape)
         self.max_frame_bits = (max_bit_rate / self.fps
                                if max_bit_rate > 0 else 0.0)
+        # two-pass: per-frame allocation comes entirely from the stats
+        # weights (pass2_frame_weights, mean 1.0 incl. kf boost) so the
+        # layer-weight split is skipped — multiplying both double-counts
+        # the keyframe and makes targets sum past the budget.
+        self.two_pass = two_pass
         self.norm = self._gop_norm(keyint, low_delay)
 
     @staticmethod
@@ -73,16 +78,20 @@ class RateControl:
         """complexity: per-frame relative weight from two-pass stats
         (codec/firstpass.py complexity_weights); 1.0 = single-pass."""
         cat = self._category(is_key, layer)
-        target = self._weighted_target(cat) * complexity
+        if self.two_pass:
+            target = self.avg_bits * complexity
+        else:
+            target = self._weighted_target(cat) * complexity
         # buffer = accumulated savings; negative (overspent) shrinks targets
         if self.mode == 2:  # CBR: hard pull toward center
             adj = 1.0 + max(-2 * self.under_pct,
                             min(2 * self.over_pct,
                                 self.buffer / max(self.buf_cap, 1)))
-        else:  # VBR: gentle long-run correction
-            adj = 1.0 + max(-self.under_pct,
-                            min(self.over_pct,
-                                self.buffer / (4 * max(self.buf_cap, 1))))
+        else:  # VBR: long-run correction — strong enough to repay a
+            # persistent model bias within ~1s of video
+            adj = 1.0 + max(-2 * self.under_pct,
+                            min(2 * self.over_pct,
+                                self.buffer / max(self.buf_cap, 1)))
         target *= adj
         if self.max_frame_bits > 0:
             target = min(target, self.max_frame_bits)
@@ -106,7 +115,32 @@ class RateControl:
                 lo = mid + 1
             else:
                 hi = mid
+        # round to the closer qstep — always rounding q up systematically
+        # undershoots the bit target by half a qstep ratio (~3%)
+        if lo > 1 and (qstep_target - ac_q(lo - 1, self.bit_depth)
+                       < ac_q(lo, self.bit_depth) - qstep_target):
+            lo -= 1
         return lo
+
+    def recode_qindex(self, actual_bits: int) -> int | None:
+        """Overshoot re-encode decision (rc_process.c recode loop):
+        when a frame blows its budget beyond the overshoot tolerance,
+        return the higher qindex to retry with, else None.  Call before
+        update(); the caller re-encodes and asks again (bounded)."""
+        cat, q, target = self._last
+        limit = target * (1.0 + 2.0 * self.over_pct)
+        if self.max_frame_bits > 0:
+            limit = min(limit, self.max_frame_bits * (1.0 + self.over_pct))
+        if target <= 0 or actual_bits <= limit or q >= self.max_qindex:
+            return None
+        # invert the model at the observed operating point
+        qstep_new = ac_q(q, self.bit_depth) * actual_bits / max(target, 1.0)
+        q_new = max(self._nearest_qindex(qstep_new), q + 4)
+        q_new = int(min(q_new, self.max_qindex))
+        if q_new <= q:
+            return None
+        self._last = (cat, q_new, target)
+        return q_new
 
     def update(self, actual_bits: int) -> None:
         cat, q, target = self._last
