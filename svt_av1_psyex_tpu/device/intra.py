@@ -212,7 +212,10 @@ def psy_energy(x: jnp.ndarray, blk: int) -> jnp.ndarray:
     t = (x.reshape(b, n8, 8, n8, 8).transpose(0, 1, 3, 2, 4)
          .reshape(-1, 8, 8).astype(jnp.float32))
     h = jnp.asarray(_had8())
-    tr = jnp.einsum("ij,bjk,lk->bil", h, t, h)
+    # HIGHEST: the row-pass intermediate (<= 8*255) exceeds bf16's
+    # 8-bit mantissa, so TPU DEFAULT precision would skew the SA8D term
+    tr = jnp.einsum("ij,bjk,lk->bil", h, t, h,
+                    precision=jax.lax.Precision.HIGHEST)
     sa8d = jnp.floor((jnp.abs(tr).sum(axis=(1, 2)) + 2) / 4)
     sad = jnp.abs(t).sum(axis=(1, 2))
     e = sa8d - jnp.floor(sad / 4)

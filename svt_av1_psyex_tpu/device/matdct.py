@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,8 +68,11 @@ def fwd_dct2d_mat(resid: jnp.ndarray, n: int) -> jnp.ndarray:
     """(B, n, n) -> (B, cn, cn) float32 DCT_DCT coefficients (analysis)."""
     fc, fr = fwd_mats(n)
     x = resid.astype(jnp.float32)
+    # HIGHEST: TPU DEFAULT is a single bf16 pass, which skews the
+    # transform ~1% and decouples device RD decisions from the host
     return jnp.einsum("ij,bjk,lk->bil", jnp.asarray(fc), x, jnp.asarray(fr),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def inv_dct2d_mat(dq: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -76,4 +80,5 @@ def inv_dct2d_mat(dq: jnp.ndarray, n: int) -> jnp.ndarray:
     gc, gr = inv_mats(n)
     x = dq.astype(jnp.float32)
     return jnp.einsum("ij,bjk,lk->bil", jnp.asarray(gc), x, jnp.asarray(gr),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)

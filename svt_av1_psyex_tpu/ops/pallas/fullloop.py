@@ -88,7 +88,10 @@ def _fullloop_kernel(resid_ref, kf_ref, ki_ref, spos_ref, qp_ref, out_ref,
     """One TB-block tile. qp_ref (SMEM, (8,)): deq_dc, deq_ac, rnd_dc,
     rnd_ac, zbin_dc, zbin_ac (rnd/zbin already >> log_scale)."""
     x = resid_ref[...]                                   # (TB, n^2) f32
-    c = jnp.dot(x, kf_ref[...], preferred_element_type=jnp.float32)
+    # HIGHEST: DEFAULT on TPU is one bf16 pass per operand, which skews
+    # the transform enough to flip quantize decisions vs the jnp chain
+    c = jnp.dot(x, kf_ref[...], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (TB, cn * cn), 1)
     is_dc = idx == 0
@@ -105,7 +108,8 @@ def _fullloop_kernel(resid_ref, kf_ref, ki_ref, spos_ref, qp_ref, out_ref,
         log_scale)
 
     inv = jnp.dot(dq.astype(jnp.float32), ki_ref[...],
-                  preferred_element_type=jnp.float32)    # (TB, n^2)
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)   # (TB, n^2)
     if want_inv:
         inv_ref[...] = inv
     err = x - inv
