@@ -85,27 +85,29 @@ def scan_pos(cn: int) -> np.ndarray:
 def _fullloop_kernel(resid_ref, kf_ref, ki_ref, spos_ref, qp_ref, out_ref,
                      inv_ref, *, n: int, cn: int, log_scale: int,
                      want_inv: bool):
-    """One TB-block tile. qp_ref (SMEM, (8,)): deq_dc, deq_ac, rnd_dc,
-    rnd_ac, zbin_dc, zbin_ac (rnd/zbin already >> log_scale)."""
+    """One TB-block tile. qp_ref (VMEM, (1, 8)): deq_dc, deq_ac, rnd_dc,
+    rnd_ac, zbin_dc, zbin_ac (rnd/zbin already >> log_scale). VMEM, not
+    SMEM: pallas vmap (the per-frame batch in intra_analysis_batch)
+    turns SMEM specs into blocked specs the TPU lowering rejects."""
     x = resid_ref[...]                                   # (TB, n^2) f32
     # HIGHEST: DEFAULT on TPU is one bf16 pass per operand, which skews
     # the transform enough to flip quantize decisions vs the jnp chain
     c = jnp.dot(x, kf_ref[...], preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
 
+    qp = qp_ref[0, :]                                    # (8,) f32
     idx = jax.lax.broadcasted_iota(jnp.int32, (TB, cn * cn), 1)
     is_dc = idx == 0
-    deq = jnp.where(is_dc, qp_ref[0], qp_ref[1]).astype(jnp.float32)
-    rnd = jnp.where(is_dc, qp_ref[2], qp_ref[3]).astype(jnp.float32)
-    zbin = jnp.where(is_dc, qp_ref[4], qp_ref[5]).astype(jnp.float32)
+    deq = jnp.where(is_dc, qp[0], qp[1]).astype(jnp.float32)
+    rnd = jnp.where(is_dc, qp[2], qp[3]).astype(jnp.float32)
+    zbin = jnp.where(is_dc, qp[4], qp[5]).astype(jnp.float32)
 
     abs_c = jnp.abs(c)
     scale = float(1 << log_scale) / deq
     qabs = jnp.floor((abs_c + rnd) * scale).astype(jnp.int32)
     qabs = jnp.where(abs_c >= zbin, jnp.maximum(qabs, 0), 0)
     dq = jax.lax.shift_right_arithmetic(
-        qabs * jnp.where(is_dc, qp_ref[0], qp_ref[1]).astype(jnp.int32),
-        log_scale)
+        qabs * deq.astype(jnp.int32), log_scale)
 
     inv = jnp.dot(dq.astype(jnp.float32), ki_ref[...],
                   preferred_element_type=jnp.float32,
@@ -171,7 +173,8 @@ def fullloop(resid: jnp.ndarray, qp6: jnp.ndarray, n: int, log_scale: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cn * cn), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((TB, 8), lambda i: (i, 0),
@@ -183,7 +186,8 @@ def fullloop(resid: jnp.ndarray, qp6: jnp.ndarray, n: int, log_scale: int,
         ],
         interpret=_interpret(),
     )(x, jnp.asarray(kf), jnp.asarray(ki),
-      jnp.asarray(scan_pos(cn))[None, :], qp6.astype(jnp.float32))
+      jnp.asarray(scan_pos(cn))[None, :],
+      jnp.pad(qp6.astype(jnp.float32), (0, 2))[None, :])
     metrics = outs[0][:b]
     inv = outs[1][:b].reshape(b, n, n) if want_inv else None
     return metrics, inv

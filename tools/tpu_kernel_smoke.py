@@ -95,6 +95,33 @@ def check_fullloop() -> str:
     return "matches jnp chain; first-call " + " ".join(report)
 
 
+def check_fullloop_vmap() -> str:
+    """intra_analysis_batch vmaps the kernel over frames — pallas's
+    vmap rule rewrites every BlockSpec, which has its own Mosaic
+    constraints (an SMEM spec broke here on v5e)."""
+    import jax
+    import jax.numpy as jnp
+
+    from svt_av1_psyex_tpu.device import intra as di
+    from svt_av1_psyex_tpu.ops.pallas.fullloop import fullloop
+
+    rng = np.random.RandomState(3)
+    f, b, n = 3, 256, 16
+    resid = rng.randint(-64, 65, (f, b, n, n)).astype(np.int32)
+    qp_row = di.qp_row_for(96, 0, 0, 8)
+    qp6 = jnp.asarray([qp_row[4], qp_row[9], qp_row[1], qp_row[6],
+                       qp_row[0], qp_row[5]], jnp.float32)
+    qp6s = jnp.stack([qp6, qp6 * 1.25, qp6 * 0.75])
+
+    batched = jax.vmap(lambda r, q: fullloop(r, q, n, 0)[0])(
+        jnp.asarray(resid), qp6s)
+    for i in range(f):
+        single, _ = fullloop(jnp.asarray(resid[i]), qp6s[i], n, 0)
+        assert np.allclose(np.asarray(batched)[i], np.asarray(single),
+                           rtol=1e-4, atol=1.0), f"frame {i} mismatch"
+    return "vmapped == per-frame"
+
+
 def main() -> None:
     import jax
 
@@ -104,7 +131,8 @@ def main() -> None:
         print("WARNING: not on TPU — this run does NOT validate Mosaic")
     failures = 0
     for name, fn in (("sad_lattice", check_sad),
-                     ("fullloop", check_fullloop)):
+                     ("fullloop", check_fullloop),
+                     ("fullloop_vmap", check_fullloop_vmap)):
         try:
             note = fn()
             print(f"PASS {name}: {note}")
