@@ -78,10 +78,28 @@ class SvtAv1Encoder:
         errs = cfg.validate()
         if errs:
             raise SvtAv1Error("; ".join(errs))
+        # init banner + leveled logging (svt_av1_print_version /
+        # svt_log_init, enc_handle.c:5759 + svt_log.c) — SVT_LOG=<level>
+        # and SVT_LOG_FILE env switches match the reference
+        from .. import __version__
+        from ..utils import log
+
+        log.info("-------------------------------------------")
+        log.info("SVT [version]:\tSVT-AV1-PSYEX-TPU Encoder Lib %s",
+                 __version__)
+        log.info("SVT [config]:\t%dx%d %d-bit, preset %d, %s",
+                 cfg.source_width, cfg.source_height,
+                 cfg.encoder_bit_depth, cfg.enc_mode,
+                 {0: "CRF %d" % cfg.crf, 1: "VBR %d" % cfg.target_bit_rate,
+                  2: "CBR %d" % cfg.target_bit_rate}.get(
+                     cfg.rate_control_mode, "?"))
+        log.info("-------------------------------------------")
         pend = cfg.pending_overrides()
         if pend:
             import warnings
 
+            log.warn("parameters accepted but not yet honored: %s",
+                     ", ".join(pend))
             warnings.warn(
                 "parameters accepted but not yet honored: " + ", ".join(pend),
                 stacklevel=2)
@@ -300,13 +318,19 @@ class SvtAv1Encoder:
                 planes, pts, _ = self._in_q.popleft()
                 if (self.config.enable_tf and self.config.kf_tf_strength > 0
                         and self.config.enc_mode <= 9 and self._in_q):
+                    import os as _os
+                    import time as _time
+
                     from ..codec.tf import temporal_filter
 
+                    _t0 = _time.perf_counter()
                     nbrs = [p for p, _, _ in list(self._in_q)[:3]]
                     planes = temporal_filter(
                         planes, nbrs, self.config.qindex,
                         self.config.encoder_bit_depth,
                         strength=self.config.kf_tf_strength)
+                    if _os.environ.get("SVT_TPU_TIMING") == "1":
+                        self._enc._tick("tf", _t0)
                 if self._rc:
                     q = self._rc.pick_qindex(True, 0,
                                               complexity=self._fp_w(pts))
@@ -364,14 +388,20 @@ class SvtAv1Encoder:
                     and self.config.enc_mode <= 9
                     and not plans[0].show_frame
                     and plans[0].show_existing_slot is None):
+                import os as _os
+                import time as _time
+
                 from ..codec.tf import temporal_filter
 
+                _t0 = _time.perf_counter()
                 arf = plans[0].disp_idx
                 nbrs = [v for k, v in srcs.items() if k != arf]
                 srcs[arf] = temporal_filter(
                     srcs[arf], nbrs, self.config.qindex,
                     self.config.encoder_bit_depth,
                     strength=self.config.tf_strength)
+                if _os.environ.get("SVT_TPU_TIMING") == "1":
+                    self._enc._tick("tf", _t0)
             # TPL over the mini-GOP + queued lookahead: the display-order
             # chain lets future frames propagate dependency back into
             # this group's ARF (its group index = length-1)

@@ -45,6 +45,9 @@ def main() -> None:
     ap.add_argument("--bit-depth", type=int, default=8)
     ap.add_argument("--timing", action="store_true")
     ap.add_argument("--no-dav1d", action="store_true")
+    ap.add_argument("--repeat", action="store_true",
+                    help="encode twice in-process; report the 2nd pass "
+                         "(steady state: XLA compiles cached)")
     args = ap.parse_args()
 
     if args.timing:
@@ -63,23 +66,24 @@ def main() -> None:
                         enc_mode=args.preset, crf=args.crf,
                         encoder_bit_depth=args.bit_depth,
                         recon_enabled=not args.no_dav1d)
-    h = SvtAv1Encoder()
-    h.set_parameter(cfg)
-    h.init()
+    for _pass in range(2 if args.repeat else 1):
+        h = SvtAv1Encoder()
+        h.set_parameter(cfg)
+        h.init()
 
-    t0 = time.perf_counter()
-    packets = []
-    recons = {}
-    for t, f in enumerate(frames):
-        h.send_picture(f, t)
-    h.send_picture(None)
-    while (pk := h.get_packet()) is not None:
-        if not pk.is_eos:
-            packets.append(pk)
-    if not args.no_dav1d:
-        while (rc := h.get_recon()) is not None:
-            recons[rc.pts] = rc.planes
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        packets = []
+        recons = {}
+        for t, f in enumerate(frames):
+            h.send_picture(f, t)
+        h.send_picture(None)
+        while (pk := h.get_packet()) is not None:
+            if not pk.is_eos:
+                packets.append(pk)
+        if not args.no_dav1d:
+            while (rc := h.get_recon()) is not None:
+                recons[rc.pts] = rc.planes
+        dt = time.perf_counter() - t0
     fps = args.frames / dt
     nbytes = sum(len(p.data) for p in packets)
 
