@@ -87,12 +87,14 @@ class SvtAv1Encoder:
         log.info("-------------------------------------------")
         log.info("SVT [version]:\tSVT-AV1-PSYEX-TPU Encoder Lib %s",
                  __version__)
-        log.info("SVT [config]:\t%dx%d %d-bit, preset %d, %s",
+        rc_name = {0: "CRF", 1: "VBR", 2: "CBR"}.get(
+            cfg.rate_control_mode, "?")
+        rc_val = (cfg.crf if cfg.rate_control_mode == 0
+                  else cfg.target_bit_rate)
+        log.info("SVT [config]:\t%dx%d %d-bit, preset %d, %s %s",
                  cfg.source_width, cfg.source_height,
-                 cfg.encoder_bit_depth, cfg.enc_mode,
-                 {0: "CRF %d" % cfg.crf, 1: "VBR %d" % cfg.target_bit_rate,
-                  2: "CBR %d" % cfg.target_bit_rate}.get(
-                     cfg.rate_control_mode, "?"))
+                 cfg.encoder_bit_depth, cfg.enc_mode, rc_name,
+                 "?" if rc_val is None else rc_val)
         log.info("-------------------------------------------")
         pend = cfg.pending_overrides()
         if pend:
