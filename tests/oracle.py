@@ -30,6 +30,7 @@ _SOURCES = [
     "Lib/C_DEFAULT/encode_txb_ref_c.c",
     "Lib/C_DEFAULT/filterintra_c.c",
     "Lib/Codec/grainSynthesis.c",
+    "Lib/Codec/warped_motion.c",
 ]
 _INCLUDES = ["Lib/Codec", "API", "Lib/Globals", "Lib/C_DEFAULT"]
 
@@ -417,3 +418,60 @@ def add_film_grain(params, planes, w, h, bit_depth=8, ss_x=1, ss_y=1):
     fn(ctypes.byref(fg), y.ctypes.data, u.ctypes.data, v.ctypes.data,
        h, w, w, cw, 1 if bit_depth > 8 else 0, ss_y, ss_x)
     return [y.astype(np.int64), u.astype(np.int64), v.astype(np.int64)]
+
+
+# Warped motion (spec 7.11.3) ---------------------------------------------------
+class _ConvolveParams(ctypes.Structure):
+    _fields_ = [("ref", ctypes.c_int32), ("do_average", ctypes.c_int32),
+                ("dst", ctypes.c_void_p), ("dst_stride", ctypes.c_int32),
+                ("round_0", ctypes.c_int32), ("round_1", ctypes.c_int32),
+                ("plane", ctypes.c_int32), ("is_compound", ctypes.c_int32),
+                ("use_jnt_comp_avg", ctypes.c_int32),
+                ("fwd_offset", ctypes.c_int32), ("bck_offset", ctypes.c_int32),
+                ("use_dist_wtd_comp_avg", ctypes.c_int32)]
+
+
+class _WarpedMotionParams(ctypes.Structure):
+    _fields_ = [("wmtype", ctypes.c_int32), ("wmmat", ctypes.c_int32 * 6),
+                ("alpha", ctypes.c_int16), ("beta", ctypes.c_int16),
+                ("gamma", ctypes.c_int16), ("delta", ctypes.c_int16),
+                ("invalid", ctypes.c_int8)]
+
+
+def shear_params(mat):
+    """Reference svt_get_shear_params (warped_motion.c:898):
+    returns (valid, alpha, beta, gamma, delta)."""
+    lib = get_lib()
+    wm = _WarpedMotionParams()
+    for i in range(6):
+        wm.wmmat[i] = int(mat[i])
+    fn = lib.svt_get_shear_params
+    fn.argtypes = [ctypes.POINTER(_WarpedMotionParams)]
+    fn.restype = ctypes.c_int32
+    ok = fn(ctypes.byref(wm))
+    return bool(ok), wm.alpha, wm.beta, wm.gamma, wm.delta
+
+
+def warp_affine(mat, shear, plane, x0, y0, w, h, sub_x=0, sub_y=0):
+    """Reference svt_av1_warp_affine_c (warped_motion.c:569), 8-bit
+    non-compound."""
+    lib = get_lib()
+    height, width = plane.shape
+    ref = np.ascontiguousarray(plane, np.uint8)
+    pred = np.zeros((h, w), np.uint8)
+    cp = _ConvolveParams(ref=0, do_average=0, dst=None, dst_stride=0,
+                         round_0=3, round_1=11, plane=0, is_compound=0,
+                         use_jnt_comp_avg=0, fwd_offset=0, bck_offset=0,
+                         use_dist_wtd_comp_avg=0)
+    m = np.ascontiguousarray(np.asarray(mat, np.int64)[:6], np.int32)
+    fn = lib.svt_av1_warp_affine_c
+    fn.argtypes = [_I32P, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+                   ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+                   ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                   ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                   ctypes.POINTER(_ConvolveParams), ctypes.c_int16,
+                   ctypes.c_int16, ctypes.c_int16, ctypes.c_int16]
+    a, b, g, d = shear
+    fn(m, ref.ctypes.data, width, height, width, pred.ctypes.data,
+       x0, y0, w, h, w, sub_x, sub_y, ctypes.byref(cp), a, b, g, d)
+    return pred

@@ -1,0 +1,81 @@
+"""Warped motion: ops/warp.py vs the reference C oracle, bit-exact.
+
+Mirrors the reference's warp_filter_test.cc strategy: random valid
+affine models over random planes, C reference vs our implementation on
+identical inputs (spec 7.11.3.5-7.11.3.7)."""
+
+import numpy as np
+import pytest
+
+import oracle
+from svt_av1_psyex_tpu.ops import warp
+
+pytestmark = pytest.mark.quick
+
+pytest.importorskip("numpy")
+if not oracle.available():  # pragma: no cover
+    pytest.skip("reference tree absent", allow_module_level=True)
+
+
+def _rand_model(rng, kind="affine"):
+    """Random warp model in spec units, biased toward valid shears."""
+    one = 1 << warp.WARPEDMODEL_PREC_BITS
+    m = [0] * 6
+    m[0] = int(rng.integers(-(1 << 13), 1 << 13))
+    m[1] = int(rng.integers(-(1 << 13), 1 << 13))
+    m[2] = one + int(rng.integers(-4000, 4000))
+    m[3] = int(rng.integers(-2000, 2000))
+    if kind == "rotzoom":
+        m[4] = -m[3]
+        m[5] = m[2]
+    else:
+        m[4] = int(rng.integers(-2000, 2000))
+        m[5] = one + int(rng.integers(-4000, 4000))
+    return m
+
+
+def test_shear_params_match_reference():
+    rng = np.random.default_rng(7)
+    n_valid = 0
+    for _ in range(300):
+        m = _rand_model(rng, "affine" if rng.integers(2) else "rotzoom")
+        ok_ref, a_r, b_r, g_r, d_r = oracle.shear_params(m)
+        ok, a, b, g, d = warp.get_shear_params(m)
+        assert ok == ok_ref, m
+        if ok:
+            assert (a, b, g, d) == (a_r, b_r, g_r, d_r), m
+            n_valid += 1
+    assert n_valid > 100  # the generator must actually exercise valid models
+
+
+@pytest.mark.parametrize("sub", [(0, 0), (1, 1)])
+@pytest.mark.parametrize("kind", ["rotzoom", "affine"])
+def test_warp_affine_bit_exact(kind, sub):
+    rng = np.random.default_rng(11 + sub[0])
+    plane = rng.integers(0, 256, (128, 160), dtype=np.uint8)
+    n = 0
+    while n < 12:
+        m = _rand_model(rng, kind)
+        ok, *shear = warp.get_shear_params(m)
+        if not ok:
+            continue
+        n += 1
+        w, h = int(rng.choice([8, 16, 32])), int(rng.choice([8, 16, 32]))
+        x0 = int(rng.integers(0, 160 - w))
+        y0 = int(rng.integers(0, 128 - h))
+        ref = oracle.warp_affine(m, shear, plane, x0, y0, w, h, *sub)
+        got = warp.warp_plane(plane, m, shear, x0, y0, w, h, *sub)
+        assert np.array_equal(got, ref), (m, shear, x0, y0, w, h)
+
+
+def test_project_mv_translation_rounding():
+    one = 1 << warp.WARPEDMODEL_PREC_BITS
+    # TRANSLATION: mat[0]=x offset in model units -> 1/8-pel, lowered to
+    # even (allow_hp=False) / fullpel (force_int)
+    m = [3 << (warp.WARPEDMODEL_PREC_BITS - 3),
+         -5 << (warp.WARPEDMODEL_PREC_BITS - 3), one, 0, 0, one]
+    assert warp.project_mv(m, 1, 0, 0, 16, 16, True, False) == (-5, 3)
+    r, c = warp.project_mv(m, 1, 0, 0, 16, 16, False, False)
+    assert r % 2 == 0 and c % 2 == 0
+    r, c = warp.project_mv(m, 1, 0, 0, 16, 16, False, True)
+    assert r % 8 == 0 and c % 8 == 0

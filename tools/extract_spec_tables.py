@@ -259,6 +259,22 @@ def extract_subpel_filters(text: str) -> dict[str, np.ndarray]:
     return out
 
 
+def extract_warp_filter(text: str) -> dict[str, np.ndarray]:
+    """Normative warp interpolation kernels (spec 7.11.3.7 Warp_Filters,
+    193 x 8 int16 covering offsets [-1, 2) * 64).  The source carries two
+    preprocessor variants; the spec one is WARPEDPIXEL_PREC_BITS == 6."""
+    m = re.search(r"svt_aom_warped_filter\[[^\]]*\]\[8\]\s*=\s*\{", text)
+    assert m, "warped_filter not found"
+    start = text.index("WARPEDPIXEL_PREC_BITS == 6", m.end())
+    end = text.index("WARPEDPIXEL_PREC_BITS == 5", start)
+    rows = re.findall(r"\{([^{}]+)\}", text[start:end])
+    arr = np.array([[_eval_int(v) for v in r.split(",")] for r in rows],
+                   dtype=np.int32)
+    assert arr.shape == (193, 8), arr.shape
+    assert (arr.sum(axis=1) == 128).all()
+    return {"warped_filter": arr}
+
+
 def main() -> None:
     tables: dict[str, np.ndarray] = {}
 
@@ -274,6 +290,11 @@ def main() -> None:
     scans = extract_scans(co)
     print(f"coefficients.h: {len(scans)} scan arrays")
     tables.update(scans)
+
+    wm = _strip_comments((REF / "warped_motion.c").read_text())
+    wf = extract_warp_filter(wm)
+    print("warped_motion.c: warped_filter")
+    tables.update(wf)
 
     it = _strip_comments((REF / "inv_transforms.c").read_text())
     ql = extract_qlookup(it)
