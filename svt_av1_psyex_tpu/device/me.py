@@ -75,16 +75,16 @@ def _shift_sad_field(src: jnp.ndarray, ref: jnp.ndarray, tile: int,
     h, w = src.shape
     rows = jnp.arange(h)
     cols = jnp.arange(w)
+    # pad+dynamic_slice per offset (contiguous copy) beats a clipped-index
+    # whole-frame gather on TPU by a large factor
+    ref_pad = jnp.pad(ref, rng, mode="edge")
 
     def body(_, off):
-        ry = rows + off[0]
-        cx = cols + off[1]
-        rr = jnp.clip(ry, 0, h - 1)
-        cc = jnp.clip(cx, 0, w - 1)
-        valid = (((ry >= 0) & (ry < h))[:, None]
-                 & ((cx >= 0) & (cx < w))[None, :])
-        diff = jnp.where(valid, jnp.abs(src - ref[rr[:, None], cc[None, :]]),
-                         maxpix)
+        cand = jax.lax.dynamic_slice(ref_pad, (off[0] + rng, off[1] + rng),
+                                     (h, w))
+        valid = ((((rows + off[0]) >= 0) & ((rows + off[0]) < h))[:, None]
+                 & (((cols + off[1]) >= 0) & ((cols + off[1]) < w))[None, :])
+        diff = jnp.where(valid, jnp.abs(src - cand), maxpix)
         t = diff.reshape(h // tile, tile, w // tile, tile)
         # distance tie-break: flat SAD basins (smooth gradients — the
         # aperture problem) resolve toward the smallest offset

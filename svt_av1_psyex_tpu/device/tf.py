@@ -56,16 +56,17 @@ def _block_search(cy: jnp.ndarray, ny: jnp.ndarray, maxpix: int):
     cols = jnp.arange(w)
     nby, nbx = h // BLK, w // BLK
     big = jnp.int32(1 << 30)
+    # Edge-pad once so each offset is a contiguous dynamic_slice (a block
+    # copy) instead of a whole-frame gather — gathers are the slowest
+    # memory op on TPU and this loop runs (2R+1)^2 x neighbors times.
+    ny_pad = jnp.pad(ny, SEARCH, mode="edge")
 
     def body(carry, off):
         best_sad, best_sse, best_off = carry
-        ry = rows + off[0]
-        cx = cols + off[1]
-        rr = jnp.clip(ry, 0, h - 1)
-        cc = jnp.clip(cx, 0, w - 1)
-        valid = (((ry >= 0) & (ry < h))[:, None]
-                 & ((cx >= 0) & (cx < w))[None, :])
-        cand = ny[rr[:, None], cc[None, :]]
+        cand = jax.lax.dynamic_slice(ny_pad, (off[0] + SEARCH,
+                                              off[1] + SEARCH), (h, w))
+        valid = ((((rows + off[0]) >= 0) & ((rows + off[0]) < h))[:, None]
+                 & (((cols + off[1]) >= 0) & ((cols + off[1]) < w))[None, :])
         ad = jnp.where(valid, jnp.abs(cy - cand), maxpix)
         sq = jnp.where(valid, (cy - cand) * (cy - cand), maxpix * maxpix)
         sad = (ad.reshape(nby, BLK, nbx, BLK).sum(axis=(1, 3)) * 16

@@ -50,9 +50,9 @@ def main() -> None:
 
     from svt_av1_psyex_tpu.device.me import fullpel_lattice
 
-    t = timeit(lambda: (
-        fullpel_lattice(src, r0, 255)))
-    print(f"fullpel_lattice (1 ref)          {t*1e3:8.1f} ms")
+    fl = jax.jit(lambda s, r: fullpel_lattice(s, r, 255))
+    t = timeit(lambda: fl(src, r0))
+    print(f"fullpel_lattice (1 ref, jit)     {t*1e3:8.1f} ms")
 
     from svt_av1_psyex_tpu.device.intra import qp_row_for
     from svt_av1_psyex_tpu.device.inter import N_MODES, inter_analysis
