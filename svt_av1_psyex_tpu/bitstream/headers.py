@@ -271,6 +271,11 @@ class FrameConfig:
     qm_u: int = 15
     qm_v: int = 15
     tile: TileInfo | None = None
+    # global motion (spec 5.9.24): 7 entries for LAST..ALTREF, each None
+    # (identity) or (gm_type, mat6 model units); gm_prev = PrevGmParams
+    # (primary ref's saved params, defaults when PRIMARY_REF_NONE)
+    gm: tuple | None = None
+    gm_prev: tuple | None = None
 
     @property
     def frame_is_intra(self) -> bool:
@@ -401,13 +406,153 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig, w: BitWriter) -> No
     if not (fr.frame_is_intra or fr.error_resilient_mode) and seq.enable_warped_motion:
         w.f(0, 1)  # allow_warped_motion
     w.f(1 if fr.reduced_tx_set else 0, 1)
-    # global_motion_params
+    # global_motion_params (spec 5.9.24)
     if not fr.frame_is_intra:
-        for _ in range(7):
-            w.f(0, 1)  # is_global[ref] = 0
+        _write_global_motion_params(w, fr)
     # film_grain_params (spec 5.9.30)
     if seq.film_grain_params_present:
         _write_film_grain_params(w, seq, fr)
+
+
+# Global motion parameter coding (spec 5.9.24-5.9.27). ------------------------
+# The encoder-side inverses of decode_subexp / decode_unsigned_subexp_with_ref
+# / decode_signed_subexp_with_ref; counterpart entropy_coding.c
+# write_global_motion_params + bitstream_unit aom_wb_write_signed_primitive_
+# refsubexpfin, re-derived from the spec decode processes.
+GM_IDENTITY, GM_TRANSLATION, GM_ROTZOOM, GM_AFFINE = 0, 1, 2, 3
+GM_DEFAULT_MAT = (0, 0, 1 << 16, 0, 0, 1 << 16)
+_GM_ABS_ALPHA_BITS = 12
+_GM_ALPHA_PREC_BITS = 15
+_GM_ABS_TRANS_BITS = 12
+_GM_TRANS_PREC_BITS = 6
+_GM_ABS_TRANS_ONLY_BITS = 9
+_GM_TRANS_ONLY_PREC_BITS = 3
+_WM_PREC_BITS = 16
+
+
+def _write_ns(w: BitWriter, v: int, n: int) -> None:
+    """spec 4.10.7 ns(n) nonsymmetric coding of v in [0, n)."""
+    width = n.bit_length()
+    m = (1 << width) - n
+    if v < m:
+        w.f(v, width - 1)
+    else:
+        w.f((v + m) >> 1, width - 1)
+        w.f((v + m) & 1, 1)
+
+
+def _write_subexp(w: BitWriter, v: int, num_syms: int) -> None:
+    """Inverse of spec 5.9.26 decode_subexp (k = 3)."""
+    i = 0
+    mk = 0
+    k = 3
+    while True:
+        b2 = k + i - 1 if i else k
+        a = 1 << b2
+        if num_syms <= mk + 3 * a:
+            _write_ns(w, v - mk, num_syms - mk)
+            return
+        if v < mk + a:
+            w.f(0, 1)  # subexp_more_bits = 0
+            w.f(v - mk, b2)
+            return
+        w.f(1, 1)
+        i += 1
+        mk += a
+
+
+def _recenter(r: int, x: int) -> int:
+    """Inverse of spec 5.9.27 inverse_recenter (odd codes x > r,
+    even codes x <= r — NOT libaom's recenter_nonneg parity)."""
+    if x > 2 * r:
+        return x
+    if x > r:
+        return ((x - r) << 1) - 1
+    return (r - x) << 1
+
+
+def _write_signed_subexp_ref(w: BitWriter, x: int, low: int, high: int,
+                             r: int) -> None:
+    """Inverse of decode_signed_subexp_with_ref(low, high, r)."""
+    mx = high - low
+    xs, rs = x - low, r - low
+    if (rs << 1) <= mx:
+        _write_subexp(w, _recenter(rs, xs), mx)
+    else:
+        _write_subexp(w, _recenter(mx - 1 - rs, mx - 1 - xs), mx)
+
+
+def _write_global_param(w: BitWriter, gm_type: int, idx: int, val: int,
+                        prev: int, allow_hp: bool) -> None:
+    """spec 5.9.25 read_global_param inverse; val/prev in model units."""
+    abs_bits = _GM_ABS_ALPHA_BITS
+    prec_bits = _GM_ALPHA_PREC_BITS
+    if idx < 2:
+        if gm_type == GM_TRANSLATION:
+            abs_bits = _GM_ABS_TRANS_ONLY_BITS - (0 if allow_hp else 1)
+            prec_bits = _GM_TRANS_ONLY_PREC_BITS - (0 if allow_hp else 1)
+        else:
+            abs_bits = _GM_ABS_TRANS_BITS
+            prec_bits = _GM_TRANS_PREC_BITS
+    prec_diff = _WM_PREC_BITS - prec_bits
+    rnd = (1 << _WM_PREC_BITS) if (idx % 3) == 2 else 0
+    sub = (1 << prec_bits) if (idx % 3) == 2 else 0
+    mx = 1 << abs_bits
+    r = (prev >> prec_diff) - sub
+    v = (val - rnd) >> prec_diff  # must round-trip exactly
+    assert (v << prec_diff) + rnd == val, \
+        f"gm param {val} not representable (idx {idx}, type {gm_type})"
+    assert -mx <= v <= mx, (val, v, mx)
+    _write_signed_subexp_ref(w, v, -mx, mx + 1, r)
+
+
+def quantize_gm_param(gm_type: int, idx: int, val: int,
+                      allow_hp: bool = False) -> int:
+    """Clamp+round a model-unit value to what read_global_param can carry."""
+    abs_bits = _GM_ABS_ALPHA_BITS
+    prec_bits = _GM_ALPHA_PREC_BITS
+    if idx < 2:
+        if gm_type == GM_TRANSLATION:
+            abs_bits = _GM_ABS_TRANS_ONLY_BITS - (0 if allow_hp else 1)
+            prec_bits = _GM_TRANS_ONLY_PREC_BITS - (0 if allow_hp else 1)
+        else:
+            abs_bits = _GM_ABS_TRANS_BITS
+            prec_bits = _GM_TRANS_PREC_BITS
+    prec_diff = _WM_PREC_BITS - prec_bits
+    rnd = (1 << _WM_PREC_BITS) if (idx % 3) == 2 else 0
+    mx = 1 << abs_bits
+    v = (val - rnd + (1 << (prec_diff - 1))) >> prec_diff
+    v = max(-mx, min(mx, v))
+    return (v << prec_diff) + rnd
+
+
+def _write_global_motion_params(w: BitWriter, fr: FrameConfig) -> None:
+    """fr.gm: 7 entries for refs LAST..ALTREF, each None (identity) or
+    (gm_type, mat6). fr.gm_prev: 7 mat6 used as coding references
+    (PrevGmParams: defaults unless forwarded from the primary ref)."""
+    gm = fr.gm or (None,) * 7
+    prev = fr.gm_prev or (GM_DEFAULT_MAT,) * 7
+    for ref in range(7):
+        ent = gm[ref]
+        if ent is None or ent[0] == GM_IDENTITY:
+            w.f(0, 1)  # is_global
+            continue
+        gm_type, mat = ent
+        w.f(1, 1)                                  # is_global
+        w.f(1 if gm_type == GM_ROTZOOM else 0, 1)  # is_rot_zoom
+        if gm_type != GM_ROTZOOM:
+            w.f(1 if gm_type == GM_TRANSLATION else 0, 1)  # is_translation
+        pm = prev[ref]
+        if gm_type >= GM_ROTZOOM:
+            _write_global_param(w, gm_type, 2, mat[2], pm[2], False)
+            _write_global_param(w, gm_type, 3, mat[3], pm[3], False)
+            if gm_type == GM_AFFINE:
+                _write_global_param(w, gm_type, 4, mat[4], pm[4], False)
+                _write_global_param(w, gm_type, 5, mat[5], pm[5], False)
+            else:
+                assert mat[4] == -mat[3] and mat[5] == mat[2]
+        _write_global_param(w, gm_type, 0, mat[0], pm[0], False)
+        _write_global_param(w, gm_type, 1, mat[1], pm[1], False)
 
 
 def _skip_mode_allowed(seq: SequenceConfig, fr: FrameConfig) -> bool:

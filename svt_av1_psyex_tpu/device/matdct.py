@@ -64,21 +64,31 @@ def inv_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
             np.ascontiguousarray(gr, np.float32))
 
 
+def _sep2d(x: jnp.ndarray, mc: np.ndarray, mr: np.ndarray) -> jnp.ndarray:
+    """out[b,i,l] = sum_{j,k} mc[i,j] x[b,j,k] mr[l,k] as TWO flat
+    matmuls with M = B*n — one big MXU-shaped product per pass instead
+    of B tiny batched ones (batched (n,n) dots at HIGHEST precision are
+    MXU-latency-bound: measured 25 ms -> ~1 ms for the 64x64 tier)."""
+    b, n, _ = x.shape
+    cn_r, cn_c = mr.shape[0], mc.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+    # HIGHEST: TPU DEFAULT is a single bf16 pass, which skews the
+    # transform ~1% and decouples device RD decisions from the host
+    t = jnp.dot(x.reshape(b * n, n), jnp.asarray(mr).T,
+                preferred_element_type=jnp.float32, precision=hi)
+    t = t.reshape(b, n, cn_r).transpose(0, 2, 1).reshape(b * cn_r, n)
+    o = jnp.dot(t, jnp.asarray(mc).T,
+                preferred_element_type=jnp.float32, precision=hi)
+    return o.reshape(b, cn_r, cn_c).transpose(0, 2, 1)
+
+
 def fwd_dct2d_mat(resid: jnp.ndarray, n: int) -> jnp.ndarray:
     """(B, n, n) -> (B, cn, cn) float32 DCT_DCT coefficients (analysis)."""
     fc, fr = fwd_mats(n)
-    x = resid.astype(jnp.float32)
-    # HIGHEST: TPU DEFAULT is a single bf16 pass, which skews the
-    # transform ~1% and decouples device RD decisions from the host
-    return jnp.einsum("ij,bjk,lk->bil", jnp.asarray(fc), x, jnp.asarray(fr),
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+    return _sep2d(resid.astype(jnp.float32), fc, fr)
 
 
 def inv_dct2d_mat(dq: jnp.ndarray, n: int) -> jnp.ndarray:
     """(B, cn, cn) dequantized coeffs -> (B, n, n) float32 residual."""
     gc, gr = inv_mats(n)
-    x = dq.astype(jnp.float32)
-    return jnp.einsum("ij,bjk,lk->bil", jnp.asarray(gc), x, jnp.asarray(gr),
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+    return _sep2d(dq.astype(jnp.float32), gc, gr)

@@ -33,7 +33,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TB = 128  # blocks per grid tile
+def _tb(n: int) -> int:
+    """Blocks per grid tile. Grid steps are serial with fixed overhead
+    (~25 us each on v5e through the tunnel runtime) — 128-block tiles
+    made blk=8 frames 840 steps = 24 ms of pure step latency. Scale the
+    tile so VMEM holds ~2-4 MB of residuals per step: n=8 frames drop to
+    ~27 steps."""
+    return {4: 8192, 8: 4096, 16: 1024, 32: 256}.get(n, 256)
 
 # rate-proxy constants — must match device/intra.py
 RATE_NZ = 1229
@@ -84,7 +90,7 @@ def scan_pos(cn: int) -> np.ndarray:
 
 def _fullloop_kernel(resid_ref, kf_ref, ki_ref, spos_ref, qp_ref, out_ref,
                      inv_ref, *, n: int, cn: int, log_scale: int,
-                     want_inv: bool):
+                     want_inv: bool, tb: int):
     """One TB-block tile. qp_ref (VMEM, (1, 8)): deq_dc, deq_ac, rnd_dc,
     rnd_ac, zbin_dc, zbin_ac (rnd/zbin already >> log_scale). VMEM, not
     SMEM: pallas vmap (the per-frame batch in intra_analysis_batch)
@@ -96,7 +102,7 @@ def _fullloop_kernel(resid_ref, kf_ref, ki_ref, spos_ref, qp_ref, out_ref,
                 precision=jax.lax.Precision.HIGHEST)
 
     qp = qp_ref[0, :]                                    # (8,) f32
-    idx = jax.lax.broadcasted_iota(jnp.int32, (TB, cn * cn), 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (tb, cn * cn), 1)
     is_dc = idx == 0
     deq = jnp.where(is_dc, qp[0], qp[1]).astype(jnp.float32)
     rnd = jnp.where(is_dc, qp[2], qp[3]).astype(jnp.float32)
@@ -134,7 +140,7 @@ def _fullloop_kernel(resid_ref, kf_ref, ki_ref, spos_ref, qp_ref, out_ref,
     out_ref[:, 1] = rate.astype(jnp.float32)
     out_ref[:, 2] = eob.astype(jnp.float32)
     out_ref[:, 3] = sse
-    out_ref[:, 4:] = jnp.zeros((TB, 4), jnp.float32)
+    out_ref[:, 4:] = jnp.zeros((tb, 4), jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("n", "log_scale", "want_inv"))
@@ -149,7 +155,8 @@ def fullloop(resid: jnp.ndarray, qp6: jnp.ndarray, n: int, log_scale: int,
 
     b = resid.shape[0]
     cn = min(n, 32)
-    bp = -(-b // TB) * TB
+    tb = _tb(n)
+    bp = -(-b // tb) * tb
     x = resid.reshape(b, n * n).astype(jnp.float32)
     if bp != b:
         x = jnp.pad(x, ((0, bp - b), (0, 0)))
@@ -158,14 +165,14 @@ def fullloop(resid: jnp.ndarray, qp6: jnp.ndarray, n: int, log_scale: int,
     out_shapes = [jax.ShapeDtypeStruct((bp, 8), jnp.float32),
                   jax.ShapeDtypeStruct((bp, n * n) if want_inv else (1, 1),
                                        jnp.float32)]
-    grid = (bp // TB,)
+    grid = (bp // tb,)
     outs = pl.pallas_call(
         partial(_fullloop_kernel, n=n, cn=cn, log_scale=log_scale,
-                want_inv=want_inv),
+                want_inv=want_inv, tb=tb),
         out_shape=out_shapes,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TB, n * n), lambda i: (i, 0),
+            pl.BlockSpec((tb, n * n), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n * n, cn * cn), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -177,9 +184,9 @@ def fullloop(resid: jnp.ndarray, qp6: jnp.ndarray, n: int, log_scale: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, 8), lambda i: (i, 0),
+            pl.BlockSpec((tb, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, n * n) if want_inv else (1, 1),
+            pl.BlockSpec((tb, n * n) if want_inv else (1, 1),
                          (lambda i: (i, 0)) if want_inv else
                          (lambda i: (0, 0)),
                          memory_space=pltpu.VMEM),
