@@ -26,7 +26,7 @@ static const uint8_t BH4[N_BSIZES] = {1, 2, 1, 2,  4,  2, 4, 8, 4, 8, 16,
                                       8, 16, 32, 16, 32, 4, 1, 8, 2, 16, 4};
 
 typedef struct {
-    const int8_t *ref_frame, *ref_frame1, *is_newmv, *bsize;
+    const int8_t *ref_frame, *ref_frame1, *is_newmv, *is_gmv, *bsize;
     const int16_t *mv_row, *mv_col, *mv_row1, *mv_col1;
     const uint8_t *sign_bias; /* [8] */
     int mi_rows, mi_cols;
@@ -45,6 +45,8 @@ typedef struct {
     int row_match, col_match, newmv_cnt;
     int proc_rows, proc_cols;
     int max_row_off, max_col_off;
+    int gm_warp;                  /* GmType[rf0] > TRANSLATION */
+    int16_t gm_row0, gm_col0, gm_row1, gm_col1;
 } Ctx;
 
 #define AT(grid, r, c) ((grid)[(int64_t)(r) * s->g.mi_cols + (c)])
@@ -66,25 +68,40 @@ static void push(Ctx *s, Entry e, int weight) {
 static void add_candidate(Ctx *s, int rr, int cc, int length, int weight,
                           int is_row, int count_newmv) {
     if (AT(s->g.ref_frame, rr, cc) < 0) return;
+    /* is_global_mv_block: GLOBAL-mode neighbors >= 8x8 contribute the
+       CURRENT block's GlobalMvs when GmType[rf0] > TRANSLATION */
+    int cb_ = AT(s->g.bsize, rr, cc);
+    int mind_ = BW4[cb_] < BH4[cb_] ? BW4[cb_] : BH4[cb_];
+    int sub_ = s->gm_warp && AT(s->g.is_gmv, rr, cc) && mind_ >= 2;
     int matched = 0;
     if (s->is_comp) {
         if (AT(s->g.ref_frame, rr, cc) == s->rf0 &&
             AT(s->g.ref_frame1, rr, cc) == s->rf1) {
-            Entry e = {AT(s->g.mv_row, rr, cc), AT(s->g.mv_col, rr, cc),
-                       AT(s->g.mv_row1, rr, cc), AT(s->g.mv_col1, rr, cc)};
+            Entry e;
+            if (sub_) {
+                e.y0 = s->gm_row0; e.x0 = s->gm_col0;
+                e.y1 = s->gm_row1; e.x1 = s->gm_col1;
+            } else {
+                e.y0 = AT(s->g.mv_row, rr, cc);
+                e.x0 = AT(s->g.mv_col, rr, cc);
+                e.y1 = AT(s->g.mv_row1, rr, cc);
+                e.x1 = AT(s->g.mv_col1, rr, cc);
+            }
             push(s, e, weight * length);
             matched = 1;
         }
     } else {
         int r0 = AT(s->g.ref_frame, rr, cc);
         if (r0 >= 1 && r0 == s->rf0) {
-            Entry e = {AT(s->g.mv_row, rr, cc), AT(s->g.mv_col, rr, cc), 0, 0};
+            Entry e = {sub_ ? s->gm_row0 : AT(s->g.mv_row, rr, cc),
+                       sub_ ? s->gm_col0 : AT(s->g.mv_col, rr, cc), 0, 0};
             push(s, e, weight * length);
             matched = 1;
         }
         int r1 = AT(s->g.ref_frame1, rr, cc);
         if (r1 >= 1 && r1 == s->rf0) {
-            Entry e = {AT(s->g.mv_row1, rr, cc), AT(s->g.mv_col1, rr, cc), 0, 0};
+            Entry e = {sub_ ? s->gm_row0 : AT(s->g.mv_row1, rr, cc),
+                       sub_ ? s->gm_col0 : AT(s->g.mv_col1, rr, cc), 0, 0};
             push(s, e, weight * length);
             matched = 1;
         }
@@ -201,10 +218,12 @@ static inline int16_t clampi16(int v, int lo, int hi) {
 void svt_find_mv_stack(const int8_t *ref_frame, const int8_t *ref_frame1,
                        const int16_t *mv_row, const int16_t *mv_col,
                        const int16_t *mv_row1, const int16_t *mv_col1,
-                       const int8_t *is_newmv, const int8_t *bsize_g,
+                       const int8_t *is_newmv, const int8_t *is_gmv,
+                       const int8_t *bsize_g,
                        const uint8_t *sign_bias, int mi_rows, int mi_cols,
                        int mi_row, int mi_col, int bsize, int rf0, int rf1,
-                       int32_t *out) {
+                       int gm_row0, int gm_col0, int gm_row1, int gm_col1,
+                       int gm_warp, int32_t *out) {
     Ctx ctx;
     Ctx *s = &ctx;
     memset(s, 0, sizeof(*s));
@@ -215,6 +234,10 @@ void svt_find_mv_stack(const int8_t *ref_frame, const int8_t *ref_frame1,
     s->g.mv_row1 = mv_row1;
     s->g.mv_col1 = mv_col1;
     s->g.is_newmv = is_newmv;
+    s->g.is_gmv = is_gmv;
+    s->gm_warp = gm_warp;
+    s->gm_row0 = (int16_t)gm_row0; s->gm_col0 = (int16_t)gm_col0;
+    s->gm_row1 = (int16_t)gm_row1; s->gm_col1 = (int16_t)gm_col1;
     s->g.bsize = bsize_g;
     s->g.sign_bias = sign_bias;
     s->g.mi_rows = mi_rows;
@@ -382,7 +405,11 @@ void svt_find_mv_stack(const int8_t *ref_frame, const int8_t *ref_frame1,
                 comp_list[ci][idx][0] = ref_diff[idx][k][0];
                 comp_list[ci][idx][1] = ref_diff[idx][k][1];
             }
-            /* remaining slots already zero (gm candidates) */
+            /* remaining slots: GlobalMvs[idx] (gm candidates) */
+            for (; ci < MAX_CAND; ci++) {
+                comp_list[ci][idx][0] = (int16_t)(idx ? gm_row1 : gm_row0);
+                comp_list[ci][idx][1] = (int16_t)(idx ? gm_col1 : gm_col0);
+            }
         }
 
         if (true_count == 1) {
@@ -476,7 +503,8 @@ void svt_find_mv_stack(const int8_t *ref_frame, const int8_t *ref_frame1,
 #undef EXTEND
         true_count = s->n;
         while (s->n < MAX_CAND) {
-            Entry z = {0, 0, 0, 0};
+            /* pad with GlobalMvs[0], count NOT incremented (spec 7.10.2.2) */
+            Entry z = {(int16_t)gm_row0, (int16_t)gm_col0, 0, 0};
             s->stack[s->n] = z;
             s->weights[s->n] = 0;
             s->n++;

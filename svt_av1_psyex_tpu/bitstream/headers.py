@@ -462,13 +462,13 @@ def _write_subexp(w: BitWriter, v: int, num_syms: int) -> None:
 
 
 def _recenter(r: int, x: int) -> int:
-    """Inverse of spec 5.9.27 inverse_recenter (odd codes x > r,
-    even codes x <= r — NOT libaom's recenter_nonneg parity)."""
+    """recenter_nonneg (libaom/reference entropy_coding.c:2800, matching
+    dav1d): even codes x >= r, odd codes x < r."""
     if x > 2 * r:
         return x
-    if x > r:
-        return ((x - r) << 1) - 1
-    return (r - x) << 1
+    if x >= r:
+        return (x - r) << 1
+    return ((r - x) << 1) - 1
 
 
 def _write_signed_subexp_ref(w: BitWriter, x: int, low: int, high: int,

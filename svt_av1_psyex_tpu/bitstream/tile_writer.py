@@ -33,6 +33,9 @@ from ..codec.constants import (
 from .ec import EntropyEncoder, update_cdf
 from .tables import FrameCdfs, trim
 
+from ..codec.constants import InterMode as _IM
+_GLOBAL_MODES = (int(_IM.GLOBALMV), int(_IM.GLOBAL_GLOBALMV))
+
 
 @dataclass
 class LeafBlock:
@@ -560,7 +563,8 @@ class TileWriter:
                 leaf.mv if leaf.is_inter else (0, 0),
                 leaf.is_inter and mode_has_newmv(leaf.inter_mode),
                 leaf.ref_frame1 if leaf.is_inter else -1,
-                leaf.mv1 if leaf.is_inter else (0, 0))
+                leaf.mv1 if leaf.is_inter else (0, 0),
+                is_gmv=leaf.is_inter and leaf.inter_mode in _GLOBAL_MODES)
         pa, pl = partition_ctx_lookup(bsize)
         self.above_part[c:c_end] = pa
         self.left_part[r:r_end] = pl
@@ -715,7 +719,11 @@ class TileWriter:
         is_comp = leaf.ref_frame1 >= 1
 
         ref_key = (leaf.ref_frame, leaf.ref_frame1) if is_comp else leaf.ref_frame
-        stack = find_mv_stack(self.mi_state, r, c, bsize, ref_key)
+        stack = find_mv_stack(self.mi_state, r, c, bsize, ref_key,
+                              gm_mv=(self._gm_mv(leaf.ref_frame, r, c, bsize),
+                                     self._gm_mv(leaf.ref_frame1, r, c,
+                                                 bsize)),
+                              gm_warp=self._gm_type(leaf.ref_frame) >= 2)
         mode_ctx = stack.mode_context
         mode = InterMode(leaf.inter_mode)
 
@@ -786,21 +794,43 @@ class TileWriter:
             return ctx + left
         return ctx + 3
 
+    def _gm_type(self, ref_id: int) -> int:
+        gm = getattr(self.fr, "gm", None)
+        if not gm or not (1 <= ref_id <= 7) or gm[ref_id - 1] is None:
+            return 0  # IDENTITY
+        return gm[ref_id - 1][0]
+
+    def _gm_mv(self, ref_id: int, r: int, c: int, bsize: int):
+        """GLOBALMV of this block per ref (spec 7.10.2.10), 1/8 pel."""
+        gm = getattr(self.fr, "gm", None)
+        if not gm or not (1 <= ref_id <= 7) or gm[ref_id - 1] is None:
+            return (0, 0)
+        from ..codec.constants import BLOCK_H, BLOCK_W
+        from ..ops.warp import project_mv
+
+        gt, mat = gm[ref_id - 1]
+        return project_mv(mat, gt, r, c, int(BLOCK_W[bsize]),
+                          int(BLOCK_H[bsize]), False, False)
+
     def _write_interp_filter(self, leaf: LeafBlock, r: int, c: int,
                              avail_u: bool, avail_l: bool) -> None:
         """read_interp_filter mirror (spec 5.11.26 needs_interp_filter;
         write_mb_interp_filter entropy_coding.c:1636).  No skip_mode /
-        warp here; GLOBALMV blocks with min dim >= 8 skip the symbol
-        because our global motion is IDENTITY (GmType != TRANSLATION);
-        enable_dual_filter is off => one symbol for both axes."""
+        warp here; large GLOBALMV blocks code the symbol only when a used
+        ref's GmType is TRANSLATION; enable_dual_filter is off => one
+        symbol for both axes."""
         if self.fr.interp_filter != 4:  # SWITCHABLE
             return
         from ..codec.constants import BLOCK_H, BLOCK_W, InterMode
 
         large = min(int(BLOCK_W[leaf.bsize]), int(BLOCK_H[leaf.bsize])) >= 8
-        if large and leaf.inter_mode in (int(InterMode.GLOBALMV),
-                                         int(InterMode.GLOBAL_GLOBALMV)):
-            return  # decoder infers EIGHTTAP (GmType == IDENTITY)
+        if large and leaf.inter_mode == int(InterMode.GLOBALMV):
+            if self._gm_type(leaf.ref_frame) != 1:
+                return  # decoder infers EIGHTTAP
+        elif large and leaf.inter_mode == int(InterMode.GLOBAL_GLOBALMV):
+            if (self._gm_type(leaf.ref_frame) != 1
+                    and self._gm_type(leaf.ref_frame1) != 1):
+                return
         ctx = self._interp_ctx(r, c, avail_u, avail_l, leaf.ref_frame,
                                leaf.ref_frame1, 0)
         self._sym_at(leaf.interp_filter, self.cdfs.switchable_interp, ctx)

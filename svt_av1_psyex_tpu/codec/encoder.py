@@ -102,7 +102,8 @@ class Av1Encoder:
                  max_32_tx_size: bool = False, seg_aq: bool = False,
                  low_q_taper: bool = False, adaptive_film_grain: bool = True,
                  rdoq: int | None = None, sharpness: int = 0,
-                 sharp_tx: bool = True, spy_rd: int = 0):
+                 sharp_tx: bool = True, spy_rd: int = 0,
+                 enable_global_motion: bool = True):
         self.seq = seq
         self.preset = preset
         # 4:4:4 (profile 1): the CDEF search/filter backends are still
@@ -141,6 +142,9 @@ class Av1Encoder:
         self.low_q_taper = bool(low_q_taper)
         # psy-rd acts whenever set and tune is not PSNR (enc_settings.c:1270)
         self.psy_rd = psy_rd if tune != 1 else 0.0
+        # global motion (EbSvtAv1Enc.h enable_global_motion; reference
+        # default 1): estimated on host-MD inter frames (codec/gm.py)
+        self.enable_global_motion = bool(enable_global_motion)
         # RDOQ trellis: reference rdoq_level = 1 at every non-rtc preset
         # (enc_mode_config.c:7481); SVT_TPU_NO_RDOQ=1 or rdoq=0 disables
         self.rdoq_level = (1 if rdoq is None else int(rdoq))
@@ -614,6 +618,32 @@ class Av1Encoder:
                 me_field = run_device_me(
                     pctx[0].src, {n: p[0] for n, p in ref_planes.items()},
                     bit_depth=seq.bit_depth)
+        # global motion estimation (codec/gm.py; reference
+        # global_motion.c:368 RANSAC pipeline redesigned as IRLS over the
+        # device ME field). Host-MD inter frames only: the device lattice
+        # and native commit assume identity gm. Full model set:
+        # TRANSLATION (gm MV coding) + ROTZOOM/AFFINE (warp prediction).
+        if (self.enable_global_motion and me_field is not None
+                and not fr.frame_is_intra and not use_device_inter):
+            from ..bitstream.headers import GM_AFFINE, GM_DEFAULT_MAT
+            from .gm import estimate_global_motion
+
+            gm_list = [None] * 7
+            src_crop = pctx[0].src[:seq.height, :seq.width]
+            for name, pl in ref_planes.items():
+                g = estimate_global_motion(
+                    src_crop, pl[0], me_field.maps.get(name, {}),
+                    max_type=GM_AFFINE)
+                if not g.is_identity:
+                    gm_list[name - 1] = (g.gm_type, g.mat)
+            if any(e is not None for e in gm_list):
+                fr.gm = tuple(gm_list)
+                if fr.primary_ref_frame != 7:
+                    slot = self.slots[
+                        fr.ref_frame_idx[fr.primary_ref_frame]]
+                    if slot is not None and slot.get("gm_mats"):
+                        fr.gm_prev = slot["gm_mats"]
+
         psy_factor = 0.0
         if self.psy_rd > 0.0:
             from ..ops.psy_dist import hvs_modulation_factor
@@ -916,11 +946,18 @@ class Av1Encoder:
         dtype = np.uint8 if seq.bit_depth == 8 else np.uint16
         self.last_recon = [np.clip(p.recon, 0, maxv).astype(dtype) for p in pctx]
         self.last_film_grain = fr.film_grain
+        self.last_frame_gm = fr.gm
         # reference update: the recon + saved frame context land in every
         # slot selected by refresh_frame_flags
+        from ..bitstream.headers import GM_DEFAULT_MAT
+
+        gm_mats = tuple(
+            (fr.gm[i][1] if fr.gm and fr.gm[i] is not None
+             else GM_DEFAULT_MAT) for i in range(7))
         entry = {"recon": [p.recon.copy() for p in pctx],
                  "order_hint": fr.order_hint,
                  "film_grain": fr.film_grain,
+                 "gm_mats": gm_mats,
                  "cdfs": cdfs if not fr.disable_frame_end_update_cdf else None}
         for i in range(8):
             if fr.refresh_frame_flags & (1 << i):

@@ -39,6 +39,9 @@ from .constants import (
 )
 from .rd import CostTables, cdf_costs, rdcost
 
+from .constants import InterMode as _IM
+_GLOBAL_MODES = (int(_IM.GLOBALMV), int(_IM.GLOBAL_GLOBALMV))
+
 
 class RateCounter:
     """Duck-typed TileWriter for rate estimation: same _sym_at/enc/cdfs
@@ -714,6 +717,23 @@ class ModeDecision:
                     (fwds[0], bwds[-1]), tx_w, tx_h))
         return out
 
+    def _gm_entry(self, ref_id: int):
+        """(gm_type, mat) for a named ref, or None (identity)."""
+        gm = getattr(self.fr, "gm", None)
+        if not gm or not (1 <= ref_id <= 7):
+            return None
+        return gm[ref_id - 1]
+
+    def _gm_mv(self, ref_id: int, r: int, c: int, bsize: int):
+        """This block's GLOBALMV (spec 7.10.2.10), 1/8 pel."""
+        ent = self._gm_entry(ref_id)
+        if ent is None:
+            return (0, 0)
+        from ..ops.warp import project_mv
+
+        return project_mv(ent[1], ent[0], r, c, int(BLOCK_W[bsize]),
+                          int(BLOCK_H[bsize]), False, False)
+
     def _comp_mode_ctx_md(self, r, c):
         """reference_mode context from the MD-local mi state."""
         mi = self.mi_state
@@ -746,7 +766,12 @@ class ModeDecision:
         from .constants import COMPOUND_MODE_CTX_MAP, InterMode
         from .mvp import find_mv_stack
 
-        stack = find_mv_stack(self.mi_state, r, c, bsize, rf)
+        gmv0 = self._gm_mv(rf[0], r, c, bsize)
+        gmv1 = self._gm_mv(rf[1], r, c, bsize)
+        ge0 = self._gm_entry(rf[0])
+        stack = find_mv_stack(self.mi_state, r, c, bsize, rf,
+                              gm_mv=(gmv0, gmv1),
+                              gm_warp=ge0 is not None and ge0[0] >= 2)
         mode_ctx = stack.mode_context
         comp_ctx = COMPOUND_MODE_CTX_MAP[((mode_ctx >> 4) & 15) >> 1][
             min(mode_ctx & 7, 4)]
@@ -766,8 +791,16 @@ class ModeDecision:
 
         cands = [
             (InterMode.NEAREST_NEARESTMV, stack.mvs[0], stack.comp_mvs[0], 0, 0),
-            (InterMode.GLOBAL_GLOBALMV, (0, 0), (0, 0), 0, 0),
         ]
+        # compound global: skipped when the decoder would WARP either ref
+        # (>= 8x8 block, GmType > TRANSLATION) — compound warp prediction
+        # is not implemented yet, so the encoder never emits it
+        ge1 = self._gm_entry(rf[1])
+        warp_engages = (min(int(BLOCK_W[bsize]), int(BLOCK_H[bsize])) >= 8
+                        and ((ge0 is not None and ge0[0] >= 2)
+                             or (ge1 is not None and ge1[0] >= 2)))
+        if not warp_engages:
+            cands.append((InterMode.GLOBAL_GLOBALMV, gmv0, gmv1, 0, 0))
         if stack.count >= 2:
             cands.append((InterMode.NEAR_NEARMV, stack.mvs[1],
                           stack.comp_mvs[1], 0, 0))
@@ -829,7 +862,11 @@ class ModeDecision:
         from .constants import InterMode
         from .mvp import find_mv_stack
 
-        stack = find_mv_stack(self.mi_state, r, c, bsize, ref_id)
+        gmv = self._gm_mv(ref_id, r, c, bsize)
+        ge = self._gm_entry(ref_id)
+        stack = find_mv_stack(self.mi_state, r, c, bsize, ref_id,
+                              gm_mv=(gmv, (0, 0)),
+                              gm_warp=ge is not None and ge[0] >= 2)
         mode_ctx = stack.mode_context
         newmv_c = self._newmv_costs[mode_ctx & 7]
         zeromv_c = self._zeromv_costs[(mode_ctx >> 3) & 1]
@@ -862,7 +899,7 @@ class ModeDecision:
             cands.append((InterMode.NEARMV, stack.mvs[1], 0,
                           int(newmv_c[1]) + int(zeromv_c[1]) + int(refmv_c[1])
                           + drl_rate(InterMode.NEARMV, 0)))
-        cands.append((InterMode.GLOBALMV, (0, 0), 0,
+        cands.append((InterMode.GLOBALMV, gmv, 0,
                       int(newmv_c[1]) + int(zeromv_c[0])))
         # NEWMV via motion search (predictor = DRL 0)
         mv = self._motion_search(x, y, tx_w, tx_h, stack.mvs[0], ref_id)
@@ -934,6 +971,15 @@ class ModeDecision:
         ref_pl = self.ref_planes[ref_id]
         is_comp = ref_id1 >= 1
         ax = x + self.tile_x_off
+        # global warp (spec 7.11.3.1 useWarp): GLOBALMV with a
+        # non-translation model and both dims >= 8 predicts through the
+        # warp filter instead of translational MC
+        warp_ent = None
+        if (mode == InterMode.GLOBALMV and not is_comp
+                and min(int(BLOCK_W[bsize]), int(BLOCK_H[bsize])) >= 8):
+            _e = self._gm_entry(ref_id)
+            if _e is not None and _e[0] >= 2:
+                warp_ent = _e
         if is_comp:
             ref_pl1 = self.ref_planes[ref_id1]
 
@@ -955,7 +1001,13 @@ class ModeDecision:
         import os as _os
 
         _force = _os.environ.get("SVT_TPU_FORCE_INTERP")
-        if self.interp_search and _force is not None:
+        if warp_ent is not None:
+            from ..ops.warp import get_shear_params, warp_plane
+
+            _shear = get_shear_params(warp_ent[1])[1:]
+            pred = warp_plane(ref_pl[0], warp_ent[1], _shear, ax, y,
+                              tx_w, tx_h, 0, 0, bd=self.bd).astype(np.int32)
+        elif self.interp_search and _force is not None:
             flt = int(_force)
             pred = mk_pred(flt)
         elif self.interp_search and subpel:
@@ -977,11 +1029,17 @@ class ModeDecision:
             pred = best[2]
         else:
             pred = mk_pred(flt)
-        # needs_interp_filter (spec 5.11.26): large GLOBALMV blocks skip
-        # the symbol (identity GM), matching the writer's rule
+        # needs_interp_filter (spec 5.11.26): large GLOBALMV blocks code
+        # the symbol only when a used ref's GmType is TRANSLATION
         large = min(int(BLOCK_W[bsize]), int(BLOCK_H[bsize])) >= 8
-        codes_filter = not (large and mode in (InterMode.GLOBALMV,
-                                               InterMode.GLOBAL_GLOBALMV))
+        codes_filter = True
+        if large and mode == InterMode.GLOBALMV:
+            e = self._gm_entry(ref_id)
+            codes_filter = e is not None and e[0] == 1
+        elif large and mode == InterMode.GLOBAL_GLOBALMV:
+            e0, e1 = self._gm_entry(ref_id), self._gm_entry(ref_id1)
+            codes_filter = ((e0 is not None and e0[0] == 1)
+                            or (e1 is not None and e1[0] == 1))
         if self.fr.interp_filter == 4 and codes_filter:
             rate += int(self._interp_fcosts(is_comp)[flt])
         elif not codes_filter:
@@ -1003,7 +1061,16 @@ class ModeDecision:
             cx, cy = x >> ssx, y >> ssy
             acx = (x + self.tile_x_off) >> ssx
             for p in (1, 2):
-                if is_comp:
+                if (warp_ent is not None and int(TX_W[uv_tx]) >= 8
+                        and int(TX_H[uv_tx]) >= 8):
+                    from ..ops.warp import get_shear_params, warp_plane
+
+                    _shear = get_shear_params(warp_ent[1])[1:]
+                    predc = warp_plane(ref_pl[p], warp_ent[1], _shear,
+                                       acx, cy, int(TX_W[uv_tx]),
+                                       int(TX_H[uv_tx]), ssx, ssy,
+                                       bd=self.bd).astype(np.int32)
+                elif is_comp:
                     predc = mc_block_compound(ref_pl[p], ref_pl1[p], acx, cy,
                                               int(TX_W[uv_tx]), int(TX_H[uv_tx]),
                                               mv, mv1, ssx, ssy,
@@ -1465,7 +1532,8 @@ class ModeDecision:
                 leaf.mv if leaf.is_inter else (0, 0),
                 leaf.is_inter and mode_has_newmv(leaf.inter_mode),
                 leaf.ref_frame1 if leaf.is_inter else -1,
-                leaf.mv1 if leaf.is_inter else (0, 0))
+                leaf.mv1 if leaf.is_inter else (0, 0),
+                is_gmv=leaf.is_inter and leaf.inter_mode in _GLOBAL_MODES)
         pa, pl = partition_ctx_lookup(bsize)
         self.above_part[c:c1] = pa
         self.left_part[r:r1] = pl

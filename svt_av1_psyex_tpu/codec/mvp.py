@@ -71,6 +71,8 @@ class MiState:
         self.mv_row1 = np.zeros((mi_rows, mi_cols), np.int16)
         self.mv_col1 = np.zeros((mi_rows, mi_cols), np.int16)
         self.is_newmv = np.zeros((mi_rows, mi_cols), np.int8)
+        # block coded GLOBALMV/GLOBAL_GLOBALMV (is_global_mv_block input)
+        self.is_gmv = np.zeros((mi_rows, mi_cols), np.int8)
         self.bsize = np.zeros((mi_rows, mi_cols), np.int8)
         # RefFrameSignBias per named ref (spec 5.9.2 set_frame_refs /
         # 7.8: bias = ref order hint after the current frame); used by the
@@ -78,11 +80,12 @@ class MiState:
         self.sign_bias = np.zeros(8, bool)
 
     _GRIDS = ("ref_frame", "ref_frame1", "mv_row", "mv_col", "mv_row1",
-              "mv_col1", "is_newmv", "bsize")
+              "mv_col1", "is_newmv", "is_gmv", "bsize")
 
     def set_block(self, r: int, c: int, bsize: int, ref_frame: int,
                   mv: tuple[int, int], is_newmv: bool,
-                  ref_frame1: int = -1, mv1: tuple[int, int] = ZERO) -> None:
+                  ref_frame1: int = -1, mv1: tuple[int, int] = ZERO,
+                  is_gmv: bool = False) -> None:
         bw4 = int(BLOCK_W[bsize]) >> 2
         bh4 = int(BLOCK_H[bsize]) >> 2
         r1 = min(r + bh4, self.mi_rows)
@@ -94,6 +97,7 @@ class MiState:
         self.mv_row1[r:r1, c:c1] = mv1[0]
         self.mv_col1[r:r1, c:c1] = mv1[1]
         self.is_newmv[r:r1, c:c1] = 1 if is_newmv else 0
+        self.is_gmv[r:r1, c:c1] = 1 if is_gmv else 0
         self.bsize[r:r1, c:c1] = bsize
 
     def save(self, r, c, bsize):
@@ -174,21 +178,24 @@ def _mvp_lib():
             _MVP_LIB = False
         else:
             lib.svt_find_mv_stack.argtypes = (
-                [ctypes.c_void_p] * 9 + [ctypes.c_int] * 7
+                [ctypes.c_void_p] * 10 + [ctypes.c_int] * 12
                 + [ctypes.c_void_p])
             _MVP_LIB = lib
     return _MVP_LIB
 
 
 def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
-                  ref_frame) -> MvStack:
+                  ref_frame, gm_mv=None, gm_warp: bool = False) -> MvStack:
     """MVP stack for a single ref (int) or a compound pair (tuple).
-    GLOBALMV candidates are (0,0) (IDENTITY gm).
+    gm_mv: ((row0, col0), (row1, col1)) 1/8-pel GLOBALMV candidates of
+    THIS block per ref list (spec 7.10.2.2 padding uses GlobalMvs);
+    None = identity gm -> (0, 0).
 
     Dispatches to the C port (native/mvp.c) when built; the Python body
     below is the oracle (SVT_TPU_PY_MVP=1), fuzzed for equality by
     tests/test_native_mvp.py."""
     lib = _mvp_lib()
+    g0, g1 = (gm_mv if gm_mv is not None else (ZERO, ZERO))
     if lib:
         is_comp = isinstance(ref_frame, tuple)
         rf0, rf1 = ref_frame if is_comp else (int(ref_frame), -1)
@@ -197,9 +204,12 @@ def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
             mi.ref_frame.ctypes.data, mi.ref_frame1.ctypes.data,
             mi.mv_row.ctypes.data, mi.mv_col.ctypes.data,
             mi.mv_row1.ctypes.data, mi.mv_col1.ctypes.data,
-            mi.is_newmv.ctypes.data, mi.bsize.ctypes.data,
+            mi.is_newmv.ctypes.data, mi.is_gmv.ctypes.data,
+            mi.bsize.ctypes.data,
             mi.sign_bias.ctypes.data, mi.mi_rows, mi.mi_cols,
-            mi_row, mi_col, int(bsize), rf0, rf1, out.ctypes.data)
+            mi_row, mi_col, int(bsize), rf0, rf1,
+            int(g0[0]), int(g0[1]), int(g1[0]), int(g1[1]),
+            1 if gm_warp else 0, out.ctypes.data)
         slots = int(out[42])
         ent = out[2 : 2 + 40].reshape(8, 5)
         return MvStack(
@@ -208,11 +218,13 @@ def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
                       for i in range(slots)],
             weights=[int(ent[i, 4]) for i in range(slots)],
             mode_context=int(out[1]), count=int(out[0]))
-    return _find_mv_stack_py(mi, mi_row, mi_col, bsize, ref_frame)
+    return _find_mv_stack_py(mi, mi_row, mi_col, bsize, ref_frame,
+                             (g0, g1), gm_warp)
 
 
 def _find_mv_stack_py(mi: MiState, mi_row: int, mi_col: int, bsize: int,
-                      ref_frame) -> MvStack:
+                      ref_frame, gm_mv=(ZERO, ZERO),
+                      gm_warp: bool = False) -> MvStack:
     """Pure-Python MVP stack derivation (the conformance oracle)."""
     is_comp = isinstance(ref_frame, tuple)
     rf = ref_frame if is_comp else (int(ref_frame), -1)
@@ -258,18 +270,25 @@ def _find_mv_stack_py(mi: MiState, mi_row: int, mi_col: int, bsize: int,
                       count_newmv: bool = True):
         if mi.ref_frame[rr, cc] < 0:
             return
+        # is_global_mv_block: GLOBAL-mode neighbors >= 8x8 contribute the
+        # CURRENT block's GlobalMvs when GmType[rf[0]] > TRANSLATION
+        cb = int(mi.bsize[rr, cc])
+        sub = (gm_warp and mi.is_gmv[rr, cc]
+               and min(int(BLOCK_W[cb]), int(BLOCK_H[cb])) >= 8)
         matched = False
         if is_comp:
             if (int(mi.ref_frame[rr, cc]) == rf[0]
                     and int(mi.ref_frame1[rr, cc]) == rf[1]):
-                mv0 = (int(mi.mv_row[rr, cc]), int(mi.mv_col[rr, cc]))
-                mv1 = (int(mi.mv_row1[rr, cc]), int(mi.mv_col1[rr, cc]))
+                mv0 = gm_mv[0] if sub else (int(mi.mv_row[rr, cc]),
+                                            int(mi.mv_col[rr, cc]))
+                mv1 = gm_mv[1] if sub else (int(mi.mv_row1[rr, cc]),
+                                            int(mi.mv_col1[rr, cc]))
                 push((mv0, mv1), weight * length)
                 matched = True
         else:
             for can_rf, mv in mi.cand_refs(rr, cc):
                 if can_rf == rf[0]:
-                    push((mv, ZERO), weight * length)
+                    push((gm_mv[0] if sub else mv, ZERO), weight * length)
                     matched = True
         if matched:
             if count_newmv and mi.is_newmv[rr, cc]:
@@ -449,7 +468,7 @@ def _find_mv_stack_py(mi: MiState, mi_row: int, mi_col: int, bsize: int,
                 comp_list[ci][idx] = mv
                 ci += 1
             while ci < MAX_MV_REF_CANDIDATES:
-                comp_list[ci][idx] = ZERO  # gm candidate
+                comp_list[ci][idx] = gm_mv[idx]  # gm candidate
                 ci += 1
 
         if true_count == 1:
@@ -493,7 +512,8 @@ def _find_mv_stack_py(mi: MiState, mi_row: int, mi_col: int, bsize: int,
                 i += int(BLOCK_H[int(mi.bsize[rr, cc])]) >> 2
         true_count = len(stack)  # relaxed rescan DOES increment count
         while len(stack) < MAX_MV_REF_CANDIDATES:
-            stack.append((ZERO, ZERO))  # slot filled, count NOT incremented
+            # slot filled with GlobalMvs[0], count NOT incremented
+            stack.append((gm_mv[0], ZERO))
             weights.append(0)
 
     # clamp (spec clamp_mv_ref: within frame + border, block-relative),

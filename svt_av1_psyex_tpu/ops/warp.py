@@ -187,9 +187,12 @@ def project_mv(mat, gm_type: int, mi_row: int, mi_col: int, bw: int,
     from .warp import WARPEDMODEL_PREC_BITS as P  # self, clarity
 
     def conv(v):
-        v = int(_round_pot_signed(v, P - 3))
-        if not allow_hp:
-            v = v - (v & 1) if v > 0 else v + (v & 1)
+        # convert_to_trans_prec: !allow_hp rounds at (P-2) THEN doubles —
+        # not round-at-(P-3)-then-lower-to-even (differs on half-units)
+        if allow_hp:
+            v = int(_round_pot_signed(v, P - 3))
+        else:
+            v = int(_round_pot_signed(v, P - 2)) * 2
         if force_int:
             v = int(_round_pot_signed(v, 3)) * 8
         return int(np.clip(v, -(1 << 14) + 1, (1 << 14) - 1))
@@ -197,7 +200,10 @@ def project_mv(mat, gm_type: int, mi_row: int, mi_col: int, bw: int,
     if gm_type == 0:                              # IDENTITY
         return 0, 0
     if gm_type == 1:                              # TRANSLATION
-        return conv(int(mat[1])), conv(int(mat[0]))
+        # libaom/dav1d convention: TRANSLATION stores (row, col) in
+        # mat[0], mat[1] — the REVERSE of the affine (x, y) layout
+        # (adaptive_mv_pred.c:975 svt_aom_gm_get_motion_vector_enc)
+        return conv(int(mat[0])), conv(int(mat[1]))
     x = mi_col * 4 + bw // 2 - 1
     y = mi_row * 4 + bh // 2 - 1
     xc = (int(mat[2]) - (1 << P)) * x + int(mat[3]) * y + int(mat[0])

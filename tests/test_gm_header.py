@@ -51,11 +51,12 @@ def _decode_subexp(r, num_syms):
 
 
 def _inverse_recenter(rr, v):
+    # dav1d/libaom parity: even -> rr + v/2, odd -> rr - (v+1)/2
     if v > 2 * rr:
         return v
     if v & 1:
-        return rr + ((v + 1) >> 1)
-    return rr - (v >> 1)
+        return rr - ((v + 1) >> 1)
+    return rr + (v >> 1)
 
 
 def _decode_signed_subexp_with_ref(r, low, high, ref):

@@ -42,7 +42,7 @@ def _random_mi(rng, mi_rows, mi_cols, n_refs=3, p_intra=0.3):
             mv1 = (int(rng.integers(-64, 65)) * 2,
                    int(rng.integers(-64, 65)) * 2)
             mi.set_block(r, c, bs, ref, mv, bool(rng.integers(0, 2)),
-                         ref1, mv1)
+                         ref1, mv1, is_gmv=bool(rng.integers(0, 4) == 0))
             c += bw4
         r += max(bh4, 1)
     return mi
@@ -63,8 +63,17 @@ def test_mvp_c_matches_python(seed):
             ref = (int(rng.integers(1, 5)), int(rng.integers(5, 8)))
         else:
             ref = int(rng.integers(1, 8))
-        a = mvp_mod.find_mv_stack(mi, r, c, bs, ref)
-        b = _find_mv_stack_py(mi, r, c, bs, ref)
+        gm = None
+        if rng.random() < 0.5:  # translation-gm padding candidates
+            gm = ((int(rng.integers(-32, 33)) * 2,
+                   int(rng.integers(-32, 33)) * 2),
+                  (int(rng.integers(-32, 33)) * 2,
+                   int(rng.integers(-32, 33)) * 2))
+        warp = bool(rng.integers(0, 2)) and gm is not None
+        a = mvp_mod.find_mv_stack(mi, r, c, bs, ref, gm_mv=gm, gm_warp=warp)
+        b = _find_mv_stack_py(mi, r, c, bs, ref,
+                              gm if gm is not None else ((0, 0), (0, 0)),
+                              gm_warp=warp)
         ctx = f"seed={seed} r={r} c={c} bs={bs} ref={ref}"
         assert a.count == b.count, ctx
         assert a.mode_context == b.mode_context, ctx

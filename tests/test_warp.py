@@ -70,11 +70,11 @@ def test_warp_affine_bit_exact(kind, sub):
 
 def test_project_mv_translation_rounding():
     one = 1 << warp.WARPEDMODEL_PREC_BITS
-    # TRANSLATION: mat[0]=x offset in model units -> 1/8-pel, lowered to
-    # even (allow_hp=False) / fullpel (force_int)
+    # TRANSLATION stores (row, col) in mat[0], mat[1] (libaom/dav1d
+    # layout) -> 1/8-pel, lowered to even (allow_hp=False) / fullpel
     m = [3 << (warp.WARPEDMODEL_PREC_BITS - 3),
          -5 << (warp.WARPEDMODEL_PREC_BITS - 3), one, 0, 0, one]
-    assert warp.project_mv(m, 1, 0, 0, 16, 16, True, False) == (-5, 3)
+    assert warp.project_mv(m, 1, 0, 0, 16, 16, True, False) == (3, -5)
     r, c = warp.project_mv(m, 1, 0, 0, 16, 16, False, False)
     assert r % 2 == 0 and c % 2 == 0
     r, c = warp.project_mv(m, 1, 0, 0, 16, 16, False, True)
