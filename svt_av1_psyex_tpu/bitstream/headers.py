@@ -276,6 +276,8 @@ class FrameConfig:
     # (primary ref's saved params, defaults when PRIMARY_REF_NONE)
     gm: tuple | None = None
     gm_prev: tuple | None = None
+    # local warped motion (WARPED_CAUSAL) allowed this frame
+    allow_warped_motion: bool = False
 
     @property
     def frame_is_intra(self) -> bool:
@@ -404,7 +406,7 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig, w: BitWriter) -> No
     if _skip_mode_allowed(seq, fr):
         w.f(0, 1)  # skip_mode_present
     if not (fr.frame_is_intra or fr.error_resilient_mode) and seq.enable_warped_motion:
-        w.f(0, 1)  # allow_warped_motion
+        w.f(1 if fr.allow_warped_motion else 0, 1)
     w.f(1 if fr.reduced_tx_set else 0, 1)
     # global_motion_params (spec 5.9.24)
     if not fr.frame_is_intra:

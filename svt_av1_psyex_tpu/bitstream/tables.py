@@ -156,6 +156,8 @@ class FrameCdfs:
         self.refmv = self._wrap(clone("default_refmv_cdf"))
         self.drl = self._wrap(clone("default_drl_cdf"))
         self.skip_mode = self._wrap(clone("default_skip_mode_cdfs"))
+        self.motion_mode = self._wrap(clone("default_motion_mode_cdf"))
+        self.obmc = self._wrap(clone("default_obmc_cdf"))
         self.nmv_joints = self._wrap(clone("nmv_joints_cdf"))
         # per-component (0 vertical/row, 1 horizontal/col)
         self.nmv_sign = self._wrap(clone("nmv_sign_cdf"))

@@ -62,6 +62,7 @@ class LeafBlock:
     cfl_alpha_u: int = 0  # signed alpha_q3 per component (uv_mode 13)
     cfl_alpha_v: int = 0
     interp_filter: int = 0  # REGULAR/SMOOTH/SHARP (SWITCHABLE frames)
+    motion_mode: int = 0  # 0 SIMPLE, 1 OBMC_CAUSAL, 2 WARPED_CAUSAL
 
 
 @dataclass
@@ -564,7 +565,8 @@ class TileWriter:
                 leaf.is_inter and mode_has_newmv(leaf.inter_mode),
                 leaf.ref_frame1 if leaf.is_inter else -1,
                 leaf.mv1 if leaf.is_inter else (0, 0),
-                is_gmv=leaf.is_inter and leaf.inter_mode in _GLOBAL_MODES)
+                is_gmv=leaf.is_inter and leaf.inter_mode in _GLOBAL_MODES,
+                interp_filter=leaf.interp_filter if leaf.is_inter else 0)
         pa, pl = partition_ctx_lookup(bsize)
         self.above_part[c:c_end] = pa
         self.left_part[r:r_end] = pl
@@ -749,6 +751,7 @@ class TileWriter:
                 self._write_mv(leaf.mv, stack.mvs[leaf.drl_index])
             if sub1 == InterMode.NEWMV:
                 self._write_mv(leaf.mv1, stack.comp_mvs[leaf.drl_index])
+            # compound blocks are always SIMPLE (read_motion_mode)
             self._write_interp_filter(leaf, r, c, avail_u, avail_l)
             return
 
@@ -772,6 +775,7 @@ class TileWriter:
         if mode == InterMode.NEWMV:
             ref_mv = stack.mvs[leaf.drl_index]
             self._write_mv(leaf.mv, ref_mv)
+        self._write_motion_mode(leaf, r, c, bsize)
         self._write_interp_filter(leaf, r, c, avail_u, avail_l)
 
     def _interp_ctx(self, r: int, c: int, avail_u: bool, avail_l: bool,
@@ -793,6 +797,42 @@ class TileWriter:
         if above == 3:
             return ctx + left
         return ctx + 3
+
+    def motion_mode_kind(self, leaf, r: int, c: int, bsize: int) -> str:
+        """Which motion_mode syntax the decoder reads for this block
+        (spec 5.11.27 read_motion_mode): "none" (inferred SIMPLE),
+        "obmc" (binary obmc symbol), or "full" (3-ary motion_mode)."""
+        from ..codec.constants import BLOCK_H, BLOCK_W, InterMode
+        from ..codec.warp_samples import count_overlappable, find_warp_samples
+
+        if not self.fr.is_motion_mode_switchable:
+            return "none"
+        if min(int(BLOCK_W[bsize]), int(BLOCK_H[bsize])) < 8:
+            return "none"
+        if (leaf.inter_mode in (int(InterMode.GLOBALMV),
+                                int(InterMode.GLOBAL_GLOBALMV))
+                and self._gm_type(leaf.ref_frame) >= 2):
+            return "none"
+        if leaf.ref_frame1 >= 1:
+            return "none"
+        if count_overlappable(self.mi_state, r, c, bsize) == 0:
+            return "none"
+        pts, _ = find_warp_samples(self.mi_state, r, c, bsize,
+                                   leaf.ref_frame)
+        if len(pts) == 0 or not self.fr.allow_warped_motion:
+            return "obmc"
+        return "full"
+
+    def _write_motion_mode(self, leaf, r: int, c: int, bsize: int) -> None:
+        kind = self.motion_mode_kind(leaf, r, c, bsize)
+        if kind == "none":
+            assert leaf.motion_mode == 0
+            return
+        if kind == "obmc":
+            self._sym_at(1 if leaf.motion_mode == 1 else 0,
+                         self.cdfs.obmc, bsize)
+            return
+        self._sym_at(leaf.motion_mode, self.cdfs.motion_mode, bsize)
 
     def _gm_type(self, ref_id: int) -> int:
         gm = getattr(self.fr, "gm", None)
@@ -820,6 +860,8 @@ class TileWriter:
         ref's GmType is TRANSLATION; enable_dual_filter is off => one
         symbol for both axes."""
         if self.fr.interp_filter != 4:  # SWITCHABLE
+            return
+        if leaf.motion_mode == 2:  # LOCALWARP: filter not coded
             return
         from ..codec.constants import BLOCK_H, BLOCK_W, InterMode
 

@@ -119,6 +119,9 @@ class Av1Encoder:
         # recursive filter intra searched (and therefore signaled) at the
         # slower presets (sig_deriv md_filter_intra_level gating)
         seq.enable_filter_intra = preset <= 6
+        # local warped motion (WARPED_CAUSAL): host-MD presets only (the
+        # reference's wm_level gates similarly, enc_mode_config.c)
+        seq.enable_warped_motion = preset <= 5
         # tile columns (log2): each tile is an independent MD + entropy
         # partition (ec_process.c per-tile loop); 0 = single tile
         self.tile_cols_log2 = tile_cols_log2
@@ -596,6 +599,14 @@ class Av1Encoder:
                   and os.environ.get("SVT_TPU_HOST_MD") != "1")
         use_device_inter = dev_ok and not fr.frame_is_intra and bool(ref_planes)
 
+        # local warped motion: host-MD inter frames when the sequence
+        # advertises it (motion_mode syntax + WARPED_CAUSAL candidates)
+        if (not fr.frame_is_intra and bool(ref_planes)
+                and not use_device_inter and seq.enable_warped_motion
+                and os.environ.get("SVT_TPU_NO_LWARP") != "1"):
+            fr.allow_warped_motion = True
+            fr.is_motion_mode_switchable = True
+
         # switchable interpolation filters: host-path inter frames at the
         # slower presets search REG/SMOOTH/SHARP per block
         # (enc_inter_prediction.c:2276 interpolation_filter_search);
@@ -947,6 +958,7 @@ class Av1Encoder:
         self.last_recon = [np.clip(p.recon, 0, maxv).astype(dtype) for p in pctx]
         self.last_film_grain = fr.film_grain
         self.last_frame_gm = fr.gm
+        self._last_sb_plans = [n for (n, _r, _c) in st.get("sb_plans", [])]
         # reference update: the recon + saved frame context land in every
         # slot selected by refresh_frame_flags
         from ..bitstream.headers import GM_DEFAULT_MAT

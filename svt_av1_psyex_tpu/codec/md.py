@@ -734,6 +734,31 @@ class ModeDecision:
         return project_mv(ent[1], ent[0], r, c, int(BLOCK_W[bsize]),
                           int(BLOCK_H[bsize]), False, False)
 
+    def _motion_mode_kind_md(self, r, c, bsize, ref_id):
+        """Mirror of TileWriter.motion_mode_kind minus the per-mode
+        GLOBAL check (applied per candidate): "none"/"obmc"/"full"
+        plus the warp-sample set for reuse."""
+        from .warp_samples import count_overlappable, find_warp_samples
+
+        fr = self.fr
+        if not getattr(fr, "is_motion_mode_switchable", False):
+            return "none", None
+        if min(int(BLOCK_W[bsize]), int(BLOCK_H[bsize])) < 8:
+            return "none", None
+        if count_overlappable(self.mi_state, r, c, bsize) == 0:
+            return "none", None
+        pts, ptsr = find_warp_samples(self.mi_state, r, c, bsize, ref_id)
+        if len(pts) == 0 or not getattr(fr, "allow_warped_motion", False):
+            return "obmc", None
+        return "full", (pts, ptsr)
+
+    def _mm_cost(self, kind: str, mm: int, bsize: int) -> int:
+        if kind == "none":
+            return 0
+        if kind == "obmc":
+            return int(cdf_costs(self.cdfs.obmc[0][bsize])[1 if mm == 1 else 0])
+        return int(cdf_costs(self.cdfs.motion_mode[0][bsize])[mm])
+
     def _comp_mode_ctx_md(self, r, c):
         """reference_mode context from the MD-local mi state."""
         mi = self.mi_state
@@ -908,18 +933,54 @@ class ModeDecision:
                    + self._mv_cost((mv[0] - stack.mvs[0][0], mv[1] - stack.mvs[0][1])))
         cands.append((InterMode.NEWMV, mv, 0, nm_rate))
 
+        kind, samples = self._motion_mode_kind_md(r, c, bsize, ref_id)
         out = []
         seen = set()
         for mode, mv, drl_index, mode_rate in cands:
             key = (mode != InterMode.NEWMV, mv)
             if mode != InterMode.NEWMV and key in seen:
                 continue
+            # per-candidate motion-mode symbol: GLOBALMV with a warp-class
+            # gm reads none (SIMPLE inferred); everything else pays it
+            cand_kind = kind
+            if (mode == InterMode.GLOBALMV and ge is not None
+                    and ge[0] >= 2):
+                cand_kind = "none"
+            mode_rate = mode_rate + self._mm_cost(cand_kind, 0, bsize)
             seen.add(key)
             j, leaf, arts = self._try_inter(mode, mv, drl_index,
                                             inter_base + ref_rate + mode_rate,
                                             r, c, bsize, x, y, tx_size,
                                             skip_costs, has_chroma, ref_id)
             out.append((j, leaf, arts))
+            if cand_kind == "full":
+                # WARPED_CAUSAL variant: params re-derived by the decoder
+                # from (samples, mv) — spec 7.11.3.8
+                from ..ops.warp import find_projection, select_samples
+
+                bw, bh = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+                pts, ptsr = samples
+                if len(pts) > 1:
+                    pts, ptsr = select_samples(mv, pts, ptsr, bw, bh)
+                wp = find_projection(pts, ptsr, bw, bh, mv, r, c)
+                if wp is not None:
+                    mr = (mode_rate - self._mm_cost(cand_kind, 0, bsize)
+                          + self._mm_cost(cand_kind, 2, bsize))
+                    j2, leaf2, arts2 = self._try_inter(
+                        mode, mv, drl_index, inter_base + ref_rate + mr,
+                        r, c, bsize, x, y, tx_size, skip_costs, has_chroma,
+                        ref_id, lwarp=wp)
+                    out.append((j2, leaf2, arts2))
+            if cand_kind in ("obmc", "full") and mode == InterMode.NEWMV:
+                # OBMC_CAUSAL variant on the NEWMV candidate (the
+                # reference's obmc injection gates to top candidates too)
+                mr = (mode_rate - self._mm_cost(cand_kind, 0, bsize)
+                      + self._mm_cost(cand_kind, 1, bsize))
+                j3, leaf3, arts3 = self._try_inter(
+                    mode, mv, drl_index, inter_base + ref_rate + mr,
+                    r, c, bsize, x, y, tx_size, skip_costs, has_chroma,
+                    ref_id, obmc=True)
+                out.append((j3, leaf3, arts3))
         return out
 
     def _single_ref_rate(self, r, c, bsize, ref: int = 1) -> int:
@@ -962,7 +1023,12 @@ class ModeDecision:
 
     def _try_inter(self, mode, mv, drl_index, mode_rate, r, c, bsize, x, y,
                    tx_size, skip_costs, has_chroma, ref_id: int = 1,
-                   ref_id1: int = -1, mv1=None):
+                   ref_id1: int = -1, mv1=None, lwarp=None,
+                   obmc: bool = False):
+        """lwarp: (mat6, shear4) for a WARPED_CAUSAL variant — the
+        prediction runs through the warp filter and the interp-filter
+        symbol is not coded (spec 5.11.27 / 7.11.3.1). obmc: blend the
+        prediction with causal neighbor predictions (OBMC_CAUSAL)."""
         from ..ops.mc import mc_block, mc_block_compound
         from .constants import InterMode
 
@@ -1001,7 +1067,13 @@ class ModeDecision:
         import os as _os
 
         _force = _os.environ.get("SVT_TPU_FORCE_INTERP")
-        if warp_ent is not None:
+        if lwarp is not None:
+            from ..ops.warp import warp_plane
+
+            warp_ent = (3, lwarp[0])  # local warp: AFFINE model
+            pred = warp_plane(ref_pl[0], lwarp[0], lwarp[1], ax, y,
+                              tx_w, tx_h, 0, 0, bd=self.bd).astype(np.int32)
+        elif warp_ent is not None:
             from ..ops.warp import get_shear_params, warp_plane
 
             _shear = get_shear_params(warp_ent[1])[1:]
@@ -1032,8 +1104,10 @@ class ModeDecision:
         # needs_interp_filter (spec 5.11.26): large GLOBALMV blocks code
         # the symbol only when a used ref's GmType is TRANSLATION
         large = min(int(BLOCK_W[bsize]), int(BLOCK_H[bsize])) >= 8
-        codes_filter = True
-        if large and mode == InterMode.GLOBALMV:
+        codes_filter = lwarp is None
+        if lwarp is not None:
+            pass
+        elif large and mode == InterMode.GLOBALMV:
             e = self._gm_entry(ref_id)
             codes_filter = e is not None and e[0] == 1
         elif large and mode == InterMode.GLOBAL_GLOBALMV:
@@ -1044,6 +1118,14 @@ class ModeDecision:
             rate += int(self._interp_fcosts(is_comp)[flt])
         elif not codes_filter:
             flt = 0
+        if obmc:
+            from .obmc import obmc_blend_plane
+
+            _oss = ((self.pctx[1].ss_x, self.pctx[1].ss_y)
+                    if len(self.pctx) > 1 else (1, 1))
+            pred = obmc_blend_plane(pred, 0, self.mi_state, r, c, bsize,
+                                    self.ref_planes, self.bd, _oss,
+                                    self.tile_x_off)
         txbs = []
         dist = 0
         qc, eob, rec, d = self._txb_rd_pred(self.pctx[0], pred, x, y, tx_size,
@@ -1065,7 +1147,8 @@ class ModeDecision:
                         and int(TX_H[uv_tx]) >= 8):
                     from ..ops.warp import get_shear_params, warp_plane
 
-                    _shear = get_shear_params(warp_ent[1])[1:]
+                    _shear = (lwarp[1] if lwarp is not None
+                              else get_shear_params(warp_ent[1])[1:])
                     predc = warp_plane(ref_pl[p], warp_ent[1], _shear,
                                        acx, cy, int(TX_W[uv_tx]),
                                        int(TX_H[uv_tx]), ssx, ssy,
@@ -1080,6 +1163,12 @@ class ModeDecision:
                                      int(TX_W[uv_tx]), int(TX_H[uv_tx]),
                                      mv[0], mv[1], ssx, ssy, flt, flt,
                                      bit_depth=self.bd)
+                if obmc:
+                    from .obmc import obmc_blend_plane
+
+                    predc = obmc_blend_plane(predc, p, self.mi_state, r, c,
+                                             bsize, self.ref_planes, self.bd,
+                                             (ssx, ssy), self.tile_x_off)
                 qc, eob, rec, d = self._txb_rd_pred(self.pctx[p], predc, cx, cy,
                                                     uv_tx, TxType.DCT_DCT, p)
                 txbs.append({"plane": p, "plane_bsize": uv_bsize, "tx_size": uv_tx,
@@ -1109,6 +1198,8 @@ class ModeDecision:
                          mv1=tuple(mv1) if is_comp else (0, 0),
                          inter_mode=int(mode), mv=tuple(mv), drl_index=drl_index,
                          interp_filter=flt,
+                         motion_mode=(2 if lwarp is not None
+                                      else 1 if obmc else 0),
                          coeffs=None if skip else
                          [{k: v for k, v in t.items() if k != "_rec"} for t in txbs])
         jdist = self._spy_dist(dist, is_intra=False, comp_avg=is_comp)
@@ -1533,7 +1624,8 @@ class ModeDecision:
                 leaf.is_inter and mode_has_newmv(leaf.inter_mode),
                 leaf.ref_frame1 if leaf.is_inter else -1,
                 leaf.mv1 if leaf.is_inter else (0, 0),
-                is_gmv=leaf.is_inter and leaf.inter_mode in _GLOBAL_MODES)
+                is_gmv=leaf.is_inter and leaf.inter_mode in _GLOBAL_MODES,
+                interp_filter=leaf.interp_filter if leaf.is_inter else 0)
         pa, pl = partition_ctx_lookup(bsize)
         self.above_part[c:c1] = pa
         self.left_part[r:r1] = pl

@@ -73,6 +73,8 @@ class MiState:
         self.is_newmv = np.zeros((mi_rows, mi_cols), np.int8)
         # block coded GLOBALMV/GLOBAL_GLOBALMV (is_global_mv_block input)
         self.is_gmv = np.zeros((mi_rows, mi_cols), np.int8)
+        # interpolation filter per block (OBMC neighbor predictions)
+        self.flt = np.zeros((mi_rows, mi_cols), np.int8)
         self.bsize = np.zeros((mi_rows, mi_cols), np.int8)
         # RefFrameSignBias per named ref (spec 5.9.2 set_frame_refs /
         # 7.8: bias = ref order hint after the current frame); used by the
@@ -80,12 +82,12 @@ class MiState:
         self.sign_bias = np.zeros(8, bool)
 
     _GRIDS = ("ref_frame", "ref_frame1", "mv_row", "mv_col", "mv_row1",
-              "mv_col1", "is_newmv", "is_gmv", "bsize")
+              "mv_col1", "is_newmv", "is_gmv", "flt", "bsize")
 
     def set_block(self, r: int, c: int, bsize: int, ref_frame: int,
                   mv: tuple[int, int], is_newmv: bool,
                   ref_frame1: int = -1, mv1: tuple[int, int] = ZERO,
-                  is_gmv: bool = False) -> None:
+                  is_gmv: bool = False, interp_filter: int = 0) -> None:
         bw4 = int(BLOCK_W[bsize]) >> 2
         bh4 = int(BLOCK_H[bsize]) >> 2
         r1 = min(r + bh4, self.mi_rows)
@@ -98,6 +100,7 @@ class MiState:
         self.mv_col1[r:r1, c:c1] = mv1[1]
         self.is_newmv[r:r1, c:c1] = 1 if is_newmv else 0
         self.is_gmv[r:r1, c:c1] = 1 if is_gmv else 0
+        self.flt[r:r1, c:c1] = interp_filter
         self.bsize[r:r1, c:c1] = bsize
 
     def save(self, r, c, bsize):

@@ -209,3 +209,138 @@ def project_mv(mat, gm_type: int, mi_row: int, mi_col: int, bw: int,
     xc = (int(mat[2]) - (1 << P)) * x + int(mat[3]) * y + int(mat[0])
     yc = int(mat[4]) * x + (int(mat[5]) - (1 << P)) * y + int(mat[1])
     return conv(yc), conv(xc)
+
+
+# Local warp (WARPED_CAUSAL) parameter derivation -----------------------------
+# Spec 7.11.3.8 warp estimation: the DECODER re-derives the affine model
+# from neighbor samples + the block MV, so every step below is normative
+# and must be bit-exact (oracle: svt_find_projection /
+# svt_aom_select_samples, warped_motion.c:472,924).
+LS_MV_MAX = 256          # max sample mvd, 1/8 pel
+LS_STEP = 8
+LEAST_SQUARES_SAMPLES_MAX = 8
+
+
+def _ls_square(a: int) -> int:
+    return (a * a * 4 + a * 4 * LS_STEP + LS_STEP * LS_STEP * 2) >> 4
+
+
+def _ls_prod1(a: int, b: int) -> int:
+    return (a * b * 4 + (a + b) * 2 * LS_STEP + LS_STEP * LS_STEP) >> 4
+
+
+def _ls_prod2(a: int, b: int) -> int:
+    return (a * b * 4 + (a + b) * 2 * LS_STEP + LS_STEP * LS_STEP * 2) >> 4
+
+
+def select_samples(mv, pts, pts_inref, bw: int, bh: int):
+    """Trim samples whose mvd exceeds the block-size threshold, keeping
+    source order by back-filling (warped_motion.c:924). mv = (row, col)
+    1/8 pel; pts/pts_inref: lists of (x, y) 1/8-pel pairs. Returns the
+    trimmed (pts, pts_inref)."""
+    thresh = int(np.clip(max(bw, bh), 16, 112))
+    mvd = [abs(pi[0] - p[0] - mv[1]) + abs(pi[1] - p[1] - mv[0])
+           for p, pi in zip(pts, pts_inref)]
+    keep = [d <= thresh for d in mvd]
+    ret = sum(keep)
+    if ret == 0:
+        return pts[:1], pts_inref[:1]
+    pts = [list(p) for p in pts]
+    pts_inref = [list(p) for p in pts_inref]
+    i, j = 0, len(pts) - 1
+    for _ in range(len(pts) - ret):
+        while keep[i]:
+            i += 1
+        while j >= 0 and not keep[j]:
+            j -= 1
+        if j < 0 or i > j:
+            break
+        keep[i] = keep[j]
+        pts[i] = pts[j]
+        pts_inref[i] = pts_inref[j]
+        i += 1
+        j -= 1
+    return ([tuple(p) for p in pts[:ret]],
+            [tuple(p) for p in pts_inref[:ret]])
+
+
+def _mult_shift(p_x: int, i_det: int, shift: int, diag: bool) -> int:
+    v = p_x * i_det
+    v = int(_round_pot_signed(v, shift))
+    c = WARPEDMODEL_NONDIAG_CLAMP
+    if diag:
+        one = 1 << WARPEDMODEL_PREC_BITS
+        return int(np.clip(v, one - c + 1, one + c - 1))
+    return int(np.clip(v, -c + 1, c - 1))
+
+
+def find_affine_int(pts, pts_inref, bw: int, bh: int, mv, mi_row: int,
+                    mi_col: int):
+    """Integer LS affine fit (warped_motion.c:365 find_affine_int).
+    pts/pts_inref: (x, y) 1/8-pel sample pairs (current / reference
+    coords relative to the block's top-left). mv = (row, col) 1/8 pel.
+    Returns mat6 or None (degenerate)."""
+    a00 = a01 = a11 = bx0 = bx1 = by0 = by1 = 0
+    rsuy = max(bh, 8) // 2 - 1
+    rsux = max(bw, 8) // 2 - 1
+    suy, sux = rsuy * 8, rsux * 8
+    duy, dux = suy + int(mv[0]), sux + int(mv[1])
+    isuy = mi_row * 4 + rsuy
+    isux = mi_col * 4 + rsux
+
+    for (px, py), (qx, qy) in zip(pts, pts_inref):
+        dx, dy = qx - dux, qy - duy
+        sx, sy = px - sux, py - suy
+        if abs(sx - dx) < LS_MV_MAX and abs(sy - dy) < LS_MV_MAX:
+            a00 += _ls_square(sx)
+            a01 += _ls_prod1(sx, sy)
+            a11 += _ls_square(sy)
+            bx0 += _ls_prod2(sx, dx)
+            bx1 += _ls_prod1(sy, dx)
+            by0 += _ls_prod1(sx, dy)
+            by1 += _ls_prod2(sy, dy)
+
+    det = a00 * a11 - a01 * a01
+    if det == 0:
+        return None
+    i_det, shift = resolve_divisor(abs(det))
+    i_det = i_det if det >= 0 else -i_det
+    shift -= WARPEDMODEL_PREC_BITS
+    if shift < 0:
+        i_det <<= -shift
+        shift = 0
+
+    p_x0 = a11 * bx0 - a01 * bx1
+    p_x1 = -a01 * bx0 + a00 * bx1
+    p_y0 = a11 * by0 - a01 * by1
+    p_y1 = -a01 * by0 + a00 * by1
+
+    mat = [0] * 6
+    mat[2] = _mult_shift(p_x0, i_det, shift, True)
+    mat[3] = _mult_shift(p_x1, i_det, shift, False)
+    mat[4] = _mult_shift(p_y0, i_det, shift, False)
+    mat[5] = _mult_shift(p_y1, i_det, shift, True)
+
+    one = 1 << WARPEDMODEL_PREC_BITS
+    vx = (int(mv[1]) * (1 << (WARPEDMODEL_PREC_BITS - 3))
+          - (isux * (mat[2] - one) + isuy * mat[3]))
+    vy = (int(mv[0]) * (1 << (WARPEDMODEL_PREC_BITS - 3))
+          - (isux * mat[4] + isuy * (mat[5] - one)))
+    mat[0] = int(np.clip(vx, -WARPEDMODEL_TRANS_CLAMP,
+                         WARPEDMODEL_TRANS_CLAMP - 1))
+    mat[1] = int(np.clip(vy, -WARPEDMODEL_TRANS_CLAMP,
+                         WARPEDMODEL_TRANS_CLAMP - 1))
+    return tuple(mat)
+
+
+def find_projection(pts, pts_inref, bw: int, bh: int, mv, mi_row: int,
+                    mi_col: int):
+    """find_affine_int + shear validation (svt_find_projection,
+    warped_motion.c:472). Returns (mat6, shear4) or None."""
+    mat = find_affine_int(pts, pts_inref, bw, bh, mv, mi_row, mi_col)
+    if mat is None:
+        return None
+    ok, *shear = get_shear_params(mat)
+    if not ok:
+        return None
+    return mat, tuple(shear)

@@ -475,3 +475,45 @@ def warp_affine(mat, shear, plane, x0, y0, w, h, sub_x=0, sub_y=0):
     fn(m, ref.ctypes.data, width, height, width, pred.ctypes.data,
        x0, y0, w, h, w, sub_x, sub_y, ctypes.byref(cp), a, b, g, d)
     return pred
+
+
+def find_projection(pts, pts_inref, bsize_idx, mv, mi_row, mi_col):
+    """Reference svt_find_projection (warped_motion.c:472). pts in 1/8
+    pel. Returns (ok, mat6, alpha, beta, gamma, delta)."""
+    lib = get_lib()
+    n = len(pts)
+    p1 = np.array([v for p in pts for v in p], np.int32)
+    p2 = np.array([v for p in pts_inref for v in p], np.int32)
+    wm = _WarpedMotionParams()
+    wm.wmtype = 3  # AFFINE
+    fn = lib.svt_find_projection
+    fn.argtypes = [ctypes.c_int32, _I32P, _I32P, ctypes.c_int32,
+                   ctypes.c_int32, ctypes.c_int32,
+                   ctypes.POINTER(_WarpedMotionParams), ctypes.c_int32,
+                   ctypes.c_int32]
+    fn.restype = ctypes.c_bool
+    bad = fn(n, p1, p2, bsize_idx, int(mv[0]), int(mv[1]),
+             ctypes.byref(wm), mi_row, mi_col)
+    return (not bad, tuple(wm.wmmat[i] for i in range(6)),
+            wm.alpha, wm.beta, wm.gamma, wm.delta)
+
+
+def select_samples(mv, pts, pts_inref, bsize_idx):
+    """Reference svt_aom_select_samples (warped_motion.c:924).
+    Returns trimmed (pts, pts_inref)."""
+    lib = get_lib()
+
+    class _MV(ctypes.Structure):
+        _fields_ = [("row", ctypes.c_int16), ("col", ctypes.c_int16)]
+
+    n = len(pts)
+    p1 = np.array([v for p in pts for v in p], np.int32)
+    p2 = np.array([v for p in pts_inref for v in p], np.int32)
+    m = _MV(row=int(mv[0]), col=int(mv[1]))
+    fn = lib.svt_aom_select_samples
+    fn.argtypes = [ctypes.POINTER(_MV), _I32P, _I32P, ctypes.c_int32,
+                   ctypes.c_int32]
+    fn.restype = ctypes.c_int32
+    ret = fn(ctypes.byref(m), p1, p2, n, bsize_idx)
+    return ([(int(p1[2 * i]), int(p1[2 * i + 1])) for i in range(ret)],
+            [(int(p2[2 * i]), int(p2[2 * i + 1])) for i in range(ret)])

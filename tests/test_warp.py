@@ -79,3 +79,56 @@ def test_project_mv_translation_rounding():
     assert r % 2 == 0 and c % 2 == 0
     r, c = warp.project_mv(m, 1, 0, 0, 16, 16, False, True)
     assert r % 8 == 0 and c % 8 == 0
+
+
+# block size enum indices for the oracle (codec constants ordering)
+from svt_av1_psyex_tpu.codec.constants import BLOCK_H, BLOCK_W  # noqa: E402
+
+
+def _rand_samples(rng, n, mv, spread=60):
+    pts, ptsr = [], []
+    for _ in range(n):
+        x = int(rng.integers(-256, 512))
+        y = int(rng.integers(-256, 512))
+        pts.append((x, y))
+        ptsr.append((x + mv[1] + int(rng.integers(-spread, spread)),
+                     y + mv[0] + int(rng.integers(-spread, spread))))
+    return pts, ptsr
+
+
+def test_select_samples_matches_reference():
+    rng = np.random.default_rng(17)
+    for bsize in (9, 12, 3, 15):   # 32x32, 64x64, 16x16, 64x32-ish
+        bw, bh = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+        for _ in range(100):
+            n = int(rng.integers(1, 9))
+            mv = (int(rng.integers(-128, 128)), int(rng.integers(-128, 128)))
+            pts, ptsr = _rand_samples(rng, n, mv, spread=100)
+            ref = oracle.select_samples(mv, pts, ptsr, bsize)
+            got = warp.select_samples(mv, pts, ptsr, bw, bh)
+            assert got == ref, (bsize, mv, pts, ptsr)
+
+
+def test_find_projection_matches_reference():
+    rng = np.random.default_rng(23)
+    n_ok = 0
+    for bsize in (9, 12, 3):
+        bw, bh = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+        for _ in range(150):
+            n = int(rng.integers(1, 9))
+            mv = (int(rng.integers(-64, 64)) * 2,
+                  int(rng.integers(-64, 64)) * 2)
+            mi_row = int(rng.integers(0, 40))
+            mi_col = int(rng.integers(0, 40))
+            pts, ptsr = _rand_samples(rng, n, mv, spread=40)
+            ok_r, mat_r, *shear_r = oracle.find_projection(
+                pts, ptsr, bsize, mv, mi_row, mi_col)
+            got = warp.find_projection(pts, ptsr, bw, bh, mv, mi_row, mi_col)
+            if not ok_r:
+                assert got is None, (pts, ptsr, mv)
+            else:
+                assert got is not None, (pts, ptsr, mv)
+                assert got[0] == mat_r, (got[0], mat_r)
+                assert got[1] == tuple(shear_r)
+                n_ok += 1
+    assert n_ok > 100
