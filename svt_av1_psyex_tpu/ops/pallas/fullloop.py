@@ -39,7 +39,10 @@ def _tb(n: int) -> int:
     made blk=8 frames 840 steps = 24 ms of pure step latency. Scale the
     tile so VMEM holds ~2-4 MB of residuals per step: n=8 frames drop to
     ~27 steps."""
-    return {4: 8192, 8: 4096, 16: 1024, 32: 256}.get(n, 256)
+    # v5e scoped VMEM is 16MB and vmap (the per-frame batch in
+    # intra_analysis_batch) roughly doubles the stack footprint: keep a
+    # tile's buffers (x, coeffs, inv, outs ~ 4 x TB*n^2*4B) under ~4MB
+    return {4: 2048, 8: 1024, 16: 512, 32: 128}.get(n, 128)
 
 # rate-proxy constants — must match device/intra.py
 RATE_NZ = 1229
