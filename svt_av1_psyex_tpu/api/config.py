@@ -17,7 +17,7 @@ from dataclasses import dataclass, field, fields
 # Fields accepted (API parity) but not yet consumed by the pipeline.
 # Shrinks as consumers land; SvtAv1Encoder.init warns when a user sets one.
 _PENDING_FIELDS = frozenset({
-    "sframe_dist", "sframe_mode", "use_qp_file",
+    "sframe_dist", "sframe_mode",
     "recode_loop", "vbr_bias_pct", "vbr_min_section_pct",
     "vbr_max_section_pct",
     "hbd_mds", "complex_hvs",
@@ -27,7 +27,10 @@ _PENDING_FIELDS = frozenset({
     "screen_content_mode",
     "film_grain_denoise_apply",
     "superres_mode", "resize_mode", "enable_dg", "startup_mg_size",
-    "tile_rows",
+    "tile_rows", "mbr_over_shoot_pct", "gop_constraint_rc",
+    "buf_initial_sz", "buf_optimal_sz", "buf_sz",
+    "lambda_scale_factors", "forced_max_frame_width",
+    "forced_max_frame_height",
 })
 
 
@@ -73,6 +76,29 @@ class EncoderConfig:
     enable_adaptive_quantization: int = 2  # 0 off, 1 segmentation AQ, 2 delta-q (variance boost)
     pass_: int = 0  # 0 single, 1 stats-out, 2 stats-in (codec/firstpass.py)
     rc_stats_buffer: bytes = b""  # pass-1 stats for pass 2
+    mbr_over_shoot_pct: int = 50  # [pending]
+    gop_constraint_rc: bool = False  # [pending]
+    buf_initial_sz: int = 6000  # [pending decoder model]
+    buf_optimal_sz: int = 5000  # [pending]
+    buf_sz: int = 6000  # [pending]
+    startup_qp_offset: int = 0  # extra q for the first mini-GOP
+    # fixed per-layer qindex offsets (rc_process.c use_fixed_qindex_offsets):
+    # replaces the hierarchical q ladder when enabled; arrays indexed by
+    # temporal layer (missing tail entries repeat the last value)
+    use_fixed_qindex_offsets: int = 0
+    qindex_offsets: tuple = ()
+    key_frame_qindex_offset: int = 0
+    chroma_qindex_offsets: tuple = ()
+    key_frame_chroma_qindex_offset: int = 0
+    # direct quantizer deltas (frame-header delta_q_* fields)
+    luma_y_dc_qindex_offset: int = 0
+    chroma_u_dc_qindex_offset: int = 0
+    chroma_u_ac_qindex_offset: int = 0
+    chroma_v_dc_qindex_offset: int = 0
+    chroma_v_ac_qindex_offset: int = 0
+    lambda_scale_factors: tuple = ()  # [pending]
+    forced_max_frame_width: int = 0  # [pending]
+    forced_max_frame_height: int = 0  # [pending]
 
     # ---- quality/psy (fork additions) ----
     enable_variance_boost: bool = True
@@ -181,6 +207,11 @@ class EncoderConfig:
             errs.append(f"qp {self.qp} out of [0, 63]")
         if self.crf is not None and not (0 <= self.crf <= 70):
             errs.append(f"crf {self.crf} out of [0, 70]")
+        if (self.chroma_v_dc_qindex_offset != self.chroma_u_dc_qindex_offset
+                or self.chroma_v_ac_qindex_offset
+                != self.chroma_u_ac_qindex_offset):
+            errs.append("v qindex offsets must equal u offsets "
+                        "(separate_uv_delta_q signaling not supported)")
         if self.rate_control_mode not in (0, 1, 2):
             errs.append(f"rate_control_mode {self.rate_control_mode} invalid")
         if self.rate_control_mode != 0 and self.target_bit_rate <= 0:

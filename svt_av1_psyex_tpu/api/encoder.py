@@ -188,6 +188,9 @@ class SvtAv1Encoder:
             and cfg.rate_control_mode == 0,
             adaptive_film_grain=bool(cfg.adaptive_film_grain),
             sharpness=cfg.sharpness, sharp_tx=bool(cfg.sharp_tx),
+            delta_q_offsets=(cfg.luma_y_dc_qindex_offset,
+                             cfg.chroma_u_dc_qindex_offset,
+                             cfg.chroma_u_ac_qindex_offset),
             spy_rd=cfg.spy_rd)
         # pre-dispatch the encode's device programs so the tunnelled
         # TPU's server-side compiles overlap each other and the host's
@@ -211,10 +214,17 @@ class SvtAv1Encoder:
 
     # ---- frame push/pull -----------------------------------------------------------
     def send_picture(self, planes: list | None, pts: int | None = None,
-                     force_key: bool = False) -> None:
-        """planes=None signals EOS (like a NULL/EOS buffer header)."""
+                     force_key: bool = False, qp: int | None = None) -> None:
+        """planes=None signals EOS (like a NULL/EOS buffer header).
+        qp: per-picture QP honored when config.use_qp_file (the
+        EbBufferHeaderType qp field / --qp-file app flow)."""
         if not self._initialized:
             raise SvtAv1Error("not initialized")
+        if qp is not None and planes is not None and self.config.use_qp_file:
+            p0 = self._pts if pts is None else pts
+            if not hasattr(self, "_qp_map"):
+                self._qp_map = {}
+            self._qp_map[p0] = int(qp)
         if planes is None:
             self._eos_sent = True
         else:
@@ -263,6 +273,34 @@ class SvtAv1Encoder:
         self._rc.update(len(tu) * 8)
         return tu
 
+    def _q_override(self, disp_idx: int, q: int, layer: int = 0,
+                    is_key: bool = False) -> int:
+        """Per-frame q overrides, applied after RC/TPL: qp-file value
+        (use-q-file), fixed per-layer qindex offsets
+        (use-fixed-qindex-offsets), startup mini-GOP offset."""
+        cfg = self.config
+        if cfg.use_qp_file and getattr(self, "_qp_map", {}).get(disp_idx) \
+                is not None:
+            return int(np.clip(self._qp_map[disp_idx] * 4, 1, 255))
+        if cfg.use_fixed_qindex_offsets:
+            offs = cfg.qindex_offsets or (0,)
+            off = (cfg.key_frame_qindex_offset if is_key
+                   else offs[min(layer, len(offs) - 1)])
+            q = int(np.clip(cfg.qindex + off, 1, 255))
+        if cfg.startup_qp_offset and not is_key and disp_idx < 16:
+            q = int(np.clip(q + cfg.startup_qp_offset * 4, 1, 255))
+        return q
+
+    def _chroma_layer_offset(self, layer: int, is_key: bool) -> int:
+        cfg = self.config
+        if is_key:
+            return cfg.key_frame_chroma_qindex_offset \
+                if cfg.use_fixed_qindex_offsets else 0
+        offs = cfg.chroma_qindex_offsets
+        if not cfg.use_fixed_qindex_offsets or not offs:
+            return 0
+        return offs[min(layer, len(offs) - 1)]
+
     def _fp_w(self, poc: int) -> float:
         w = self._fp_weights
         if w is None or poc >= len(w):
@@ -294,6 +332,7 @@ class SvtAv1Encoder:
                 q = (self._rc.pick_qindex(key, 0,
                                            complexity=self._fp_w(pts))
                      if self._rc else self.config.qindex)
+                q = self._q_override(pts, q, 0, key)
                 tu = self._encode_rc(planes, q, force_key=key)
                 if key:
                     tu = self._with_metadata(tu)
@@ -352,11 +391,13 @@ class SvtAv1Encoder:
                             self.config.encoder_bit_depth,
                             self.config.qp_scale_compress_strength)
                         self._kf_q = q
+                q = self._q_override(pts, q, 0, True)
+                kplan = plan_key(pts)
+                kplan.chroma_q_offset = self._chroma_layer_offset(0, True)
                 if self._rc:
-                    tu = self._encode_rc(planes, q, plan=plan_key(pts))
+                    tu = self._encode_rc(planes, q, plan=kplan)
                 else:
-                    tu = self._enc.encode_frame(planes, q,
-                                                plan=plan_key(pts))
+                    tu = self._enc.encode_frame(planes, q, plan=kplan)
                 self._emit(tu, pts, 0, shown=True)
                 self._anchor_slot = 0
                 continue
@@ -454,6 +495,13 @@ class SvtAv1Encoder:
                     pl.q_offset = 0  # TPL owns the per-layer ladder
                 else:
                     q = self.config.qindex
+                if not is_se:
+                    q = self._q_override(pl.disp_idx, q, pl.layer, False)
+                    if (self.config.use_qp_file
+                            or self.config.use_fixed_qindex_offsets):
+                        pl.q_offset = 0
+                    pl.chroma_q_offset = self._chroma_layer_offset(
+                        pl.layer, False)
                 if (self.config.luminance_qp_bias and not is_se
                         and src is not None):
                     from ..codec.rc import luminance_qp_bias_offset

@@ -121,7 +121,40 @@ PARAM_MAP: dict[str, tuple[str, type | object]] = {
     "ss": ("target_socket", int),
     "asm": ("use_cpu_flags", int),
     "enable-stat-report": ("stat_report", int),
+    # aliases + remaining dictionary names (enc_settings.c:2087-2300)
+    "intra-period": ("intra_period_length", int),
+    "film-grain": ("film_grain_denoise_strength", int),
+    "tier": ("tier", int),
+    "enable-force-key-frames": ("force_key_frames", _to_bool),
+    "chroma-qm-min": ("min_chroma_qm_level", int),
+    "chroma-qm-max": ("max_chroma_qm_level", int),
+    "startup-qp-offset": ("startup_qp_offset", int),
+    "use-fixed-qindex-offsets": ("use_fixed_qindex_offsets", int),
+    "qindex-offsets": ("qindex_offsets", None),       # [o0,o1,...]
+    "chroma-qindex-offsets": ("chroma_qindex_offsets", None),
+    "key-frame-qindex-offset": ("key_frame_qindex_offset", int),
+    "key-frame-chroma-qindex-offset": ("key_frame_chroma_qindex_offset", int),
+    "luma-y-dc-qindex-offset": ("luma_y_dc_qindex_offset", int),
+    "chroma-u-dc-qindex-offset": ("chroma_u_dc_qindex_offset", int),
+    "chroma-u-ac-qindex-offset": ("chroma_u_ac_qindex_offset", int),
+    "chroma-v-dc-qindex-offset": ("chroma_v_dc_qindex_offset", int),
+    "chroma-v-ac-qindex-offset": ("chroma_v_ac_qindex_offset", int),
+    "use-q-file": ("use_qp_file", _to_bool),
+    "mbr-overshoot-pct": ("mbr_over_shoot_pct", int),
+    "gop-constraint-rc": ("gop_constraint_rc", _to_bool),
+    "buf-initial-sz": ("buf_initial_sz", int),
+    "buf-optimal-sz": ("buf_optimal_sz", int),
+    "buf-sz": ("buf_sz", int),
+    "lambda-scale-factors": ("lambda_scale_factors", None),
+    "forced-max-frame-width": ("forced_max_frame_width", int),
+    "forced-max-frame-height": ("forced_max_frame_height", int),
 }
+
+
+def _parse_int_list(v: str) -> tuple:
+    """[a,b,c] / a,b,c list syntax (reference qindex-offsets parser,
+    enc_settings.c:2087)."""
+    return tuple(int(t) for t in v.strip("[]").split(",") if t.strip())
 
 
 def parse_parameter(cfg: EncoderConfig, name: str, value: str) -> None:
@@ -130,7 +163,10 @@ def parse_parameter(cfg: EncoderConfig, name: str, value: str) -> None:
     if key not in PARAM_MAP:
         raise KeyError(f"unknown parameter {name!r}")
     attr, parser = PARAM_MAP[key]
-    setattr(cfg, attr, parser(value))
+    if parser is None:
+        setattr(cfg, attr, _parse_int_list(value))
+    else:
+        setattr(cfg, attr, parser(value))
 
 
 def parse_svtav1_params(cfg: EncoderConfig, params: str) -> None:

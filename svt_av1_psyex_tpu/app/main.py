@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tbr", type=int, default=2000000, help="target bitrate (bps)")
     p.add_argument("--pred-struct", type=int, default=2, dest="pred_struct",
                    help="1 low delay, 2 random access")
+    p.add_argument("--qp-file", default=None, dest="qp_file",
+                   help="per-frame QP file (one QP per line; use-q-file)")
+    p.add_argument("--skip", type=int, default=0,
+                   help="skip first N input frames")
+    p.add_argument("--nch", type=int, default=1,
+                   help="independent encode channels (app_main.c:169); "
+                        "inputs/outputs take comma-separated lists")
     p.add_argument("--svtav1-params", default="")
     p.add_argument("--version", action="version", version=svt_av1_get_version())
     p.add_argument("--progress", type=int, default=1)
@@ -77,8 +84,38 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.nch > 1:
+        return _run_channels(args)
+    return _run_channel(args, args.input, args.output)
 
-    fh = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+
+def _run_channels(args) -> int:
+    """Channel parallelism (app_main.c:169-260): N independent encoder
+    instances over comma-separated input/output lists, each on its own
+    host thread (the encodes share the device serially; host stages
+    overlap)."""
+    import threading
+
+    ins = args.input.split(",")
+    outs = args.output.split(",")
+    if len(ins) != args.nch or len(outs) != args.nch:
+        print("--nch requires matching comma-separated -i/-b lists",
+              file=sys.stderr)
+        return 1
+    rcs = [1] * args.nch
+    def run(k):
+        rcs[k] = _run_channel(args, ins[k], outs[k])
+    threads = [threading.Thread(target=run, args=(k,))
+               for k in range(args.nch)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return max(rcs)
+
+
+def _run_channel(args, input_path: str, output_path: str) -> int:
+    fh = sys.stdin.buffer if input_path == "-" else open(input_path, "rb")
     reader = Y4MReader(fh)
     fmt = reader.fmt
 
@@ -114,13 +151,18 @@ def main(argv: list[str] | None = None) -> int:
     cfg.variance_octile = args.variance_octile
     cfg.stat_report = args.enable_stat_report
     cfg.recon_enabled = bool(args.enable_stat_report)
+    qp_list = None
+    if args.qp_file:
+        cfg.use_qp_file = True
+        with open(args.qp_file) as qf:
+            qp_list = [int(t) for t in qf.read().split() if t.strip()]
     if args.svtav1_params:
         parse_svtav1_params(cfg, args.svtav1_params)
 
     handle.set_parameter(cfg)
     handle.init()
 
-    out = open(args.output, "wb")
+    out = open(output_path, "wb")
     ivf = IvfWriter(out, fmt.width, fmt.height,
                     fmt.fps.denominator, fmt.fps.numerator)
     n = 0
@@ -147,8 +189,14 @@ def main(argv: list[str] | None = None) -> int:
                              fmt.bit_depth)
             n_psnr += 1
 
+    skipped = 0
     for planes in reader.frames():
-        handle.send_picture(planes, n)
+        if skipped < args.skip:
+            skipped += 1
+            continue
+        handle.send_picture(planes, n,
+                            qp=(qp_list[n % len(qp_list)]
+                                if qp_list else None))
         if cfg.stat_report:
             srcs[n] = planes
             drain_recons()

@@ -103,7 +103,8 @@ class Av1Encoder:
                  low_q_taper: bool = False, adaptive_film_grain: bool = True,
                  rdoq: int | None = None, sharpness: int = 0,
                  sharp_tx: bool = True, spy_rd: int = 0,
-                 enable_global_motion: bool = True):
+                 enable_global_motion: bool = True,
+                 delta_q_offsets: tuple = (0, 0, 0)):
         self.seq = seq
         self.preset = preset
         # 4:4:4 (profile 1): the CDEF search/filter backends are still
@@ -148,6 +149,9 @@ class Av1Encoder:
         # global motion (EbSvtAv1Enc.h enable_global_motion; reference
         # default 1): estimated on host-MD inter frames (codec/gm.py)
         self.enable_global_motion = bool(enable_global_motion)
+        # direct quantizer deltas (luma-y-dc / chroma-u-dc / chroma-u-ac
+        # qindex offsets -> frame header delta_q_* fields)
+        self.delta_q_offsets = tuple(delta_q_offsets)
         # RDOQ trellis: reference rdoq_level = 1 at every non-rtc preset
         # (enc_mode_config.c:7481); SVT_TPU_NO_RDOQ=1 or rdoq=0 disables
         self.rdoq_level = (1 if rdoq is None else int(rdoq))
@@ -392,6 +396,13 @@ class Av1Encoder:
                          show_frame=plan.show_frame,
                          base_q_idx=base_q_idx,
                          order_hint=plan.disp_idx & ((1 << seq.order_hint_bits) - 1))
+        dq_y, dq_udc, dq_uac = self.delta_q_offsets
+        coff = getattr(plan, "chroma_q_offset", 0)
+        if dq_y or dq_udc or dq_uac or coff:
+            clip63 = lambda v: int(np.clip(v, -63, 63))  # noqa: E731
+            fr.delta_q_y_dc = clip63(dq_y)
+            fr.delta_q_u_dc = clip63(dq_udc + coff)
+            fr.delta_q_u_ac = clip63(dq_uac + coff)
         fr.refresh_frame_flags = plan.refresh_flags
         # TX_MODE_SELECT at the slower presets (the reference's tx-depth
         # search levels, product_coding_loop.c tx_size search); faster

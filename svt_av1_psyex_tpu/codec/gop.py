@@ -35,6 +35,7 @@ class FramePlan:
     primary_ref_name: int | None = None  # named ref carrying the CDFs
     layer: int = 0
     q_offset: int = 0
+    chroma_q_offset: int = 0  # per-layer chroma qindex offset (config)
 
 
 # per-layer qindex offsets (hierarchical ladder shape; anchors lowest).
