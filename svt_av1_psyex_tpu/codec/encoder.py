@@ -842,9 +842,22 @@ class Av1Encoder:
             bsize_g, skip_inter_g, skip_g, txd_g = collect_lf_grids(
                 sb_plans, self.mi_rows, self.mi_cols, sb_mi)
             if self.enable_dlf:
-                levels = pick_filter_level_by_q(fr.base_q_idx, is_key,
-                                                seq.bit_depth,
-                                                seq.width * seq.height)
+                if self.preset <= 6 and os.environ.get(
+                        "SVT_TPU_NO_DLF_SEARCH") != "1":
+                    # frame-level level search (enable_dlf_flag=2 quality
+                    # mode): SSE-scored halving descent (ops/dlf.py)
+                    from ..ops.dlf import search_filter_level
+
+                    levels = search_filter_level(
+                        pctx[0].src, [p.recon for p in pctx], seq.width,
+                        seq.height, fr.base_q_idx, is_key,
+                        fr.lf_sharpness, bsize_g, skip_inter_g,
+                        seq.subsampling_x, seq.subsampling_y,
+                        seq.bit_depth, txd_g=txd_g)
+                else:
+                    levels = pick_filter_level_by_q(fr.base_q_idx, is_key,
+                                                    seq.bit_depth,
+                                                    seq.width * seq.height)
                 if any(levels):
                     fr.lf_level = tuple(levels)
                     loop_filter_frame([p.recon for p in pctx], seq.width,

@@ -408,3 +408,48 @@ def collect_lf_grids(sb_plans, mi_rows: int, mi_cols: int, sb_mi: int):
     for node, r, c in sb_plans:
         walk(node, r, c, 12)  # B64X64 superblocks
     return bsize_g, skip_inter_g, skip_g, txd_g
+
+
+def search_filter_level(src_luma: np.ndarray, recon_planes, disp_w: int,
+                        disp_h: int, qindex: int, is_key: bool,
+                        sharpness: int, bsize_g, skip_inter_g, ss_x: int,
+                        ss_y: int, bit_depth: int,
+                        txd_g=None) -> list[int]:
+    """Frame-level luma filter-level search (the reference's
+    enable_dlf_flag=2 quality mode, deblocking_filter.c search /
+    libaom search_filter_level): halving-step descent around the
+    q-derived level, scored by luma SSE vs the source on a filtered
+    copy. Chroma levels stay q-derived. Returns [y_v, y_h, u, v]."""
+    base = pick_filter_level_by_q(qindex, is_key, bit_depth,
+                                  disp_w * disp_h)
+    max_level = 63
+
+    src = src_luma[:disp_h, :disp_w].astype(np.int64)
+
+    def sse_at(level: int) -> float:
+        if level == 0:
+            rec = recon_planes[0]
+            return float(((src - rec[:disp_h, :disp_w]) ** 2).sum())
+        cp = [recon_planes[0].copy()]
+        loop_filter_frame(cp, disp_w, disp_h, [level, level, 0, 0],
+                          sharpness, bsize_g, skip_inter_g, ss_x, ss_y,
+                          bit_depth, txd_g=txd_g)
+        return float(((src - cp[0][:disp_h, :disp_w]) ** 2).sum())
+
+    cur = int(np.clip(base[0], 0, max_level))
+    best_sse = sse_at(cur)
+    # bias toward the q-derived level (libaom's bias_to_filt_lvl role):
+    # a candidate must beat it meaningfully to move
+    step = max(cur >> 1, 2)
+    cache = {cur: best_sse}
+    while step >= 1:
+        for cand in (cur - step, cur + step):
+            if not (0 <= cand <= max_level) or cand in cache:
+                continue
+            s = sse_at(cand)
+            cache[cand] = s
+            if s < best_sse:
+                best_sse = s
+                cur = cand
+        step >>= 1
+    return [cur, cur, base[2], base[3]]

