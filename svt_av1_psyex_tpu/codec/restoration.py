@@ -371,9 +371,11 @@ def _cand_device(src, cdef, deblock, plane_w, plane_h, ss_y, unit_size,
     from ..ops.restoration import filter_unit_into, wiener_kernel7
 
     n_ru = len(rows) * len(cols)
-    # static worst extent: < 1.5*unit, plus the 8-px stripe offset the
-    # first/last rows can absorb (unit_rows_cols voff handling)
-    rh_max = unit_size + unit_size // 2 + 8
+    # actual worst extent of THIS frame's RU grid (last row/col RUs can
+    # stretch to 1.5*unit; everything else is unit(+stripe offset)) —
+    # padding to the theoretical max wasted ~2x device work at 1080p
+    rh_max = max(max(v1 - v0 for v0, v1 in rows),
+                 max(h1 - h0 for h0, h1 in cols))
     pads = np.zeros((n_ru, rh_max + 6, rh_max + 6), np.int32)
     srcs = np.zeros((n_ru, rh_max, rh_max), np.int32)
     masks = np.zeros((n_ru, rh_max, rh_max), np.int32)
@@ -418,9 +420,14 @@ def _cand_device(src, cdef, deblock, plane_w, plane_h, ss_y, unit_size,
     hk, vk = kern_stack(init_padded)
     import jax.numpy as jnp
 
-    sse0 = np.asarray(wiener_sse(jnp.asarray(pads), jnp.asarray(srcs),
-                                 jnp.asarray(masks), jnp.asarray(hk),
-                                 jnp.asarray(vk), bit_depth))
+    # device-put the RU stacks ONCE: every descent round + the SGR pass
+    # reuse them (re-converting per call re-uploaded ~45MB each time)
+    pads_d = jnp.asarray(pads)
+    srcs_d = jnp.asarray(srcs)
+    masks_d = jnp.asarray(masks)
+    sse0 = np.asarray(wiener_sse(pads_d, srcs_d, masks_d,
+                                 jnp.asarray(hk), jnp.asarray(vk),
+                                 bit_depth))
     state = [init_padded[r][int(np.argmin(sse0[r]))] for r in range(n_ru)]
     best_plain = sse0.min(axis=1)
 
@@ -444,9 +451,9 @@ def _cand_device(src, cdef, deblock, plane_w, plane_h, ss_y, unit_size,
                         vs.append((tuple(t[0]), tuple(t[1])))
             variants.append(vs)
         hk, vk = kern_stack(variants)
-        sse_r = np.asarray(wiener_sse(jnp.asarray(pads), jnp.asarray(srcs),
-                                      jnp.asarray(masks), jnp.asarray(hk),
-                                      jnp.asarray(vk), bit_depth))
+        sse_r = np.asarray(wiener_sse(pads_d, srcs_d, masks_d,
+                                      jnp.asarray(hk), jnp.asarray(vk),
+                                      bit_depth))
         arg = sse_r.argmin(axis=1)
         improved = False
         for r_i in range(n_ru):
@@ -459,8 +466,7 @@ def _cand_device(src, cdef, deblock, plane_w, plane_h, ss_y, unit_size,
 
     # --- sgr: correlations for every ep, one device call ---------------
     eps = tuple(_sgr_ep_list(preset))
-    corr = np.asarray(sgr_corr(jnp.asarray(pads), jnp.asarray(srcs),
-                               jnp.asarray(masks), eps,
+    corr = np.asarray(sgr_corr(pads_d, srcs_d, masks_d, eps,
                                bit_depth)).astype(np.float64)
 
     # --- exact striped eval of the winners only -------------------------
