@@ -61,7 +61,7 @@ class EncoderConfig:
     rate_control_mode: int = 0  # 0 CRF/CQP, 1 VBR, 2 CBR
     qp: int = 35
     crf: int | None = None
-    use_qp_file: bool = False  # [pending]
+    use_qp_file: bool = False
     target_bit_rate: int = 2000000
     max_bit_rate: int = 0  # [pending capped CRF]
     min_qp_allowed: int = 1  # enforced by RateControl (VBR/CBR)

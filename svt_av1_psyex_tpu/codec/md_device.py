@@ -153,9 +153,18 @@ class DeviceIntraMD:
         from ..device.intra import unpack_rd_analysis
 
         if packed_row is None:
-            if getattr(self, "_pending", None) is None:
-                self.analyze_dispatch()
-            packed_row = np.asarray(self._pending)[0]
+            from ..utils.tunnel import retry_device
+
+            def fetch():
+                if getattr(self, "_pending", None) is None:
+                    self.analyze_dispatch()
+                try:
+                    return np.asarray(self._pending)[0]
+                except Exception:
+                    self._pending = None  # force re-dispatch on retry
+                    raise
+
+            packed_row = retry_device(fetch)
             self._pending = None
             hp, wp = self._hp, self._wp
         else:
@@ -465,9 +474,18 @@ class DeviceInterMD(DeviceIntraMD):
         from ..device.inter import unpack_inter_analysis
 
         if packed_row is None:
-            if getattr(self, "_pending", None) is None:
-                self.analyze_dispatch()
-            packed_row = np.asarray(self._pending)
+            from ..utils.tunnel import retry_device
+
+            def fetch():
+                if getattr(self, "_pending", None) is None:
+                    self.analyze_dispatch()
+                try:
+                    return np.asarray(self._pending)
+                except Exception:
+                    self._pending = None  # force re-dispatch on retry
+                    raise
+
+            packed_row = retry_device(fetch)
             self._pending = None
         self.stats = unpack_inter_analysis(packed_row, self._hp, self._wp,
                                            self.DEPTHS)

@@ -281,7 +281,9 @@ def run_tpl(group_lumas: list, base_qindex: int,
             [srcs, np.repeat(srcs[-1:], pad_to - n_real, axis=0)])
     qp = qp_row_for(int(np.clip(base_qindex, 1, 255)), 0, 0, bit_depth)
     lum_dt = np.uint8 if bit_depth == 8 else np.uint16
-    stats = np.asarray(tpl_group_stats(
+    from ..utils.tunnel import retry_device
+
+    stats = retry_device(lambda: np.asarray(tpl_group_stats(
         jax.device_put(srcs.astype(lum_dt)), jax.device_put(qp),
-        bit_depth=bit_depth))[:n_real]
+        bit_depth=bit_depth)))[:n_real]
     return TplModel(stats, base_qindex, bit_depth)

@@ -318,9 +318,12 @@ def run_device_me(src: np.ndarray, ref_planes: dict,
     names = sorted(ref_planes)
     refs = np.stack([pad64(np.ascontiguousarray(ref_planes[n]))
                      for n in names])
-    rows = np.asarray(me_fullpel(jax.device_put(srcp.astype(np.int32)),
-                                 jax.device_put(refs.astype(np.int32)),
-                                 bit_depth=bit_depth))
+    from ..utils.tunnel import retry_device
+
+    rows = retry_device(lambda: np.asarray(
+        me_fullpel(jax.device_put(srcp.astype(np.int32)),
+                   jax.device_put(refs.astype(np.int32)),
+                   bit_depth=bit_depth)))
     hp, wp = srcp.shape
     maps = {n: unpack_me(rows[i], hp, wp) for i, n in enumerate(names)}
     return FrameMotionField(maps, hp, wp)

@@ -33,6 +33,8 @@ import numpy as np
 from ..ops.restoration import (
     SGR_PARAMS,
     SGRPROJ_RST_BITS,
+    WIENER_TAPS_MAX,
+    WIENER_TAPS_MIN,
     wiener_kernel7,
 )
 
@@ -174,6 +176,104 @@ def _sgr_flt_j(pad, ep: int, bit_depth: int):
         flt1 = jnp.floor((cross(A) * dgd + cross(B) + (1 << (sh - 1)))
                          / (1 << sh))
     return flt0, flt1
+
+
+def _kern7_j(taps):
+    """jnp wiener_kernel7: (..., 3) taps -> (..., 7) differential kernel."""
+    t0 = taps[..., 0]
+    t1 = taps[..., 1]
+    t2 = taps[..., 2]
+    return jnp.stack([t0, t1, t2, -2 * (t0 + t1 + t2), t2, t1, t0],
+                     axis=-1)
+
+
+def _descent_offsets(chroma: bool) -> np.ndarray:
+    """Static (V, 2, 3) +-1 step table: variant 0 = keep, then one step
+    per (direction, tap, sign) in the host descent's exact order."""
+    first = 1 if chroma else 0
+    offs = [np.zeros((2, 3), np.int32)]
+    for d in range(2):
+        for j in range(first, 3):
+            for step in (1, -1):
+                o = np.zeros((2, 3), np.int32)
+                o[d, j] = step
+                offs.append(o)
+    return np.stack(offs)
+
+
+@partial(jax.jit, static_argnames=("bit_depth", "n_rounds", "chroma"))
+def wiener_descent(pads: jnp.ndarray, srcs: jnp.ndarray, masks: jnp.ndarray,
+                   init_taps: jnp.ndarray, bit_depth: int, n_rounds: int,
+                   chroma: bool):
+    """Fused Wiener search: score the T0 initial damped-LS candidates,
+    then run `n_rounds` of 13-variant +-1 steepest descent entirely on
+    device (VERDICT r3 #1a: one device call instead of one per round).
+
+    pads (N, H+6, W+6) / srcs, masks (N, H, W) — any int dtype (cast
+    here; callers upload uint16/uint8 to halve tunnel bytes).
+    init_taps (N, T0, 2, 3) int32 (h, v) tap triples.
+    Returns (taps (N, 2, 3) i32, best_sse (N,) f32)."""
+    bd = bit_depth
+    round0 = 3 + (2 if bd == 12 else 0)
+    round1 = 11 - (2 if bd == 12 else 0)
+    clamp_lim = 1 << (bd + 1 + 7 - round0)
+    n, hp6, wp6 = pads.shape
+    h, w = hp6 - 6, wp6 - 6
+    x = pads.astype(jnp.int32)
+    xs = jnp.stack([x[:, :, k:k + w] for k in range(7)], axis=1)
+    ctr_h = (x[:, :, 3:3 + w] << 7) + (1 << (bd + 7 - 1))
+    src_f = srcs.astype(jnp.float32)
+    msk = masks.astype(jnp.float32)
+
+    def score(hk, vk):
+        """(N, 7) int32 h/v kernels -> (N,) masked SSE."""
+        acc = jnp.einsum("nk,nkrw->nrw", hk, xs,
+                         preferred_element_type=jnp.int32) + ctr_h
+        mid = jnp.clip(_round2_j(acc, round0), 0, clamp_lim - 1)
+        ms = jnp.stack([mid[:, k:k + h] for k in range(7)], axis=1)
+        acc = jnp.einsum("nk,nkrw->nrw", vk, ms,
+                         preferred_element_type=jnp.int32)
+        acc = acc + (mid[:, 3:3 + h] << 7) - (1 << (bd + round1 - 1))
+        out = jnp.clip(_round2_j(acc, round1), 0, (1 << bd) - 1)
+        err = (src_f - out.astype(jnp.float32)) * msk
+        return (err * err).sum(axis=(1, 2))
+
+    def score_set(cands):
+        """(N, T, 2, 3) -> (N, T) SSE via scan over variants."""
+        hk = _kern7_j(cands[:, :, 0])
+        vk = _kern7_j(cands[:, :, 1])
+        _, sse = jax.lax.scan(
+            lambda c, kt: (c, score(kt[0], kt[1])), None,
+            (hk.transpose(1, 0, 2), vk.transpose(1, 0, 2)))
+        return sse.T
+
+    sse0 = score_set(init_taps)
+    arg0 = sse0.argmin(axis=1)
+    taps = jnp.take_along_axis(init_taps, arg0[:, None, None, None],
+                               axis=1)[:, 0]
+    best = sse0.min(axis=1)
+
+    offs = jnp.asarray(_descent_offsets(chroma))           # (V, 2, 3)
+    tmin = jnp.asarray(np.array(WIENER_TAPS_MIN, np.int32))
+    tmax = jnp.asarray(np.array(WIENER_TAPS_MAX, np.int32))
+
+    def round_body(_, carry):
+        taps, best = carry
+        cands = jnp.clip(taps[:, None] + offs[None], tmin, tmax)
+        sse = score_set(cands)                              # (N, V)
+        arg = sse.argmin(axis=1)
+        sse_min = jnp.take_along_axis(sse, arg[:, None], axis=1)[:, 0]
+        picked = jnp.take_along_axis(cands, arg[:, None, None, None],
+                                     axis=1)[:, 0]
+        impr = sse_min < best - 0.5
+        taps = jnp.where(impr[:, None, None], picked, taps)
+        best = jnp.where(impr, sse_min, best)
+        return taps, best
+
+    if n_rounds:
+        taps, best = jax.lax.fori_loop(0, n_rounds, round_body,
+                                       (taps, best))
+    return taps, best
 
 
 @partial(jax.jit, static_argnames=("eps", "bit_depth"))

@@ -56,6 +56,7 @@ def test_candidate_sets():
         assert 0 in c and all(0 <= gi < 64 for gi in c)
 
 
+@pytest.mark.slow
 def test_cdef_e2e_bits_nonzero(tmp_path):
     """Mixed content drives nb_strengths > 1: per-fb literal syntax +
     nonzero filtering, verified bit-exact against dav1d."""

@@ -39,6 +39,7 @@ def test_symbol_stream_equality():
     assert pe.done() == ne.done()
 
 
+@pytest.mark.slow
 def test_frame_stream_equality(monkeypatch, tmp_path):
     """Same frame encoded with both backends produces identical bytes."""
     import os

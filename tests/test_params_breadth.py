@@ -17,7 +17,7 @@ from svt_av1_psyex_tpu.conformance.dav1d import decode_ivf  # noqa: E402
 from svt_av1_psyex_tpu.utils.ivf import IvfWriter  # noqa: E402
 from svt_av1_psyex_tpu.utils.y4m import VideoFormat  # noqa: E402
 
-pytestmark = pytest.mark.quick
+
 
 W, H = 128, 96
 

@@ -1,6 +1,7 @@
 """Variance boost + per-SB delta q: unit behavior + e2e conformance."""
 
 import numpy as np
+import pytest
 
 from svt_av1_psyex_tpu.bitstream.headers import SequenceConfig
 from svt_av1_psyex_tpu.codec.encoder import Av1Encoder
@@ -42,6 +43,7 @@ def test_qmap_res_alignment():
     assert qmap.min() >= 1 and qmap.max() <= 255
 
 
+@pytest.mark.slow
 def test_delta_q_e2e_bitexact(tmp_path):
     planes = _mixed_frame()
     seq = SequenceConfig(width=192, height=192)

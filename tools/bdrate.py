@@ -89,13 +89,16 @@ def run_ref(ref_bin: str, y4m: Path, ivf: Path, preset: int, crf: int):
     return time.perf_counter() - t0
 
 
-def run_ours(y4m: Path, ivf: Path, preset: int, crf: int):
+def run_ours(y4m: Path, ivf: Path, preset: int, crf: int,
+             extra_env: dict | None = None):
+    env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
     t0 = time.perf_counter()
     subprocess.run([sys.executable, "-m", "svt_av1_psyex_tpu.app.main",
                     "-i", str(y4m), "-b", str(ivf),
                     "--preset", str(preset), "--crf", str(crf)],
-                   check=True, capture_output=True,
-                   cwd=REPO, env=dict(os.environ))
+                   check=True, capture_output=True, cwd=REPO, env=env)
     return time.perf_counter() - t0
 
 
@@ -105,10 +108,24 @@ def main() -> None:
     ap.add_argument("--crfs", default="25,32,39,46")
     ap.add_argument("--clips", default="blobs:320x180:48")
     ap.add_argument("--ref", default=str(REPO / ".refbin" / "SvtAv1EncApp"))
+    ap.add_argument("--encoders", default="ref,ours",
+                    help="comma list of name[=ENV1:v1;ENV2:v2]; name "
+                         "'ref' runs the reference binary, anything else "
+                         "runs our CLI with the given env overrides. "
+                         "BD-rates are reported vs the FIRST encoder.")
     ap.add_argument("-o", "--output", default="")
     args = ap.parse_args()
 
     from svt_av1_psyex_tpu.conformance.dav1d import decode_ivf
+
+    encs = []  # (name, env_or_None); None env = reference binary
+    for tok in args.encoders.split(","):
+        if "=" in tok:
+            name, envs = tok.split("=", 1)
+            env = dict(kv.split(":", 1) for kv in envs.split(";") if kv)
+        else:
+            name, env = tok, {}
+        encs.append((name, None if name == "ref" else env))
 
     crfs = [int(x) for x in args.crfs.split(",")]
     results = {}
@@ -119,15 +136,15 @@ def main() -> None:
             w, h = (int(x) for x in size.split("x"))
             y4m = tdp / f"{kind}.y4m"
             src = make_clip(kind, w, h, int(n), y4m)
-            pts = {"ref": {"rate": [], "psnr": [], "fps": []},
-                   "ours": {"rate": [], "psnr": [], "fps": []}}
+            pts = {name: {"rate": [], "psnr": [], "fps": []}
+                   for name, _ in encs}
             for crf in crfs:
-                for who, runner in (("ref", run_ref), ("ours", run_ours)):
+                for who, env in encs:
                     ivf = tdp / f"{kind}_{who}_{crf}.ivf"
-                    if who == "ref":
-                        dt = runner(args.ref, y4m, ivf, args.preset, crf)
+                    if env is None:
+                        dt = run_ref(args.ref, y4m, ivf, args.preset, crf)
                     else:
-                        dt = runner(y4m, ivf, args.preset, crf)
+                        dt = run_ours(y4m, ivf, args.preset, crf, env)
                     dec = decode_ivf(ivf)
                     pts[who]["rate"].append(ivf.stat().st_size)
                     pts[who]["psnr"].append(_psnr_yuv(dec, src))
@@ -136,13 +153,21 @@ def main() -> None:
                           f"{ivf.stat().st_size}B "
                           f"{pts[who]['psnr'][-1]:.3f}dB "
                           f"{pts[who]['fps'][-1]:.2f}fps", flush=True)
-            bd = bd_rate(pts["ref"]["rate"], pts["ref"]["psnr"],
-                         pts["ours"]["rate"], pts["ours"]["psnr"])
-            results[kind] = {"points": pts, "bd_rate_pct_vs_ref": bd}
-            print(f"== {kind}: BD-rate (ours vs ref) = {bd:+.2f}%", flush=True)
+            base = encs[0][0]
+            bds = {}
+            for who, _ in encs[1:]:
+                bds[who] = bd_rate(pts[base]["rate"], pts[base]["psnr"],
+                                   pts[who]["rate"], pts[who]["psnr"])
+                print(f"== {kind}: BD-rate ({who} vs {base}) = "
+                      f"{bds[who]:+.2f}%", flush=True)
+            results[kind] = {"points": pts,
+                             "bd_rate_pct_vs_" + base: bds}
     if args.output:
         Path(args.output).write_text(json.dumps(results, indent=1))
-    print(json.dumps({k: round(v["bd_rate_pct_vs_ref"], 2)
+    print(json.dumps({k: {w: round(b, 2)
+                          for w, b in next(iter(
+                              vv for kk, vv in v.items()
+                              if kk.startswith("bd_rate"))).items()}
                       for k, v in results.items()}))
 
 

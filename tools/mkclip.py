@@ -39,6 +39,13 @@ def synth_frame(fmt: VideoFormat, t: int, kind: str = "blobs") -> list[np.ndarra
         tex = big[oy : oy + h, ox : ox + w]
         y = (0.5 + 0.28 * np.sin(2 * np.pi * (xx + 2.0 * t) / 97.0)) * maxv
         y += tex * 0.18 * maxv
+    elif kind == "noise":
+        # static structured scene + heavy frame-varying gaussian noise:
+        # stresses the noise model, TF decay and grain synthesis
+        rng = np.random.RandomState(1000 + t)
+        y = (0.5 + 0.3 * np.sin(2 * np.pi * xx / 53.0)
+             * np.cos(2 * np.pi * yy / 41.0)) * maxv
+        y += rng.normal(0, 0.03 * maxv, (h, w)).astype(np.float32)
     else:  # blobs: smooth moving gaussians over a gradient
         y = (xx / w) * 0.35 * maxv + (yy / h) * 0.15 * maxv
         rng = np.random.RandomState(1234)
@@ -67,7 +74,8 @@ def main() -> None:
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--subsampling", default="420")
     ap.add_argument("--kind", default="blobs",
-                    choices=["blobs", "gradient", "flat", "texture"])
+                    choices=["blobs", "gradient", "flat", "texture",
+                             "noise"])
     ap.add_argument("-o", "--output", required=True)
     args = ap.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
