@@ -5,8 +5,9 @@
  * Counterpart of the reference's setup_ref_mv_list
  * (Source/Lib/Codec/adaptive_mv_pred.c:637) — same normative derivation,
  * shared-grid data layout designed for this framework's flat numpy
- * MiState arrays.  Single and compound reference paths, no temporal MVs
- * (enable_ref_frame_mvs = 0).
+ * MiState arrays.  Single and compound reference paths, plus the MFMV
+ * temporal scan (add_tpl_ref_mv, adaptive_mv_pred.c:340) over the
+ * projected 8x8 motion field built by codec/mfmv.py.
  */
 
 #include <stdint.h>
@@ -213,6 +214,108 @@ static inline int16_t clampi16(int v, int lo, int hi) {
     return (int16_t)(v < lo ? lo : (v > hi ? hi : v));
 }
 
+/* ---- MFMV temporal scan (spec 7.9 / add_tpl_ref_mv) ------------------- */
+
+static const int32_t div_mult_lut[32] = {
+    0,    16384, 8192, 5461, 4096, 3276, 2730, 2340, 2048, 1820, 1638,
+    1489, 1365,  1260, 1170, 1092, 1024, 963,  910,  862,  819,  780,
+    744,  712,   682,  655,  630,  606,  585,  564,  546,  528};
+
+typedef struct {
+    const uint8_t *valid;
+    const int16_t *row, *col, *off;
+    int h8, w8;
+    int cur_off0, cur_off1;
+} TplGrid;
+
+static void mv_proj(int *out_r, int *out_c, int mr, int mc, int num,
+                    int den) {
+    if (den > 31) den = 31;
+    num = num > 31 ? 31 : (num < -31 ? -31 : num);
+    int64_t xr = (int64_t)mr * num * div_mult_lut[den];
+    int64_t xc = (int64_t)mc * num * div_mult_lut[den];
+    int r = xr >= 0 ? (int)((xr + (1 << 13)) >> 14)
+                    : -(int)((-xr + (1 << 13)) >> 14);
+    int c = xc >= 0 ? (int)((xc + (1 << 13)) >> 14)
+                    : -(int)((-xc + (1 << 13)) >> 14);
+    const int lim = (1 << 15) - 1;
+    r = r < -lim ? -lim : (r > lim ? lim : r);
+    c = c < -lim ? -lim : (c > lim ? lim : c);
+    /* lower_mv_precision, allow_high_precision_mv = 0 */
+    if (r & 1) r += r > 0 ? -1 : 1;
+    if (c & 1) c += c > 0 ? -1 : 1;
+    *out_r = r;
+    *out_c = c;
+}
+
+/* returns 1 if a projected MV existed at the sample position */
+static int add_tpl_ref_mv(Ctx *s, const TplGrid *t, int blk_row,
+                          int blk_col, int *gm_ctx_bit) {
+    const int pos_r = (s->mi_row & 1) ? blk_row : blk_row + 1;
+    const int pos_c = (s->mi_col & 1) ? blk_col : blk_col + 1;
+    const int rr = s->mi_row + pos_r, cc = s->mi_col + pos_c;
+    if (rr < 0 || cc < 0 || rr >= s->g.mi_rows || cc >= s->g.mi_cols)
+        return 0;
+    const int ti = (rr >> 1) * t->w8 + (cc >> 1);
+    if (!t->valid[ti]) return 0;
+    int tr, tc;
+    mv_proj(&tr, &tc, t->row[ti], t->col[ti], t->cur_off0, t->off[ti]);
+    if (!s->is_comp) {
+        if (blk_row == 0 && blk_col == 0) {
+            int dr = tr - s->gm_row0, dc = tc - s->gm_col0;
+            if (dr < 0) dr = -dr;
+            if (dc < 0) dc = -dc;
+            if (dr >= 16 || dc >= 16) *gm_ctx_bit = 1;
+        }
+        Entry e = {(int16_t)tr, (int16_t)tc, 0, 0};
+        push(s, e, 2);
+    } else {
+        int cr, cc2;
+        mv_proj(&cr, &cc2, t->row[ti], t->col[ti], t->cur_off1, t->off[ti]);
+        if (blk_row == 0 && blk_col == 0) {
+            int d[4] = {tr - s->gm_row0, tc - s->gm_col0, cr - s->gm_row1,
+                        cc2 - s->gm_col1};
+            for (int k = 0; k < 4; k++) {
+                int a = d[k] < 0 ? -d[k] : d[k];
+                if (a >= 16) { *gm_ctx_bit = 1; break; }
+            }
+        }
+        Entry e = {(int16_t)tr, (int16_t)tc, (int16_t)cr, (int16_t)cc2};
+        push(s, e, 2);
+    }
+    return 1;
+}
+
+static int tpl_scan(Ctx *s, const TplGrid *t) {
+    /* returns the GLOBALMV context bit */
+    int gm_ctx_bit = 0;
+    const int n8_w = s->n8_w, n8_h = s->n8_h;
+    const int blk_row_end = n8_h < 16 ? n8_h : 16;
+    const int blk_col_end = n8_w < 16 ? n8_w : 16;
+    const int step_h = n8_h >= 16 ? 4 : 2;
+    const int step_w = n8_w >= 16 ? 4 : 2;
+    int is_available = 0;
+    for (int br = 0; br < blk_row_end; br += step_h)
+        for (int bc = 0; bc < blk_col_end; bc += step_w) {
+            int ret = add_tpl_ref_mv(s, t, br, bc, &gm_ctx_bit);
+            if (br == 0 && bc == 0) is_available = ret;
+        }
+    if (!is_available) gm_ctx_bit = 1;
+    if (n8_h >= 2 && n8_h < 16 && n8_w >= 2 && n8_w < 16) {
+        const int voff = n8_h > 2 ? n8_h : 2;
+        const int hoff = n8_w > 2 ? n8_w : 2;
+        const int pos[3][2] = {{voff, -2}, {voff, hoff}, {voff - 2, hoff}};
+        for (int i = 0; i < 3; i++) {
+            /* check_sb_border (64x64 SB bounds) */
+            int row = (s->mi_row & 15) + pos[i][0];
+            int col = (s->mi_col & 15) + pos[i][1];
+            if (row < 0 || row >= 16 || col < 0 || col >= 16) continue;
+            add_tpl_ref_mv(s, t, pos[i][0], pos[i][1], &gm_ctx_bit);
+        }
+    }
+    return gm_ctx_bit;
+}
+
 /* out (int32): [count, mode_ctx,
  *   then MAX_STACK x (mv0y, mv0x, mv1y, mv1x, weight)] = 42 words */
 void svt_find_mv_stack(const int8_t *ref_frame, const int8_t *ref_frame1,
@@ -223,7 +326,10 @@ void svt_find_mv_stack(const int8_t *ref_frame, const int8_t *ref_frame1,
                        const uint8_t *sign_bias, int mi_rows, int mi_cols,
                        int mi_row, int mi_col, int bsize, int rf0, int rf1,
                        int gm_row0, int gm_col0, int gm_row1, int gm_col1,
-                       int gm_warp, int32_t *out) {
+                       int gm_warp,
+                       const uint8_t *tpl_valid, const int16_t *tpl_row,
+                       const int16_t *tpl_col, const int16_t *tpl_off,
+                       int cur_off0, int cur_off1, int32_t *out) {
     Ctx ctx;
     Ctx *s = &ctx;
     memset(s, 0, sizeof(*s));
@@ -276,6 +382,22 @@ void svt_find_mv_stack(const int8_t *ref_frame, const int8_t *ref_frame1,
     const int newmv_count = s->newmv_cnt;
     for (int i = 0; i < s->n; i++) s->weights[i] += REF_CAT_LEVEL;
 
+    /* MFMV temporal scan between the REF_CAT_LEVEL boost and the outer
+       spatial scans (setup_ref_mv_list order) */
+    int gm_ctx_bit = 0;
+    if (tpl_valid) {
+        TplGrid t;
+        t.valid = tpl_valid;
+        t.row = tpl_row;
+        t.col = tpl_col;
+        t.off = tpl_off;
+        t.h8 = (mi_rows + 1) >> 1;
+        t.w8 = (mi_cols + 1) >> 1;
+        t.cur_off0 = cur_off0;
+        t.cur_off1 = cur_off1;
+        gm_ctx_bit = tpl_scan(s, &t);
+    }
+
     scan_blk(s, -1, -1, 1, 0);
     for (int idx = 2; idx <= MVREF_ROWS; idx++) {
         int row_offset = -(idx << 1) + 1 + row_adj;
@@ -289,7 +411,7 @@ void svt_find_mv_stack(const int8_t *ref_frame, const int8_t *ref_frame1,
     }
 
     const int ref_match_count = (s->row_match > 0) + (s->col_match > 0);
-    int mode_context = 0;
+    int mode_context = gm_ctx_bit << 3; /* GLOBALMV_OFFSET */
     if (nearest_match == 0) {
         if (ref_match_count >= 1) mode_context |= 1;
         if (ref_match_count == 1) mode_context |= 1 << 4;

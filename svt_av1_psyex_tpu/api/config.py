@@ -23,7 +23,7 @@ _PENDING_FIELDS = frozenset({
     "hbd_mds", "complex_hvs",
     "noise_adaptive_filtering",
     "lossless",
-    "avif", "enable_mfmv", "enable_overlays",
+    "avif", "enable_overlays",
     "screen_content_mode",
     "film_grain_denoise_apply",
     "superres_mode", "resize_mode", "enable_dg", "startup_mg_size",
@@ -133,7 +133,7 @@ class EncoderConfig:
     enable_dlf_flag: int = 1
     cdef_level: int = -1  # -1 auto (preset-derived search level)
     enable_restoration_filtering: int = -1  # -1 auto (on at preset<=6)
-    enable_mfmv: int = -1  # [pending]
+    enable_mfmv: int = -1  # -1 auto(on) / 0 off / 1 on
     enable_overlays: bool = False  # [pending]
     tile_columns: int = 0  # log2 tile columns (independent MD+EC per tile)
     tile_rows: int = 0

@@ -104,7 +104,8 @@ class Av1Encoder:
                  rdoq: int | None = None, sharpness: int = 0,
                  sharp_tx: bool = True, spy_rd: int = 0,
                  enable_global_motion: bool = True,
-                 delta_q_offsets: tuple = (0, 0, 0)):
+                 delta_q_offsets: tuple = (0, 0, 0),
+                 enable_mfmv: bool = True):
         self.seq = seq
         self.preset = preset
         # 4:4:4 (profile 1): the CDEF search/filter backends are still
@@ -126,6 +127,10 @@ class Av1Encoder:
         # tile columns (log2): each tile is an independent MD + entropy
         # partition (ec_process.c per-tile loop); 0 = single tile
         self.tile_cols_log2 = tile_cols_log2
+        # MFMV temporal MV prediction (spec 7.9; EbSvtAv1Enc.h
+        # enable_mfmv, reference default auto/on): sequence-level gate;
+        # per-frame use_ref_frame_mvs derived in begin_frame
+        seq.enable_ref_frame_mvs = bool(enable_mfmv)
         # film grain synthesis strength (--film-grain 0..50): display-side
         # grain parameters signaled per frame; refs stay pre-grain
         self.film_grain = int(film_grain)
@@ -540,6 +545,27 @@ class Av1Encoder:
                     sign_bias[name] = rel_dist(hint, fr.order_hint) > 0
             fr.ref_order_hints = tuple(hints)
             tw.mi_state.sign_bias = sign_bias
+            # MFMV (spec 7.9): project the refs' saved motion fields and
+            # attach the temporal grid + per-ref offsets to the MVP state
+            # (single-tile frames; tile-local MVP coords keep it off for
+            # tile columns — a legal encoder choice)
+            import os as _os_mfmv
+
+            if (seq.enable_ref_frame_mvs and n_tiles == 1
+                    and _os_mfmv.environ.get("SVT_TPU_NO_MFMV") != "1"):
+                from .mfmv import rel_dist as _rel_dist
+                from .mfmv import setup_motion_field
+
+                fr.use_ref_frame_mvs = True
+                tw.mi_state.tpl = setup_motion_field(
+                    fr, self.slots, self.mi_rows, self.mi_cols,
+                    seq.order_hint_bits)
+                off = np.zeros(8, np.int32)
+                for name in range(1, 8):
+                    off[name] = _rel_dist(seq.order_hint_bits,
+                                          fr.order_hint,
+                                          fr.ref_order_hints[name - 1])
+                tw.mi_state.tpl_cur_off = off
             # compound prediction possible when the plan provides both a
             # past and a future reference
             named = list(plan.refs.keys())
@@ -703,6 +729,9 @@ class Av1Encoder:
                              temporal_layer=plan.layer)
             if m.mi_state is not None:
                 m.mi_state.sign_bias = sign_bias
+                if tw.mi_state is not None:
+                    m.mi_state.tpl = tw.mi_state.tpl
+                    m.mi_state.tpl_cur_off = tw.mi_state.tpl_cur_off
             return m
 
         md = make_md(pctx, self.mi_cols, me_field) if n_tiles == 1 else None
@@ -990,10 +1019,21 @@ class Av1Encoder:
         gm_mats = tuple(
             (fr.gm[i][1] if fr.gm and fr.gm[i] is not None
              else GM_DEFAULT_MAT) for i in range(7))
+        # MFMV: save this frame's 8x8 motion field for future projection
+        # (av1_copy_frame_mvs / spec 7.20 motion vector storage)
+        saved_mvs = None
+        if tw.mi_state is not None and seq.enable_ref_frame_mvs:
+            from .mfmv import compute_ref_frame_side, save_frame_mvs
+
+            side = compute_ref_frame_side(fr, seq.order_hint_bits)
+            saved_mvs = save_frame_mvs(tw.mi_state, side)
         entry = {"recon": [p.recon.copy() for p in pctx],
                  "order_hint": fr.order_hint,
                  "film_grain": fr.film_grain,
                  "gm_mats": gm_mats,
+                 "saved_mvs": saved_mvs,
+                 "frame_is_intra": bool(fr.frame_is_intra),
+                 "ref_order_hints": tuple(fr.ref_order_hints[:7]),
                  "cdfs": cdfs if not fr.disable_frame_end_update_cdf else None}
         for i in range(8):
             if fr.refresh_frame_flags & (1 << i):
@@ -1158,6 +1198,16 @@ class Av1Encoder:
         fr.lr_unit_size = unit_y
         fr.lr_uv_shift = uv_shift
         tw.lr_infos = infos
+        import os as _os
+
+        if _os.environ.get("SVT_TPU_TIMING") == "1":
+            from . import restoration as _restmod
+
+            tm = getattr(self, "timing", None) or {}
+            for k, v in _restmod.TICKS.items():
+                tm[k] = tm.get(k, 0.0) + v
+            _restmod.TICKS.clear()
+            self.timing = tm
 
     def grained_output(self) -> list:
         """Display planes for the last emitted frame: recon + film grain

@@ -80,6 +80,10 @@ class MiState:
         # 7.8: bias = ref order hint after the current frame); used by the
         # relaxed rescan to flip opposite-direction candidate MVs
         self.sign_bias = np.zeros(8, bool)
+        # MFMV (spec 7.9): projected temporal motion field + per-named-ref
+        # cur-frame order-hint offsets (codec/mfmv.py); None = mfmv off
+        self.tpl = None
+        self.tpl_cur_off = np.zeros(8, np.int32)
 
     _GRIDS = ("ref_frame", "ref_frame1", "mv_row", "mv_col", "mv_row1",
               "mv_col1", "is_newmv", "is_gmv", "flt", "bsize")
@@ -182,6 +186,7 @@ def _mvp_lib():
         else:
             lib.svt_find_mv_stack.argtypes = (
                 [ctypes.c_void_p] * 10 + [ctypes.c_int] * 12
+                + [ctypes.c_void_p] * 4 + [ctypes.c_int] * 2
                 + [ctypes.c_void_p])
             _MVP_LIB = lib
     return _MVP_LIB
@@ -203,6 +208,19 @@ def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
         is_comp = isinstance(ref_frame, tuple)
         rf0, rf1 = ref_frame if is_comp else (int(ref_frame), -1)
         out = np.empty(43, np.int32)
+        tpl = mi.tpl
+        if tpl is not None:
+            if not hasattr(tpl, "_valid_u8"):
+                tpl._valid_u8 = tpl.valid.astype(np.uint8)
+            tv = tpl._valid_u8.ctypes.data
+            tr = tpl.mfmv_row.ctypes.data
+            tc = tpl.mfmv_col.ctypes.data
+            to = tpl.ref_off.ctypes.data
+            co0 = int(mi.tpl_cur_off[rf0])
+            co1 = int(mi.tpl_cur_off[rf1]) if is_comp else 0
+        else:
+            tv = tr = tc = to = None
+            co0 = co1 = 0
         lib.svt_find_mv_stack(
             mi.ref_frame.ctypes.data, mi.ref_frame1.ctypes.data,
             mi.mv_row.ctypes.data, mi.mv_col.ctypes.data,
@@ -212,7 +230,8 @@ def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
             mi.sign_bias.ctypes.data, mi.mi_rows, mi.mi_cols,
             mi_row, mi_col, int(bsize), rf0, rf1,
             int(g0[0]), int(g0[1]), int(g1[0]), int(g1[1]),
-            1 if gm_warp else 0, out.ctypes.data)
+            1 if gm_warp else 0, tv, tr, tc, to, co0, co1,
+            out.ctypes.data)
         slots = int(out[42])
         ent = out[2 : 2 + 40].reshape(8, 5)
         return MvStack(
@@ -376,7 +395,76 @@ def _find_mv_stack_py(mi: MiState, mi_row: int, mi_col: int, bsize: int,
     for i in range(len(weights)):
         weights[i] += REF_CAT_LEVEL
 
-    # (temporal MV scan skipped: use_ref_frame_mvs = 0)
+    # temporal MV scan (MFMV, add_tpl_ref_mv adaptive_mv_pred.c:340):
+    # projected weight-2 candidates after the REF_CAT_LEVEL boost
+    gm_ctx_bit = 0
+    if mi.tpl is not None:
+        from .mfmv import MAX_FRAME_DISTANCE, lower_mv_precision, mv_projection
+
+        tpl = mi.tpl
+        cur_off0 = int(mi.tpl_cur_off[rf[0]])
+        cur_off1 = int(mi.tpl_cur_off[rf[1]]) if is_comp else 0
+
+        def tpl_mv(blk_row: int, blk_col: int, cur_off: int):
+            """Projected MV at one sample position, or None."""
+            pos_r = blk_row if (mi_row & 1) else blk_row + 1
+            pos_c = blk_col if (mi_col & 1) else blk_col + 1
+            rr, cc = mi_row + pos_r, mi_col + pos_c
+            if rr < 0 or cc < 0 or rr >= mi.mi_rows or cc >= mi.mi_cols:
+                return None
+            t_r, t_c = rr >> 1, cc >> 1
+            if not tpl.valid[t_r, t_c]:
+                return None
+            pr, pc = mv_projection(
+                np.array([int(tpl.mfmv_row[t_r, t_c])]),
+                np.array([int(tpl.mfmv_col[t_r, t_c])]),
+                cur_off, np.array([int(tpl.ref_off[t_r, t_c])]))
+            return lower_mv_precision(int(pr[0]), int(pc[0]), False)
+
+        def add_tpl(blk_row: int, blk_col: int) -> bool:
+            nonlocal gm_ctx_bit
+            this = tpl_mv(blk_row, blk_col, cur_off0)
+            if this is None:
+                return False
+            if not is_comp:
+                if blk_row == 0 and blk_col == 0:
+                    if (abs(this[0] - gm_mv[0][0]) >= 16
+                            or abs(this[1] - gm_mv[0][1]) >= 16):
+                        gm_ctx_bit = 1
+                push((this, ZERO), 2)
+            else:
+                comp = tpl_mv(blk_row, blk_col, cur_off1)
+                if blk_row == 0 and blk_col == 0:
+                    if (abs(this[0] - gm_mv[0][0]) >= 16
+                            or abs(this[1] - gm_mv[0][1]) >= 16
+                            or abs(comp[0] - gm_mv[1][0]) >= 16
+                            or abs(comp[1] - gm_mv[1][1]) >= 16):
+                        gm_ctx_bit = 1
+                push((this, comp), 2)
+            return True
+
+        blk_row_end = min(n8_h, 16)
+        blk_col_end = min(n8_w, 16)
+        step_h = 4 if n8_h >= 16 else 2
+        step_w = 4 if n8_w >= 16 else 2
+        is_available = False
+        for blk_row in range(0, blk_row_end, step_h):
+            for blk_col in range(0, blk_col_end, step_w):
+                ret = add_tpl(blk_row, blk_col)
+                if blk_row == 0 and blk_col == 0:
+                    is_available = ret
+        if not is_available:
+            gm_ctx_bit = 1
+        if 2 <= n8_h < 16 and 2 <= n8_w < 16:
+            voff = max(2, n8_h)
+            hoff = max(2, n8_w)
+            for blk_row, blk_col in ((voff, -2), (voff, hoff),
+                                     (voff - 2, hoff)):
+                # check_sb_border (64x64 SB bounds)
+                row = (mi_row & 15) + blk_row
+                col = (mi_col & 15) + blk_col
+                if 0 <= row < 16 and 0 <= col < 16:
+                    add_tpl(blk_row, blk_col)
 
     # top-left + outer scans use a dummy newmv counter (setup_ref_mv_list:841)
     scan_blk(-1, -1, "row_match", count_newmv=False)
@@ -389,7 +477,7 @@ def _find_mv_stack_py(mi: MiState, mi_row: int, mi_col: int, bsize: int,
             scan_col(col_offset, count_newmv=False)
 
     ref_match_count = (counts["row_match"] > 0) + (counts["col_match"] > 0)
-    mode_context = 0
+    mode_context = gm_ctx_bit << GLOBALMV_OFFSET
     if nearest_match == 0:
         if ref_match_count >= 1:
             mode_context |= 1

@@ -50,6 +50,10 @@ from .rd import cdf_costs
 
 SGRPROJ_PARAMS_BITS = 4
 
+# SVT_TPU_TIMING=1 sub-stage accumulator (merged into the encoder's
+# stage profile by Av1Encoder._search_apply_lr)
+TICKS: dict = {}
+
 # default ref xqd (set_default_sgrproj, C trunc-toward-zero division)
 _SGR_XQD_MID = (int((SGRPROJ_PRJ_MIN0 + SGRPROJ_PRJ_MAX0) / 2),
                 int((SGRPROJ_PRJ_MIN1 + SGRPROJ_PRJ_MAX1) / 2))
@@ -373,6 +377,19 @@ def _cand_device(src, cdef, deblock, plane_w, plane_h, ss_y, unit_size,
     from ..device.restoration import sgr_corr, wiener_descent
     from ..ops.restoration import filter_unit_into
 
+    import os as _os
+    import time as _time
+
+    _timing = _os.environ.get("SVT_TPU_TIMING") == "1"
+    _t = _time.perf_counter() if _timing else 0.0
+
+    def _tick(key):
+        nonlocal _t
+        if _timing:
+            now = _time.perf_counter()
+            TICKS[key] = TICKS.get(key, 0.0) + (now - _t)
+            _t = now
+
     n_ru = len(rows) * len(cols)
     # actual worst extent of THIS frame's RU grid (last row/col RUs can
     # stretch to 1.5*unit; everything else is unit(+stripe offset)) —
@@ -418,20 +435,28 @@ def _cand_device(src, cdef, deblock, plane_w, plane_h, ss_y, unit_size,
     import jax
     import jax.numpy as jnp
 
-    pads_d = jnp.asarray(pads)
-    srcs_d = jnp.asarray(srcs)
-    masks_d = jnp.asarray(masks)
     n_rounds = 2 if preset <= 6 else 0
     eps = tuple(_sgr_ep_list(preset))
     from ..utils.tunnel import retry_device
 
+    _tick("lr_build")
+
     def run():
+        pads_d = jax.device_put(pads)
+        srcs_d = jax.device_put(srcs)
+        masks_d = jax.device_put(masks)
+        masks_d.block_until_ready()
+        _tick("lr_up")
         # dispatch BOTH programs before fetching either (async dispatch)
         taps_d, best_d = wiener_descent(pads_d, srcs_d, masks_d,
                                         jnp.asarray(init_taps), bit_depth,
                                         n_rounds, chroma)
-        corr_d = sgr_corr(pads_d, srcs_d, masks_d, eps, bit_depth)
-        return jax.device_get((taps_d, best_d, corr_d))
+        out = jax.device_get((taps_d, best_d))
+        _tick("lr_wd")
+        corr_d = jax.device_get(sgr_corr(pads_d, srcs_d, masks_d, eps,
+                                         bit_depth))
+        _tick("lr_sg")
+        return out[0], out[1], corr_d
 
     taps_np, best_plain, corr = retry_device(run)
     state = [(tuple(int(v) for v in taps_np[r, 0]),
@@ -503,6 +528,7 @@ def _cand_device(src, cdef, deblock, plane_w, plane_h, ss_y, unit_size,
                     < rd(entry["wiener"][1], entry["wiener"][0])):
                 ref_s = list(xqd)
         cand.append(entry)
+    _tick("lr_exact")
     return cand
 
 

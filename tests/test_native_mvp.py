@@ -80,3 +80,43 @@ def test_mvp_c_matches_python(seed):
         assert a.mvs == b.mvs, ctx
         assert a.comp_mvs == b.comp_mvs, ctx
         assert a.weights == b.weights, ctx
+
+
+@pytest.mark.skipif(not mvp_mod._mvp_lib(), reason="native lib unavailable")
+@pytest.mark.parametrize("seed", range(4))
+def test_mvp_c_matches_python_with_mfmv(seed):
+    """Same fuzz with a random projected temporal grid attached: the C
+    add_tpl_ref_mv/tpl_scan must match the Python MFMV path exactly."""
+    from svt_av1_psyex_tpu.codec.mfmv import TplMvs
+
+    rng = np.random.default_rng(1000 + seed)
+    mi = _random_mi(rng, 24, 32)
+    tpl = TplMvs(12, 16)
+    tpl.valid[:] = rng.random((12, 16)) < 0.6
+    tpl.mfmv_row[:] = rng.integers(-700, 700, (12, 16)).astype(np.int16)
+    tpl.mfmv_col[:] = rng.integers(-700, 700, (12, 16)).astype(np.int16)
+    tpl.ref_off[:] = rng.integers(1, 12, (12, 16)).astype(np.int16)
+    mi.tpl = tpl
+    mi.tpl_cur_off = rng.integers(-8, 9, 8).astype(np.int32)
+    for _ in range(120):
+        bs = BSIZES[rng.integers(0, len(BSIZES))]
+        bw4 = int(BLOCK_W[bs]) >> 2
+        bh4 = int(BLOCK_H[bs]) >> 2
+        r = int(rng.integers(0, max(1, 24 - bh4)))
+        c = int(rng.integers(0, max(1, 32 - bw4)))
+        if rng.random() < 0.4:
+            ref = (int(rng.integers(1, 5)), int(rng.integers(5, 8)))
+        else:
+            ref = int(rng.integers(1, 8))
+        gm = ((int(rng.integers(-32, 33)) * 2,
+               int(rng.integers(-32, 33)) * 2),
+              (int(rng.integers(-32, 33)) * 2,
+               int(rng.integers(-32, 33)) * 2))
+        a = mvp_mod.find_mv_stack(mi, r, c, bs, ref, gm_mv=gm)
+        b = _find_mv_stack_py(mi, r, c, bs, ref, gm)
+        ctx = f"seed={seed} r={r} c={c} bs={bs} ref={ref}"
+        assert a.count == b.count, ctx
+        assert a.mode_context == b.mode_context, ctx
+        assert a.mvs == b.mvs, ctx
+        assert a.comp_mvs == b.comp_mvs, ctx
+        assert a.weights == b.weights, ctx
