@@ -63,10 +63,17 @@ enum {
     LF_MVY_OUT, LF_MVX_OUT, LF_MODE_OUT, LF_DRL_OUT,
     LF_TXS_Y, LF_TXS_UV,
     LF_REF1, LF_MVY1, LF_MVX1, LF_MVY1_OUT, LF_MVX1_OUT, LF_RSVD,
+    LF_TXD, LF_EOB_Y1, LF_EOB_Y2, LF_EOB_Y3,
+    LF_OFF_Y1, LF_OFF_Y2, LF_OFF_Y3,
     LEAF_I32
 };
 #define FLAG_INTER 1
 #define FLAG_COMP 2
+
+/* TX_MODE_SELECT depth-1 split of the square max-rect sizes
+ * (codec/constants.py SPLIT_TX_SIZE; device leaves are square only) */
+static const int8_t SPLIT_TX[N_TXS] = {0, 0, 1, 2, 3, -1, -1, -1, -1, -1,
+                                       -1, -1, -1, -1, -1, -1, -1, -1, -1};
 
 /* ---- commit job (pointers marshalled from Python as int64 slots) ------ */
 typedef struct {
@@ -87,6 +94,11 @@ typedef struct {
     int n_leaves;
     int32_t *qcoeff;
     int64_t qcoeff_cap;
+    /* TX_MODE_SELECT (tx-depth search at commit): 0 = TX_MODE_LARGEST */
+    int tx_select;
+    const int64_t *rdmult_tab;   /* (256,) J-multiplier per qindex */
+    const int32_t *txd_intra;    /* (N_BSIZES, 2) depth symbol cost<<9 */
+    const int32_t *txd_inter;    /* (N_BSIZES, 2) vartx flags cost<<9 */
 } CommitJob;
 
 static CommitJob g_job;
@@ -119,6 +131,10 @@ void svt_commit_init(const int64_t *s) {
     j->n_leaves = (int)s[k++];
     j->qcoeff = (int32_t *)s[k++];
     j->qcoeff_cap = s[k++];
+    j->tx_select = (int)s[k++];
+    j->rdmult_tab = (const int64_t *)s[k++];
+    j->txd_intra = (const int32_t *)s[k++];
+    j->txd_inter = (const int32_t *)s[k++];
 }
 
 /* ---- intra neighbor fill (ops/intra.py fill_neighbors) ---------------- */
@@ -505,6 +521,79 @@ static int commit_comp_txb(const CommitJob *j, int plane, int ref0, int ref1,
                           qc, tx, plane, 1, qindex);
 }
 
+/* ---- TX_MODE_SELECT depth trial (tx-depth search at commit) -----------
+ * Counterpart of the reference's tx-size search (product_coding_loop.c
+ * tx search levels) relocated to the conformant commit: the winning
+ * candidate's residual is coded at depth 0 (max-rect) and depth 1
+ * (4-way uniform split), J-compared with the device lattice's
+ * coefficient-rate proxy (device/intra.py RATE_*) + the neutral-ctx
+ * depth symbol cost, and the cheaper coding kept.  Integer-exact mirror
+ * of codec/md_device.py _tx_depth_trial (tests hold them identical). */
+static int32_t TXD_SNAP[64 * 64], TXD_D0[64 * 64], TXD_QC0[32 * 32];
+
+static void blk_save(const int32_t *rec, int st, int x, int y, int w, int h,
+                     int32_t *buf) {
+    for (int r = 0; r < h; r++)
+        memcpy(buf + (int64_t)r * w, rec + (int64_t)(y + r) * st + x,
+               (size_t)w * sizeof(int32_t));
+}
+
+static void blk_load(int32_t *rec, int st, int x, int y, int w, int h,
+                     const int32_t *buf) {
+    for (int r = 0; r < h; r++)
+        memcpy(rec + (int64_t)(y + r) * st + x, buf + (int64_t)r * w,
+               (size_t)w * sizeof(int32_t));
+}
+
+static int64_t blk_sse_y(const CommitJob *j, int x, int y, int w, int h) {
+    const int32_t *src = j->src[0], *rec = j->recon[0];
+    const int st = j->stride[0];
+    int64_t s = 0;
+    for (int r = 0; r < h; r++)
+        for (int c = 0; c < w; c++) {
+            int64_t d = src[(int64_t)(y + r) * st + x + c] -
+                        rec[(int64_t)(y + r) * st + x + c];
+            s += d * d;
+        }
+    return s;
+}
+
+static int ilog2p1(int v) { /* floor(log2(1 + v)), v >= 0 */
+    int r = 0;
+    v += 1;
+    while (v > 1) { v >>= 1; r++; }
+    return r;
+}
+
+/* device/intra.py rate proxy constants (bits<<9), integer-log variant */
+static int64_t rate_proxy(const CommitJob *j, int tx, const int32_t *qc,
+                          int eob) {
+    if (eob == 0) return 0;
+    const int32_t *scan = (const int32_t *)j->tx_desc[tx][42];
+    int64_t rate = (int64_t)1946 * ilog2p1(eob);
+    int nnz = 0;
+    for (int i = 0; i < eob; i++) {
+        int q = qc[scan[i]];
+        if (q < 0) q = -q;
+        if (q) { nnz++; rate += 1229 + 614 * ilog2p1(q); }
+    }
+    rate += (int64_t)154 * (eob - nnz);
+    return rate;
+}
+
+/* luma txb commit for whichever prediction the leaf carries */
+static int luma_txb(const CommitJob *j, const int32_t *L, int x, int y,
+                    int tx, int mvr, int mvc, int mvr1, int mvc1, int qindex,
+                    int32_t *qc) {
+    if (L[LF_FLAGS] & FLAG_COMP)
+        return commit_comp_txb(j, 0, L[LF_REF0], L[LF_REF1], x, y, tx, mvr,
+                               mvc, mvr1, mvc1, qindex, qc);
+    if (L[LF_FLAGS] & FLAG_INTER)
+        return commit_inter_txb(j, 0, L[LF_REF0], x, y, tx, mvr, mvc, qindex,
+                                qc);
+    return commit_intra_txb(j, 0, L[LF_YMODE], x, y, tx, qindex, qc);
+}
+
 /* run the commit pass over all leaves; returns used qcoeff words, or -1 */
 int64_t svt_frame_commit(void) {
     CommitJob *j = &g_job;
@@ -519,36 +608,75 @@ int64_t svt_frame_commit(void) {
         const int is_inter = L[LF_FLAGS] & FLAG_INTER;
         const int cwy = TXW[tx] > 32 ? 32 : TXW[tx];
         const int chy = TXH[tx] > 32 ? 32 : TXH[tx];
-        if (off + (int64_t)cwy * chy + 2 * 32 * 32 > j->qcoeff_cap) return -1;
+        const int bw_px = bw4 * 4, bh_px = bh4 * 4;
+        if (off + (int64_t)bw_px * bh_px + 2 * 32 * 32 > j->qcoeff_cap)
+            return -1;
         L[LF_TXS_Y] = tx;
+        L[LF_TXD] = 0;
         int eob_y, eob_u = 0, eob_v = 0;
         int mvr = L[LF_MVY], mvc = L[LF_MVX];
         int mvr1 = L[LF_MVY1], mvc1 = L[LF_MVX1];
         const int is_comp = L[LF_FLAGS] & FLAG_COMP;
         if (is_comp) {
-            const int ref0 = L[LF_REF0], ref1 = L[LF_REF1];
             if (mvr != 0 || mvc != 0)
-                subpel_refine(j, ref0, x, y, bw4 * 4, bh4 * 4, &mvr, &mvc);
+                subpel_refine(j, L[LF_REF0], x, y, bw_px, bh_px, &mvr, &mvc);
             if (mvr1 != 0 || mvc1 != 0)
-                subpel_refine(j, ref1, x, y, bw4 * 4, bh4 * 4, &mvr1, &mvc1);
-            L[LF_OFF_Y] = (int32_t)off;
-            eob_y = commit_comp_txb(j, 0, ref0, ref1, x, y, tx, mvr, mvc,
-                                    mvr1, mvc1, qindex, j->qcoeff + off);
-            off += (int64_t)cwy * chy;
+                subpel_refine(j, L[LF_REF1], x, y, bw_px, bh_px, &mvr1,
+                              &mvc1);
         } else if (is_inter) {
-            const int ref_id = L[LF_REF0];
             if (mvr != 0 || mvc != 0)
-                subpel_refine(j, ref_id, x, y, bw4 * 4, bh4 * 4, &mvr, &mvc);
-            L[LF_OFF_Y] = (int32_t)off;
-            eob_y = commit_inter_txb(j, 0, ref_id, x, y, tx, mvr, mvc,
-                                     qindex, j->qcoeff + off);
-            off += (int64_t)cwy * chy;
-        } else {
-            L[LF_OFF_Y] = (int32_t)off;
-            eob_y = commit_intra_txb(j, 0, L[LF_YMODE], x, y, tx, qindex,
-                                     j->qcoeff + off);
-            off += (int64_t)cwy * chy;
+                subpel_refine(j, L[LF_REF0], x, y, bw_px, bh_px, &mvr, &mvc);
         }
+        const int sub_tx = j->tx_select ? SPLIT_TX[tx] : -1;
+        if (sub_tx >= 0)
+            blk_save(j->recon[0], j->stride[0], x, y, bw_px, bh_px, TXD_SNAP);
+        L[LF_OFF_Y] = (int32_t)off;
+        eob_y = luma_txb(j, L, x, y, tx, mvr, mvc, mvr1, mvc1, qindex,
+                         j->qcoeff + off);
+        if (sub_tx >= 0 && eob_y >= 4) {
+            /* depth-0 state aside, then try the 4-way split in place */
+            const int st = j->stride[0];
+            blk_save(j->recon[0], st, x, y, bw_px, bh_px, TXD_D0);
+            memcpy(TXD_QC0, j->qcoeff + off, (size_t)cwy * chy * 4);
+            const int64_t dist0 = blk_sse_y(j, x, y, bw_px, bh_px);
+            const int64_t rate0 =
+                rate_proxy(j, tx, j->qcoeff + off, eob_y);
+            blk_load(j->recon[0], st, x, y, bw_px, bh_px, TXD_SNAP);
+            const int sw = TXW[sub_tx], sh = TXH[sub_tx];
+            const int64_t sub_area = (int64_t)sw * sh;
+            int64_t rate1 = 0;
+            int sub_eob[4], si = 0;
+            for (int ty = 0; ty < bh_px; ty += sh)
+                for (int txx = 0; txx < bw_px; txx += sw) {
+                    int32_t *qc = j->qcoeff + off + si * sub_area;
+                    sub_eob[si] = luma_txb(j, L, x + txx, y + ty, sub_tx,
+                                           mvr, mvc, mvr1, mvc1, qindex, qc);
+                    rate1 += rate_proxy(j, sub_tx, qc, sub_eob[si]);
+                    si++;
+                }
+            const int64_t dist1 = blk_sse_y(j, x, y, bw_px, bh_px);
+            const int32_t *tc =
+                (is_inter ? j->txd_inter : j->txd_intra) + bsize * 2;
+            const int64_t rdm = j->rdmult_tab[qindex];
+            const int64_t j0 = (((rate0 + tc[0]) * rdm) >> 9) + (dist0 << 7);
+            const int64_t j1 = (((rate1 + tc[1]) * rdm) >> 9) + (dist1 << 7);
+            if (j0 <= j1) {
+                blk_load(j->recon[0], st, x, y, bw_px, bh_px, TXD_D0);
+                memcpy(j->qcoeff + off, TXD_QC0, (size_t)cwy * chy * 4);
+            } else {
+                L[LF_TXD] = 1;
+                L[LF_TXS_Y] = sub_tx;
+                eob_y = sub_eob[0];
+                L[LF_EOB_Y1] = sub_eob[1];
+                L[LF_EOB_Y2] = sub_eob[2];
+                L[LF_EOB_Y3] = sub_eob[3];
+                L[LF_OFF_Y1] = (int32_t)(off + sub_area);
+                L[LF_OFF_Y2] = (int32_t)(off + 2 * sub_area);
+                L[LF_OFF_Y3] = (int32_t)(off + 3 * sub_area);
+                off += 4 * sub_area - (int64_t)cwy * chy; /* net below */
+            }
+        }
+        off += (int64_t)cwy * chy;
         L[LF_MVY_OUT] = mvr;
         L[LF_MVX_OUT] = mvc;
         L[LF_MVY1_OUT] = mvr1;
@@ -587,7 +715,11 @@ int64_t svt_frame_commit(void) {
         }
         L[LF_EOB_U] = eob_u;
         L[LF_EOB_V] = eob_v;
-        L[LF_SKIP] = (eob_y == 0 && eob_u == 0 && eob_v == 0);
+        int zero_y = (eob_y == 0);
+        if (L[LF_TXD])
+            zero_y = zero_y && L[LF_EOB_Y1] == 0 && L[LF_EOB_Y2] == 0 &&
+                     L[LF_EOB_Y3] == 0;
+        L[LF_SKIP] = (zero_y && eob_u == 0 && eob_v == 0);
     }
     return off;
 }

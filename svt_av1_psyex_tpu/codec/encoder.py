@@ -411,12 +411,15 @@ class Av1Encoder:
         fr.refresh_frame_flags = plan.refresh_flags
         # TX_MODE_SELECT at the slower presets (the reference's tx-depth
         # search levels, product_coding_loop.c tx_size search); faster
-        # presets stay TX_MODE_LARGEST. Frames the device-MD lattice will
-        # carry also stay TX_MODE_LARGEST: the lattice costs and the
-        # native commit assume max-rect transforms, and the tx-depth
-        # search is the trade the device tier makes for its 10x+ speedup
-        # (same speed-feature direction as the reference's fast tiers).
-        fr.tx_mode_select = self.preset <= 9 and not self._device_md_precheck()
+        # presets stay TX_MODE_LARGEST. Device-MD frames run the tx-depth
+        # search inside the conformant commit (native/frame_enc.c depth
+        # trial / md_device._luma_tx_trial) so p6-9 keeps the preset's
+        # toolset on the device path too. SVT_TPU_NO_TXSELECT=1 ablates.
+        import os as _os_txs
+
+        fr.tx_mode_select = (self.preset <= 9
+                             and _os_txs.environ.get("SVT_TPU_NO_TXSELECT")
+                             != "1")
         if not is_key:
             # map each named ref (LAST..ALTREF = 1..7) to a DPB slot;
             # unspecified names alias the first specified slot
@@ -626,8 +629,7 @@ class Av1Encoder:
 
         # device-MD eligibility (shared gates): fused inter lattice for
         # inter frames, intra lattice for key frames
-        dev_ok = (self.preset >= 6 and not fr.tx_mode_select
-                  and not seq.use_128x128_superblock
+        dev_ok = (self.preset >= 6 and not seq.use_128x128_superblock
                   and n_tiles == 1 and not fr.using_qmatrix
                   and self.noise_norm_strength == 0
                   and fr.seg_qdeltas is None

@@ -43,6 +43,53 @@ REFS_CANON = 3
 _BSL_CTX = {8: 0, 16: 1, 32: 2, 64: 3}
 
 
+def txd_cost_tables(cdfs, tx_select: bool):
+    """Neutral-context depth-symbol costs (bits<<9) for the commit-time
+    tx-depth trial: ((22, 2) intra tx_size symbol, (22, 2) inter vartx
+    flags).  Depth 1 on an inter block writes one split flag plus four
+    no-split flags (write_tx_size_vartx); intra writes one depth symbol.
+    Shared by the C committer job (native/frame_enc.py) and the Python
+    oracle (_luma_tx_trial) so both sides J-compare identically."""
+    intra = np.zeros((22, 2), np.int32)
+    inter = np.zeros((22, 2), np.int32)
+    if tx_select:
+        from .constants import bsize_to_tx_size_cat
+
+        tp = cdf_costs(cdfs.txfm_partition[0][0])
+        for bsize in range(1, 22):
+            cat = bsize_to_tx_size_cat(bsize)
+            tc = cdf_costs(cdfs.tx_size[0][cat][0])
+            intra[bsize, 0] = int(tc[0])
+            intra[bsize, 1] = int(tc[1]) if len(tc) > 1 else 1 << 20
+            inter[bsize, 0] = int(tp[0])
+            inter[bsize, 1] = int(tp[1]) + 4 * int(tp[0])
+    return intra, inter
+
+
+def _ilog2p1_arr(v: np.ndarray) -> np.ndarray:
+    """floor(log2(1 + v)) for non-negative int arrays (exact: frexp
+    exponents are integer-precise below 2^53)."""
+    return np.frexp((v + 1).astype(np.float64))[1].astype(np.int64) - 1
+
+
+def rate_proxy(qc: np.ndarray, eob: int, tx_size: int) -> int:
+    """Integer coefficient-rate proxy (bits<<9) over a committed txb —
+    the device lattice's RATE_* model (device/intra.py) with exact
+    integer logs; mirrors rate_proxy in native/frame_enc.c."""
+    if eob == 0:
+        return 0
+    from ..bitstream.tables import scan_table
+
+    scan = scan_table(tx_size, "default")
+    q = np.abs(qc.ravel()[scan[:eob]].astype(np.int64))
+    nz = q > 0
+    nnz = int(nz.sum())
+    rate = 1946 * int((1 + eob).bit_length() - 1)
+    rate += 1229 * nnz + 614 * int(_ilog2p1_arr(q)[nz].sum())
+    rate += 154 * (eob - nnz)
+    return rate
+
+
 class DeviceIntraMD:
     """Wraps a ModeDecision instance, replacing its candidate search with
     the device cost lattice; reuses its commit machinery (_predict,
@@ -103,6 +150,8 @@ class DeviceIntraMD:
         self.mode_rate, self.skip0, self.skip1, self.part_costs = ent
         self.stats: dict = {}
         self._commit_ctx = None
+        self.tx_select = bool(getattr(fr, "tx_mode_select", False))
+        self._txd_tabs = None
 
     # ---- analysis --------------------------------------------------------
     @staticmethod
@@ -300,18 +349,76 @@ class DeviceIntraMD:
                            IntraMode(mode))
         return self._commit_txb(pc, pred, x, y, tx_size, plane)
 
+    def _txd_cost(self, bsize: int, is_inter: bool):
+        if self._txd_tabs is None:
+            self._txd_tabs = txd_cost_tables(self.md.cdfs, self.tx_select)
+        return self._txd_tabs[1 if is_inter else 0][bsize]
+
+    def _luma_tx_trial(self, pc, commit_fn, x: int, y: int, bsize: int,
+                       is_inter: bool):
+        """TX_MODE_SELECT depth trial at commit: code the winning
+        candidate's luma at depth 0 (max-rect) and depth 1 (uniform 4-way
+        split), J-compare with the device lattice's rate proxy + the
+        neutral-ctx depth symbol cost, keep the cheaper coding.  Integer-
+        exact mirror of svt_frame_commit's trial (native/frame_enc.c);
+        the reference's tx-size search (product_coding_loop.c) relocated
+        per SURVEY §7.  commit_fn(x, y, tx) -> (qc, eob) commits into
+        pc.recon in place.  Returns (tx_depth, luma txbs)."""
+        from .constants import SPLIT_TX_SIZE, TX_H, TX_W
+
+        tx_size = int(MAX_TX_SIZE_RECT[bsize])
+        bw_px, bh_px = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+        do_trial = self.tx_select and bsize > 0
+        snap = (pc.recon[y : y + bh_px, x : x + bw_px].copy()
+                if do_trial else None)
+        qc, eob = commit_fn(x, y, tx_size)
+        base = [{"plane": 0, "plane_bsize": bsize, "tx_size": tx_size,
+                 "tx_type": int(TxType.DCT_DCT), "qcoeff": qc, "eob": eob,
+                 "ux": x >> 2, "uy": y >> 2}]
+        if not do_trial or eob < 4:
+            return 0, base
+        src = pc.src[y : y + bh_px, x : x + bw_px].astype(np.int64)
+        d0_rec = pc.recon[y : y + bh_px, x : x + bw_px].copy()
+        dist0 = int(((src - d0_rec) ** 2).sum())
+        rate0 = rate_proxy(qc, eob, tx_size)
+        pc.recon[y : y + bh_px, x : x + bw_px] = snap
+        sub_tx = int(SPLIT_TX_SIZE[tx_size])
+        sw, sh = int(TX_W[sub_tx]), int(TX_H[sub_tx])
+        subs = []
+        rate1 = 0
+        for ty in range(0, bh_px, sh):
+            for txx in range(0, bw_px, sw):
+                qcs, es = commit_fn(x + txx, y + ty, sub_tx)
+                rate1 += rate_proxy(qcs, es, sub_tx)
+                subs.append({"plane": 0, "plane_bsize": bsize,
+                             "tx_size": sub_tx,
+                             "tx_type": int(TxType.DCT_DCT), "qcoeff": qcs,
+                             "eob": es, "ux": (x + txx) >> 2,
+                             "uy": (y + ty) >> 2})
+        dist1 = int(((src - pc.recon[y : y + bh_px, x : x + bw_px]) ** 2)
+                    .sum())
+        tc = self._txd_cost(bsize, is_inter)
+        rdm = self.md.rdmult
+        j0 = ((rate0 + int(tc[0])) * rdm >> 9) + (dist0 << 7)
+        j1 = ((rate1 + int(tc[1])) * rdm >> 9) + (dist1 << 7)
+        if j0 <= j1:
+            pc.recon[y : y + bh_px, x : x + bw_px] = d0_rec
+            return 0, base
+        return 1, subs
+
     def _commit_leaf(self, r: int, c: int, bsize: int, mode: int) -> LeafBlock:
         """Conformant encode of the decided mode: recon-neighbor
         prediction + exact transform/quant chain; no rate estimation."""
         md = self.md
         x, y = c * 4, r * 4
         pc = md.pctx[0]
-        tx_size = int(MAX_TX_SIZE_RECT[bsize])
-        qc, eob = self._pred_commit(pc, mode, x, y, tx_size, 0,
-                                    r > 0, c > 0)
-        txbs = [{"plane": 0, "plane_bsize": bsize, "tx_size": tx_size,
-                 "tx_type": int(TxType.DCT_DCT), "qcoeff": qc, "eob": eob,
-                 "ux": x >> 2, "uy": y >> 2}]
+
+        def commit_y(xx, yy, tx):
+            return self._pred_commit(pc, mode, xx, yy, tx, 0,
+                                     yy > 0, xx > 0)
+
+        tx_depth, txbs = self._luma_tx_trial(pc, commit_y, x, y, bsize,
+                                             False)
         bw4 = int(BLOCK_W[bsize]) >> 2
         bh4 = int(BLOCK_H[bsize]) >> 2
         if md._has_chroma(r, c, bw4, bh4):
@@ -331,7 +438,8 @@ class DeviceIntraMD:
                              "eob": eobc, "ux": cx >> 2, "uy": cy >> 2})
         skip = all(t["eob"] == 0 for t in txbs)
         return LeafBlock(bsize, y_mode=mode, uv_mode=int(IntraMode.DC),
-                         skip=skip, coeffs=None if skip else txbs)
+                         skip=skip, tx_depth=tx_depth,
+                         coeffs=None if skip else txbs)
 
 
 class DeviceInterMD(DeviceIntraMD):
@@ -385,6 +493,8 @@ class DeviceInterMD(DeviceIntraMD):
         sk = cdf_costs(md.cdfs.skip[0][0])
         self.skip0, self.skip1 = int(sk[0]), int(sk[1])
         self.psy_fixed = int(round(getattr(md, "psy_factor", 0.0) * 256))
+        self.tx_select = bool(getattr(fr, "tx_mode_select", False))
+        self._txd_tabs = None
 
     def rd_row(self) -> np.ndarray:
         """[rdmult, skip0, skip1, intra mode costs x M, NEWMV base x 8,
@@ -565,14 +675,17 @@ class DeviceInterMD(DeviceIntraMD):
 
         ref_pl0 = md.ref_planes[rf[0]]
         ref_pl1 = md.ref_planes[rf[1]]
-        tx_size = int(MAX_TX_SIZE_RECT[bsize])
-        pred = mc_block_compound(ref_pl0[0], ref_pl1[0], x, y, bw_px,
-                                 bh_px, mv0, mv1, 0, 0,
-                                 bit_depth=self.seq.bit_depth)
-        qc, eob = self._commit_pred(md.pctx[0], pred, x, y, tx_size, 0, ctx)
-        txbs = [{"plane": 0, "plane_bsize": bsize, "tx_size": tx_size,
-                 "tx_type": int(TxType.DCT_DCT), "qcoeff": qc, "eob": eob,
-                 "ux": x >> 2, "uy": y >> 2}]
+
+        def commit_y(xx, yy, tx):
+            from .constants import TX_H, TX_W
+
+            pr = mc_block_compound(ref_pl0[0], ref_pl1[0], xx, yy,
+                                   int(TX_W[tx]), int(TX_H[tx]), mv0, mv1,
+                                   0, 0, bit_depth=self.seq.bit_depth)
+            return self._commit_pred(md.pctx[0], pr, xx, yy, tx, 0, ctx)
+
+        tx_depth, txbs = self._luma_tx_trial(md.pctx[0], commit_y, x, y,
+                                             bsize, True)
         bw4, bh4 = bw_px >> 2, bh_px >> 2
         if md._has_chroma(r, c, bw4, bh4):
             ssx, ssy = md.pctx[1].ss_x, md.pctx[1].ss_y
@@ -599,6 +712,7 @@ class DeviceInterMD(DeviceIntraMD):
         return LeafBlock(bsize, skip=skip, is_inter=True, ref_frame=rf[0],
                          ref_frame1=rf[1], inter_mode=int(mode),
                          mv=tuple(mv0), mv1=tuple(mv1), drl_index=0,
+                         tx_depth=tx_depth,
                          coeffs=None if skip else txbs)
 
     def _commit_inter_leaf(self, r: int, c: int, bsize: int, ref_id: int,
@@ -635,13 +749,16 @@ class DeviceInterMD(DeviceIntraMD):
                 ctx = self._commit_ctx = False
 
         ref_pl = md.ref_planes[ref_id]
-        tx_size = int(MAX_TX_SIZE_RECT[bsize])
-        pred = mc_block(ref_pl[0], x, y, bw_px, bh_px, mv[0], mv[1], 0, 0,
-                        bit_depth=self.seq.bit_depth)
-        qc, eob = self._commit_pred(md.pctx[0], pred, x, y, tx_size, 0, ctx)
-        txbs = [{"plane": 0, "plane_bsize": bsize, "tx_size": tx_size,
-                 "tx_type": int(TxType.DCT_DCT), "qcoeff": qc, "eob": eob,
-                 "ux": x >> 2, "uy": y >> 2}]
+
+        def commit_y(xx, yy, tx):
+            from .constants import TX_H, TX_W
+
+            pr = mc_block(ref_pl[0], xx, yy, int(TX_W[tx]), int(TX_H[tx]),
+                          mv[0], mv[1], 0, 0, bit_depth=self.seq.bit_depth)
+            return self._commit_pred(md.pctx[0], pr, xx, yy, tx, 0, ctx)
+
+        tx_depth, txbs = self._luma_tx_trial(md.pctx[0], commit_y, x, y,
+                                             bsize, True)
         bw4, bh4 = bw_px >> 2, bh_px >> 2
         if md._has_chroma(r, c, bw4, bh4):
             ssx, ssy = md.pctx[1].ss_x, md.pctx[1].ss_y
@@ -665,6 +782,7 @@ class DeviceInterMD(DeviceIntraMD):
                               mode_has_newmv(int(mode)))
         return LeafBlock(bsize, skip=skip, is_inter=True, ref_frame=ref_id,
                          inter_mode=int(mode), mv=tuple(mv), drl_index=0,
+                         tx_depth=tx_depth,
                          coeffs=None if skip else txbs)
 
     def _commit_pred(self, pc, pred, x, y, tx_size, plane, ctx):

@@ -44,8 +44,10 @@ _I64P = ctypes.POINTER(ctypes.c_int64)
  LF_MVY_OUT, LF_MVX_OUT, LF_MODE_OUT, LF_DRL_OUT,
  LF_TXS_Y, LF_TXS_UV,
  LF_REF1, LF_MVY1, LF_MVX1, LF_MVY1_OUT, LF_MVX1_OUT,
- LF_RSVD) = range(29)
-LEAF_I32 = 29
+ LF_RSVD,
+ LF_TXD, LF_EOB_Y1, LF_EOB_Y2, LF_EOB_Y3,
+ LF_OFF_Y1, LF_OFF_Y2, LF_OFF_Y3) = range(36)
+LEAF_I32 = 36
 FLAG_INTER = 1
 FLAG_COMP = 2
 
@@ -186,6 +188,19 @@ class FrameCommitter:
         slots.append(len(leaves_arr))
         slots.append(p(qcoeff))
         slots.append(qcoeff.size)
+        # TX_MODE_SELECT commit-time depth trial (tx-size search)
+        tx_select = bool(getattr(fr, "tx_mode_select", False))
+        slots.append(1 if tx_select else 0)
+        from ..codec.md_device import txd_cost_tables
+        from ..codec.rd import compute_rdmult
+
+        rdmult_tab = np.zeros(256, np.int64)
+        for qi in qindexes:
+            rdmult_tab[qi] = compute_rdmult(qi, seq.bit_depth)
+        txd_intra, txd_inter = txd_cost_tables(md.cdfs, tx_select)
+        slots.append(p(rdmult_tab))
+        slots.append(p(np.ascontiguousarray(txd_intra)))
+        slots.append(p(np.ascontiguousarray(txd_inter)))
         return np.array(slots, np.int64)
 
     # ---- main entry ------------------------------------------------------
@@ -203,10 +218,10 @@ class FrameCommitter:
         leaves_arr = np.ascontiguousarray(np.stack(leaves))
         cap = 0
         for rec in leaves:
+            # full luma block area: a depth-1 tx split of a 64x64 block
+            # needs 4x 32x32 coefficient sets (> the capped max-rect)
             bs = int(rec[LF_BSIZE])
-            w = min(int(BLOCK_W[bs]), 32)
-            h = min(int(BLOCK_H[bs]), 32)
-            cap += w * h + 2 * 32 * 32
+            cap += int(BLOCK_W[bs]) * int(BLOCK_H[bs]) + 2 * 32 * 32
         qcoeff = np.empty(cap + 64, np.int32)
         qindexes = sorted({int(rec[LF_QIDX]) for rec in leaves})
         from ..codec.rdoq import arm_for
@@ -244,11 +259,28 @@ class FrameCommitter:
         out = []
         tx = int(rec[LF_TXS_Y])
         cw, ch = min(int(TX_W[tx]), 32), min(int(TX_H[tx]), 32)
-        off = int(rec[LF_OFF_Y])
-        out.append({"plane": 0, "plane_bsize": bsize, "tx_size": tx,
-                    "tx_type": int(TxType.DCT_DCT),
-                    "qcoeff": qcoeff[off : off + ch * cw].reshape(ch, cw),
-                    "eob": int(rec[LF_EOB_Y]), "ux": x >> 2, "uy": y >> 2})
+        if int(rec[LF_TXD]):
+            # depth-1 split: LF_TXS_Y already holds the sub-tx size; four
+            # sub-TUs in raster order (matches the C commit + vartx writer)
+            sw, sh = int(TX_W[tx]), int(TX_H[tx])
+            fields = ((LF_OFF_Y, LF_EOB_Y, 0, 0),
+                      (LF_OFF_Y1, LF_EOB_Y1, 0, sw),
+                      (LF_OFF_Y2, LF_EOB_Y2, sh, 0),
+                      (LF_OFF_Y3, LF_EOB_Y3, sh, sw))
+            for off_f, eob_f, ty, txx in fields:
+                off = int(rec[off_f])
+                out.append({"plane": 0, "plane_bsize": bsize, "tx_size": tx,
+                            "tx_type": int(TxType.DCT_DCT),
+                            "qcoeff": qcoeff[off : off + sh * sw]
+                            .reshape(sh, sw),
+                            "eob": int(rec[eob_f]),
+                            "ux": (x + txx) >> 2, "uy": (y + ty) >> 2})
+        else:
+            off = int(rec[LF_OFF_Y])
+            out.append({"plane": 0, "plane_bsize": bsize, "tx_size": tx,
+                        "tx_type": int(TxType.DCT_DCT),
+                        "qcoeff": qcoeff[off : off + ch * cw].reshape(ch, cw),
+                        "eob": int(rec[LF_EOB_Y]), "ux": x >> 2, "uy": y >> 2})
         uv_tx = int(rec[LF_TXS_UV])
         if uv_tx >= 0:
             md = self.md
@@ -276,9 +308,11 @@ class FrameCommitter:
         bsize = int(rec[LF_BSIZE])
         r, c = int(rec[LF_R]), int(rec[LF_C])
         skip = bool(rec[LF_SKIP])
+        txd = int(rec[LF_TXD])
         if not (rec[LF_FLAGS] & FLAG_INTER):
             leaf = LeafBlock(bsize, y_mode=int(rec[LF_YMODE]),
                              uv_mode=int(IntraMode.DC), skip=skip,
+                             tx_depth=txd,
                              coeffs=None if skip else self._txbs(rec, qcoeff))
             if md.mi_state is not None:
                 md.mi_state.set_block(r, c, bsize, -1, (0, 0), False)
@@ -311,7 +345,7 @@ class FrameCommitter:
             return LeafBlock(bsize, skip=skip, is_inter=True,
                              ref_frame=rf[0], ref_frame1=rf[1],
                              inter_mode=int(mode), mv=mv, mv1=mv1,
-                             drl_index=0,
+                             drl_index=0, tx_depth=txd,
                              coeffs=None if skip else self._txbs(rec, qcoeff))
         stack = find_mv_stack(md.mi_state, r, c, bsize, ref_id)
         if tuple(mv) == tuple(stack.mvs[0]):
@@ -326,4 +360,5 @@ class FrameCommitter:
                               mode_has_newmv(int(mode)))
         return LeafBlock(bsize, skip=skip, is_inter=True, ref_frame=ref_id,
                          inter_mode=int(mode), mv=mv, drl_index=0,
+                         tx_depth=txd,
                          coeffs=None if skip else self._txbs(rec, qcoeff))

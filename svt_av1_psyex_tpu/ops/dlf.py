@@ -362,7 +362,9 @@ def collect_lf_grids(sb_plans, mi_rows: int, mi_cols: int, sb_mi: int):
             bsize_g[r:r1, c:c1] = bsize
             skip_inter_g[r:r1, c:c1] = bool(leaf.skip) and leaf.is_inter
             skip_g[r:r1, c:c1] = bool(leaf.skip)
-            txd_g[r:r1, c:c1] = 0 if leaf.is_inter else leaf.tx_depth
+            # inter depth-1 is a uniform vartx split, so per-mi tx size is
+            # the split size everywhere in the block (same as intra depth)
+            txd_g[r:r1, c:c1] = leaf.tx_depth
             return
         half = max(BLOCK_W[bsize] >> 3, 1)
         sub = subsize_of(node.partition, bsize)
