@@ -177,7 +177,8 @@ def _quantize_analysis(coeffs, deq_dc, deq_ac, rnd_dc, rnd_ac, zbin_dc,
     scale = (1 << log_scale) / deq.astype(jnp.float32)
     qabs = jnp.floor((abs_c + rnd).astype(jnp.float32) * scale).astype(jnp.int32)
     qabs = jnp.where(abs_c >= zbin, jnp.maximum(qabs, 0), 0)
-    dq = (qabs * deq) >> log_scale
+    sign = jnp.where(coeffs < 0, -1, 1).astype(jnp.int32)
+    dq = sign * ((qabs * deq) >> log_scale)
     return qabs, dq
 
 

@@ -115,7 +115,8 @@ def _fullloop_kernel(resid_ref, kf_ref, ki_ref, spos_ref, qp_ref, out_ref,
     scale = float(1 << log_scale) / deq
     qabs = jnp.floor((abs_c + rnd) * scale).astype(jnp.int32)
     qabs = jnp.where(abs_c >= zbin, jnp.maximum(qabs, 0), 0)
-    dq = jax.lax.shift_right_arithmetic(
+    sign = jnp.where(c < 0, -1, 1)
+    dq = sign * jax.lax.shift_right_arithmetic(
         qabs * deq.astype(jnp.int32), log_scale)
 
     inv = jnp.dot(dq.astype(jnp.float32), ki_ref[...],

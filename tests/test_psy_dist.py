@@ -74,23 +74,23 @@ def test_psy_rd_changes_output_device_path():
     """Same no-silent-no-op guarantee on the DEVICE MD path (preset 8 is
     device-eligible since the round-3 gate lift): the lattice's psy
     energy term must be able to flip argmin winners, not just shift J.
-    Content: ramps + noise stripes + edge bands (found by search — the
-    reduced device candidate set flips less readily than host RDO)."""
+    Content: gaussian noise over a horizontal sine (found by search —
+    the reduced device candidate set flips less readily than host RDO,
+    and the analysis tier's exact signed-dequant recon narrows the psy
+    term's leverage to genuinely marginal mode ties)."""
     from svt_av1_psyex_tpu.bitstream.headers import SequenceConfig
     from svt_av1_psyex_tpu.codec.encoder import Av1Encoder
 
-    rng = np.random.default_rng(2)
-    yy, xx = np.mgrid[0:64, 0:64]
-    y = (xx * 2 + yy).astype(np.float32)
-    y += rng.normal(0, 18, (64, 64)) * ((xx // 8) % 2)
-    y += ((yy // 8) % 2) * 40
-    y = np.clip(y, 0, 255).astype(np.uint8)
+    rng = np.random.default_rng(6)
+    y = np.clip(rng.normal(128, 50, (64, 64))
+                + np.sin(np.arange(64) / 3)[None, :] * 40,
+                0, 255).astype(np.uint8)
     u = np.full((32, 32), 128, np.uint8)
     outs = []
-    for psy in (0.0, 6.0):
+    for psy in (0.0, 8.0):
         seq = SequenceConfig(width=64, height=64)
         enc = Av1Encoder(seq, preset=8, psy_rd=psy, tune=0)
-        outs.append(enc.encode_keyframe([y.copy(), u.copy(), u.copy()], 120))
+        outs.append(enc.encode_keyframe([y.copy(), u.copy(), u.copy()], 140))
     assert outs[0] != outs[1]
 
 
