@@ -104,9 +104,10 @@ class EncoderConfig:
     enable_variance_boost: bool = True
     enable_tf: bool = True  # alt-ref temporal filtering (RA anchors)
     variance_boost_strength: int = 2
-    variance_octile: int = 6
+    variance_octile: int = 5  # enc_settings.c:1095
     variance_boost_curve: int = 0
-    tune: int = 1  # 0 VQ, 1 PSNR, 2 SSIM, 3 Subjective SSIM, 4 Still [partial]
+    tune: int = 0  # 0 VQ (PSYEX default, enc_settings.c:1050), 1 PSNR,
+    #                2 SSIM, 3 Subjective SSIM, 4 Still [partial]
     sharpness: int = 0
     luminance_qp_bias: int = 0  # 0-100: more bits for darker frames
     psy_rd: float = 1.0  # SA8D energy-delta distortion (ops/psy_dist.py);

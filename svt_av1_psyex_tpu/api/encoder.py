@@ -61,6 +61,10 @@ class SvtAv1Encoder:
         self._eos_emitted = False
         self._enc: Av1Encoder | None = None
         self._seq: SequenceConfig | None = None
+        # per-DPB-slot (qindex, temporal layer) of the picture held there
+        # (the reference's ref_pic_qp_array source; crf_qindex_calc reads
+        # the nearest list0/list1 refs' coded q through this)
+        self._slot_q: dict = {}
 
     # ---- configuration -------------------------------------------------------
     def set_parameter(self, config: EncoderConfig) -> None:
@@ -357,6 +361,15 @@ class SvtAv1Encoder:
         while self._in_q:
             disp0 = self._in_q[0][1]
             if self._in_q[0][2] or self._keyframe_due(disp0):
+                # TPL needs the lookahead window buffered behind the key
+                # frame before it can measure propagation into it (the
+                # reference's IRC lad queue fills before QPS runs); don't
+                # pop until it's there or EOS bounds it.
+                if self._tpl_on() and not self._rc and not self._eos_sent:
+                    la = self.config.look_ahead_distance
+                    la = 11 if la < 0 else min(la, 32)
+                    if len(self._in_q) - 1 < la:
+                        return
                 planes, pts, _ = self._in_q.popleft()
                 if (self.config.enable_tf and self.config.kf_tf_strength > 0
                         and self.config.enc_mode <= 9 and self._in_q):
@@ -379,20 +392,35 @@ class SvtAv1Encoder:
                 else:
                     q = self.config.qindex
                     if self._tpl_on():
-                        from ..codec.tpl import run_tpl, tpl_frame_qindex
+                        from ..codec.tpl import (
+                            crf_qindex_calc,
+                            r0_adjust_factor,
+                            reduced_tpl_group_level,
+                            run_tpl,
+                        )
 
                         la = self.config.look_ahead_distance
                         la = 11 if la < 0 else min(la, 32)
                         look = [planes[0]] + [p[0] for p, _, _ in
                                               list(self._in_q)[:la]]
                         tpl = run_tpl(look, q,
-                                      self.config.encoder_bit_depth)
-                        q = tpl_frame_qindex(
-                            q, tpl.r0(0), 0, 2, True,
-                            self.config.encoder_bit_depth,
-                            self.config.qp_scale_compress_strength)
+                                      self.config.encoder_bit_depth,
+                                      compute_rate=self.config.enc_mode <= 2)
+                        hl = max(self._max_minigop().bit_length() - 1, 1)
+                        rtg = reduced_tpl_group_level(
+                            self.config.enc_mode, hl, True,
+                            self._small_res())
+                        q = crf_qindex_calc(
+                            q, is_intra=True, layer=0, hl=hl, leaf=False,
+                            r0=tpl.r0(0),
+                            adj=r0_adjust_factor(rtg, hl, True),
+                            tpl_group_size=len(look),
+                            bit_depth=self.config.encoder_bit_depth,
+                            qp_scale_compress_strength=self.config
+                            .qp_scale_compress_strength)
                         self._kf_q = q
                 q = self._q_override(pts, q, 0, True)
+                self._slot_q = {s: (q, 0) for s in range(8)}  # KF refreshes all
                 kplan = plan_key(pts)
                 kplan.chroma_q_offset = self._chroma_layer_offset(0, True)
                 if self._rc:
@@ -409,7 +437,14 @@ class SvtAv1Encoder:
             # frame was flagged force-key at ingest)
             cut = next((k for k in range(1, avail) if self._in_q[k][2]),
                        None)
-            if cut is None and avail < min(max_mg, gap) and not self._eos_sent:
+            want = min(max_mg, gap)
+            if self._tpl_on() and not self._rc:
+                # buffer a TPL lookahead window past the mini-GOP so the
+                # ARF's r0 sees its dependents (the reference's lad_mg
+                # minigop(s) in the lad queue)
+                la = self.config.look_ahead_distance
+                want += 8 if la < 0 else min(la, 32)
+            if cut is None and avail < want and not self._eos_sent:
                 return  # wait for more lookahead
             length = min(max_mg, gap, avail)
             if cut is not None:
@@ -454,7 +489,13 @@ class SvtAv1Encoder:
                 import os as _os
                 import time as _time
 
-                from ..codec.tpl import run_tpl, tpl_frame_qindex
+                from ..codec.tpl import (
+                    crf_qindex_calc,
+                    r0_adjust_factor,
+                    reduced_tpl_group_level,
+                    run_tpl,
+                    uses_qstep_calc,
+                )
 
                 _t0 = _time.perf_counter()
                 ordered = [srcs[d][0] for d in sorted(srcs)]
@@ -462,21 +503,36 @@ class SvtAv1Encoder:
                 la = 8 if la < 0 else min(la, 32)
                 look = ordered + [p[0] for p, _, _ in list(self._in_q)[:la]]
                 tpl = run_tpl(look, self.config.qindex,
-                              self.config.encoder_bit_depth)
+                              self.config.encoder_bit_depth,
+                              compute_rate=self.config.enc_mode <= 2)
                 if _os.environ.get("SVT_TPU_TIMING") == "1":
                     self._enc._tick("tpl", _t0)
                 hl = max(length.bit_length() - 1, 1)  # 4 -> 2 layers
-                arf_q = tpl_frame_qindex(
-                    self.config.qindex, tpl.r0(length - 1), 0, hl, False,
-                    self.config.encoder_bit_depth,
-                    self.config.qp_scale_compress_strength)
-                tpl_q = {0: arf_q}
-                for layer in range(1, hl + 1):
-                    tpl_q[layer] = tpl_frame_qindex(
-                        self.config.qindex, 1.0, layer, hl, False,
-                        self.config.encoder_bit_depth,
-                        self.config.qp_scale_compress_strength,
-                        arf_q=arf_q)
+                rtg = reduced_tpl_group_level(
+                    self.config.enc_mode, hl, False, self._small_res())
+                adj = r0_adjust_factor(rtg, hl, False)
+                group_sz = len(look)
+                cfg_q = self.config.qindex
+                bd = self.config.encoder_bit_depth
+                qpscs = self.config.qp_scale_compress_strength
+
+                def tpl_q(pl) -> int:  # noqa: F811 — per-frame ladder
+                    """crf_qindex_calc per frame: own r0 for qstep-
+                    eligible layers, nearest-ref q/layer otherwise."""
+                    gi = pl.disp_idx - disp0
+                    refs = [pl.refs.get(n) for n in (1, 5, 7)]  # LAST,
+                    refs = [s for s in refs if s is not None]   # BWD, ALT
+                    rq = [self._slot_q[s] for s in refs[:2]
+                          if s in self._slot_q]
+                    return crf_qindex_calc(
+                        cfg_q, is_intra=False, layer=pl.layer, hl=hl,
+                        leaf=pl.layer >= hl and not pl.refresh_flags,
+                        r0=tpl.r0(min(gi, group_sz - 1)), adj=adj,
+                        tpl_group_size=group_sz,
+                        ref_qs=tuple(q for q, _l in rq),
+                        ref_layers=tuple(_l for q, _l in rq),
+                        use_qstep=uses_qstep_calc(pl.layer, hl, rtg),
+                        bit_depth=bd, qp_scale_compress_strength=qpscs)
             # resolve per-plan q up front, then walk the coded order in
             # layer runs: all frames of a run are begun together (their
             # device analyses queue asynchronously) and resumed in order,
@@ -492,8 +548,8 @@ class SvtAv1Encoder:
                                               complexity=self._fp_w(pl.disp_idx))
                     pl.q_offset = 0  # RC owns the per-layer allocation
                 elif tpl_q is not None and not is_se:
-                    q = tpl_q.get(pl.layer, self.config.qindex)
-                    pl.q_offset = 0  # TPL owns the per-layer ladder
+                    q = tpl_q(pl)
+                    pl.q_offset = 0  # TPL owns the per-frame ladder
                 else:
                     q = self.config.qindex
                 if not is_se:
@@ -516,6 +572,10 @@ class SvtAv1Encoder:
                             q + pl.q_offset, avg, pl.layer,
                             self.config.luminance_qp_bias) - pl.q_offset,
                         1, 255))
+                if not is_se and pl.refresh_flags:
+                    for s in range(8):
+                        if pl.refresh_flags & (1 << s):
+                            self._slot_q[s] = (q + pl.q_offset, pl.layer)
                 return q
 
             items = [(pl, srcs.get(pl.disp_idx),
@@ -571,6 +631,12 @@ class SvtAv1Encoder:
         if hl > 0:
             return 1 << min(hl, 4)
         return 16 if self.config.enc_mode <= 10 else 8
+
+    def _small_res(self) -> bool:
+        """input_resolution <= INPUT_SIZE_480p_RANGE (reference
+        resolution bands; 480p band tops out at 832x480 pixels)."""
+        return (self.config.source_width * self.config.source_height
+                <= 832 * 480)
 
     def _tpl_on(self) -> bool:
         return bool(self.config.enable_tpl_la) and self.config.enc_mode <= 11

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..bitstream.tables import ac_q
+from ..bitstream.tables import dc_q
 from .rd import compute_rdmult
 
 BLK = 16
@@ -191,15 +191,141 @@ class TplModel:
 
 def qindex_from_qstep_ratio(leaf_qindex: int, ratio: float,
                             bit_depth: int) -> int:
-    """svt_av1_get_q_index_from_qstep_ratio: the qindex whose AC qstep
-    best matches ratio * qstep(leaf_qindex)."""
-    target = ac_q(leaf_qindex, bit_depth) * ratio
-    best, best_d = leaf_qindex, None
-    for q in range(256):
-        d = abs(ac_q(q, bit_depth) - target)
-        if best_d is None or d < best_d:
-            best, best_d = q, d
-    return best
+    """svt_av1_get_q_index_from_qstep_ratio (rc_process.c:758): the
+    directional scan from leaf_qindex to the first qindex whose DC
+    qstep crosses ratio * dc_qstep(leaf_qindex)."""
+    target = dc_q(leaf_qindex, bit_depth) * ratio
+    q = leaf_qindex
+    if ratio < 1.0:
+        while q > 0 and dc_q(q, bit_depth) > target:
+            q -= 1
+    else:
+        while q < 255 and dc_q(q, bit_depth) < target:
+            q += 1
+    return q
+
+
+def reduced_tpl_group_level(preset: int, hl: int, is_intra: bool,
+                            is_small_res: bool = True) -> int:
+    """tpl_ctrls.reduced_tpl_group (svt_aom_set_tpl_group,
+    initial_rc_process.c:182-236): the highest temporal layer whose
+    frames participate in TPL (-1 = all layers)."""
+    if preset <= 5:
+        rtg = -1
+    elif preset <= 8:
+        rtg = 4 if hl == 5 else 3
+    else:
+        if hl == 5:
+            rtg = 2 if is_intra else (3 if is_small_res else 1)
+        elif hl == 4:
+            rtg = 2 if is_intra else (2 if is_small_res else 1)
+        else:
+            rtg = 3 if is_intra else (2 if is_small_res else 0)
+    if hl <= rtg:
+        rtg = -1
+    return rtg
+
+
+def r0_adjust_factor(rtg: int, hl: int, is_intra: bool,
+                     has_lookahead: bool = True) -> float:
+    """tpl_ctrls.r0_adjust_factor (initial_rc_process.c:238-278):
+    compensates r0 for TPL seeing only layers <= reduced_tpl_group."""
+    if rtg >= 0:
+        d = hl - rtg
+        if d == 1:
+            adj = 0.4 if hl <= 2 else (0.8 if hl <= 3 else 1.6)
+        elif d == 2:
+            adj = 0.6 if hl <= 2 else (1.2 if hl <= 3 else 2.4)
+        elif d == 3:
+            adj = 1.4 if hl <= 3 else 2.8
+        elif d == 4:
+            adj = 4.0
+        elif d == 5:
+            adj = 6.0
+        else:
+            adj = 0.0
+        if not has_lookahead:
+            adj *= 1.25
+    else:
+        adj = 0.0
+        if not has_lookahead and is_intra:
+            adj = 0.4 if hl <= 2 else (0.8 if hl <= 3 else 1.6)
+    return adj
+
+
+def uses_qstep_calc(layer: int, hl: int, rtg: int) -> bool:
+    """r0_based_qps_qpm for CRF (initial_rc_process.c:700-710)."""
+    use = layer == 0 or ((hl == 5 and layer <= 2)
+                         or (hl >= 4 and layer <= 1))
+    if use and rtg >= 0 and layer > rtg:
+        use = False
+    return use
+
+
+def crf_qindex_calc(cq_qindex: int, *, is_intra: bool, layer: int,
+                    hl: int, leaf: bool, r0: float | None,
+                    adj: float, tpl_group_size: int,
+                    ref_qs: tuple = (), ref_layers: tuple = (),
+                    use_qstep: bool = True, ref_intra_pct: int = 0,
+                    bit_depth: int = 8,
+                    qp_scale_compress_strength: float = 1.0,
+                    has_lookahead: bool = True) -> int:
+    """One-pass CRF per-frame qindex (crf_qindex_calc,
+    rc_process.c:781-975), host-side mirror:
+
+      * I / base / eligible mid-layers: qstep-ratio path — r0 scaled by
+        r0_adjust_factor + the GOP div tables, sqrt(r0)-weighted DC
+        qstep ratio, scanned into a qindex;
+      * other non-leaf layers: interpolate the refs' actual q toward
+        the CRF level, one step per temporal-layer delta vs the refs;
+      * leaves: the CRF level itself;
+      * every non-base frame is floored at its refs' q (MAX(abq, arf_q)).
+
+    ref_qs / ref_layers describe the frame's nearest list0/list1 refs
+    (ref_pic_qp_array[x][0]); the qp round-trip through the 0-63
+    quantizer scale is mirrored with the qpscs != 0 exact conversion
+    (rc_process.c:806-815)."""
+    hl = min(hl, 5)
+    cq = int(cq_qindex)
+    # rc->arf_q from the refs' coded q (qp-quantized round trip)
+    arf_q = 0
+    for rq in ref_qs:
+        arf_q = max(arf_q, (int(rq) >> 2) << 2)
+
+    if use_qstep and r0 is not None:
+        if is_intra:
+            if adj:
+                r0 = r0 / adj
+            r0 = r0 / _ISLICE_DIV[hl]
+            weight = _R0_WEIGHT[0]
+        else:
+            if adj:
+                r0 = r0 / adj
+                r0 = r0 / _BASE_DIV[hl]
+            weight = _R0_WEIGHT[1] if layer == 0 else _R0_WEIGHT[2]
+            if has_lookahead and tpl_group_size < (2 << hl):
+                weight = min(weight + 0.1, 1.0)
+        qstep_ratio = float(np.sqrt(r0)) * weight \
+            * (1.0 + qp_scale_compress_strength * 0.125)
+        if qp_scale_compress_strength:
+            qstep_ratio = min(weight, qstep_ratio)
+        q = qindex_from_qstep_ratio(cq, qstep_ratio, bit_depth)
+        if not is_intra:
+            arf_q = q
+        abq = int(np.clip(q, 1, cq))
+    else:
+        abq = cq
+        if layer > 0 and not leaf and not is_intra:
+            w1, w2 = _W_REF[hl], _W_WQ[hl]
+            if hl == 5:
+                w1 += ref_intra_pct
+            abq = arf_q
+            delta = layer - (max(ref_layers) if ref_layers else 0)
+            for _ in range(max(delta, 0)):
+                abq = (w1 * abq + w2 * cq + (w1 + w2) // 2) // (w1 + w2)
+    if layer:
+        abq = max(abq, arf_q)
+    return int(np.clip(abq, 1, 255))
 
 
 def tpl_frame_qindex(base_qindex: int, r0: float, layer: int,
@@ -207,30 +333,23 @@ def tpl_frame_qindex(base_qindex: int, r0: float, layer: int,
                      bit_depth: int = 8,
                      qp_scale_compress_strength: float = 1.0,
                      arf_q: int | None = None) -> int:
-    """crf_qindex_calc's qstep-ratio core (rc_process.c:823-932)."""
-    hl = min(hierarchical_levels, 5)
-    if is_intra:
-        r0 = r0 / _ISLICE_DIV[hl]
-        weight = _R0_WEIGHT[0]
-    elif layer == 0:
-        r0 = r0 / _BASE_DIV[hl]
-        weight = _R0_WEIGHT[1]
-    else:
-        # non-base: interpolate the base (arf) q toward the worst q per
-        # temporal-layer step (rc_process.c:900-912)
-        assert arf_q is not None
-        w1, w2 = _W_REF[hl], _W_WQ[hl]
-        abq = arf_q
-        for _ in range(layer):
-            abq = (w1 * abq + w2 * base_qindex + (w1 + w2) // 2) // (w1 + w2)
-        return int(np.clip(max(abq, arf_q), 1, base_qindex))
-
-    qstep_ratio = np.sqrt(r0) * weight \
-        * (1.0 + qp_scale_compress_strength * 0.125)
-    if qp_scale_compress_strength:
-        qstep_ratio = min(weight, qstep_ratio)
-    q = qindex_from_qstep_ratio(base_qindex, qstep_ratio, bit_depth)
-    return int(np.clip(q, 1, base_qindex))
+    """Legacy per-layer ladder shim over crf_qindex_calc (kept for the
+    VBR/two-pass paths that don't track per-frame ref q)."""
+    if is_intra or layer == 0:
+        return crf_qindex_calc(
+            base_qindex, is_intra=is_intra, layer=layer,
+            hl=hierarchical_levels, leaf=False, r0=r0, adj=0.0,
+            tpl_group_size=1 << hierarchical_levels,
+            bit_depth=bit_depth,
+            qp_scale_compress_strength=qp_scale_compress_strength)
+    assert arf_q is not None
+    return crf_qindex_calc(
+        base_qindex, is_intra=False, layer=layer,
+        hl=hierarchical_levels, leaf=False, r0=None, adj=0.0,
+        tpl_group_size=1 << hierarchical_levels,
+        ref_qs=(arf_q,), ref_layers=(0,), use_qstep=False,
+        bit_depth=bit_depth,
+        qp_scale_compress_strength=qp_scale_compress_strength)
 
 
 TPL_BUCKETS = (16, 32)
@@ -246,7 +365,7 @@ def tpl_bucket(n: int) -> int:
 
 
 def run_tpl(group_lumas: list, base_qindex: int,
-            bit_depth: int = 8) -> TplModel:
+            bit_depth: int = 8, compute_rate: bool = False) -> TplModel:
     """Pad + stack the group's source lumas, run the device dispenser,
     build the host model."""
     import jax
@@ -286,4 +405,5 @@ def run_tpl(group_lumas: list, base_qindex: int,
     stats = retry_device(lambda: np.asarray(tpl_group_stats(
         jax.device_put(srcs.astype(lum_dt)), jax.device_put(qp),
         bit_depth=bit_depth)))[:n_real]
-    return TplModel(stats, base_qindex, bit_depth)
+    return TplModel(stats, base_qindex, bit_depth,
+                    compute_rate=compute_rate)
