@@ -419,9 +419,14 @@ class SvtAv1Encoder:
                             qp_scale_compress_strength=self.config
                             .qp_scale_compress_strength)
                         self._kf_q = q
+                        self._kf_betas = tpl.sb_beta(
+                            0, self.config.source_width,
+                            self.config.source_height)
                 q = self._q_override(pts, q, 0, True)
                 self._slot_q = {s: (q, 0) for s in range(8)}  # KF refreshes all
                 kplan = plan_key(pts)
+                kplan.tpl_betas = getattr(self, "_kf_betas", None)
+                self._kf_betas = None
                 kplan.chroma_q_offset = self._chroma_layer_offset(0, True)
                 if self._rc:
                     tu = self._encode_rc(planes, q, plan=kplan)
@@ -524,6 +529,11 @@ class SvtAv1Encoder:
                     refs = [s for s in refs if s is not None]   # BWD, ALT
                     rq = [self._slot_q[s] for s in refs[:2]
                           if s in self._slot_q]
+                    if uses_qstep_calc(pl.layer, hl, rtg):
+                        pl.tpl_betas = tpl.sb_beta(
+                            min(gi, group_sz - 1),
+                            self.config.source_width,
+                            self.config.source_height)
                     return crf_qindex_calc(
                         cfg_q, is_intra=False, layer=pl.layer, hl=hl,
                         leaf=pl.layer >= hl and not pl.refresh_flags,

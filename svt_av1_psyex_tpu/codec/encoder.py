@@ -451,9 +451,21 @@ class Av1Encoder:
 
             luma = self._pad_plane(np.asarray(planes[0]), self.aligned_w,
                                    self.aligned_h).astype(np.int64)
+            # TPL QPM offsets precede the boost for r0-based frames
+            # (svt_aom_sb_qp_derivation_tpl_la, rc_process.c:1626)
+            qpm = None
+            betas = getattr(plan, "tpl_betas", None) if plan is not None \
+                else None
+            if betas is not None:
+                from .tpl import get_deltaq_offset
+
+                qpm = np.array(
+                    [[get_deltaq_offset(base_q_idx, float(b), is_key,
+                                        seq.bit_depth) for b in row]
+                     for row in np.asarray(betas)], np.int32)
             new_base, sb_qmap, res = variance_adjust_qp(
                 luma, base_q_idx, self.vb_strength, self.vb_octile,
-                self.vb_curve, seq.bit_depth)
+                self.vb_curve, seq.bit_depth, qpm_offsets=qpm)
             fr.base_q_idx = new_base
             if self.low_q_taper and sb_qmap is not None:
                 from .psy import low_q_taper as _taper

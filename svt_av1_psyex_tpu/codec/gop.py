@@ -34,6 +34,7 @@ class FramePlan:
     refresh_flags: int = 0
     primary_ref_name: int | None = None  # named ref carrying the CDFs
     layer: int = 0
+    tpl_betas: object = None  # per-SB TPL beta grid (QPM input) or None
     q_offset: int = 0
     chroma_q_offset: int = 0  # per-layer chroma qindex offset (config)
 

@@ -48,13 +48,21 @@ def compute_qdelta_fp(qstart_fp8: int, qtarget_fp8: int, bit_depth: int) -> int:
 
 def sb_variances_8x8(luma: np.ndarray, sb_x: int, sb_y: int) -> np.ndarray:
     """64 integer variances of the 8x8 sub-blocks of one 64x64 SB
-    (edge SBs use the aligned/padded plane)."""
+    (edge SBs use the aligned/padded plane).
+
+    Mirrors the default BLOCK_MEAN_PREC_SUB picture-analysis path
+    (enc_handle.c:4280, pic_analysis_process.c:240-268): means and
+    mean-squares are sampled over the EVEN rows only, in the <<8 / <<16
+    fixed-point domains, with the final >>16 floor. Verified bit-exact
+    against the reference's DEBUG_VAR_BOOST variance dumps."""
     blk = luma[sb_y : sb_y + 64, sb_x : sb_x + 64].astype(np.int64)
-    t = blk.reshape(8, 8, 8, 8).transpose(0, 2, 1, 3).reshape(64, 64)
-    s = t.sum(axis=1)
-    s2 = (t * t).sum(axis=1)
-    # integer variance: E[x^2] - E[x]^2 (floor semantics like the reference)
-    return (s2 // 64 - (s // 64) ** 2).astype(np.int64)
+    t = blk.reshape(8, 8, 8, 8).transpose(0, 2, 1, 3).reshape(64, 8, 8)
+    sub = t[:, 0::2, :]  # svt_compute_sub_mean_8x8: every other row
+    s = sub.sum(axis=(1, 2))
+    s2 = (sub * sub).sum(axis=(1, 2))
+    mean_fp8 = s << 3        # (sum << 8) / 32
+    meansq_fp16 = s2 << 11   # (sumsq << 16) / 32
+    return ((meansq_fp16 - mean_fp8 * mean_fp8) >> 16).astype(np.int64)
 
 
 def variance_boost(base_q_idx: int, variances: np.ndarray, strength: int,
@@ -86,8 +94,14 @@ def variance_boost(base_q_idx: int, variances: np.ndarray, strength: int,
 
 def variance_adjust_qp(luma_aligned: np.ndarray, base_q_idx: int, strength: int,
                        octile: int, curve: int, bit_depth: int,
-                       sb_size: int = 64) -> tuple[int, np.ndarray, int]:
+                       sb_size: int = 64,
+                       qpm_offsets: np.ndarray | None = None
+                       ) -> tuple[int, np.ndarray, int]:
     """svt_variance_adjust_qp + normalize_sb_delta_q equivalent.
+
+    qpm_offsets: optional per-SB TPL QPM qindex offsets applied BEFORE
+    the variance boost (svt_aom_sb_qp_derivation_tpl_la order: QPM then
+    boost then base normalization, rc_process.c:1626/1543).
 
     Returns (new_base_q_idx, per-SB qindex map (rows, cols), delta_q_res).
     """
@@ -103,10 +117,17 @@ def variance_adjust_qp(luma_aligned: np.ndarray, base_q_idx: int, strength: int,
     qmap = np.zeros((rows, cols), np.int32)
     for r in range(rows):
         for c in range(cols):
+            sb_q = base_q_idx
+            if qpm_offsets is not None:
+                off = int(qpm_offsets[r, c])
+                off = int(np.clip(off, -143, 143))  # +-(delta_q_res*9*4-1)
+                sb_q = int(np.clip(sb_q + off, 1, 255))
             variances = sb_variances_8x8(luma_aligned, c * sb_size, r * sb_size)
-            boost = variance_boost(base_q_idx, variances, strength, bit_depth,
-                                   octile, curve)
-            qmap[r, c] = np.clip(base_q_idx - boost, 1, 255)
+            # boost derives from the FRAME base q; it subtracts from the
+            # QPM-adjusted SB qindex (svt_variance_adjust_qp)
+            boost = variance_boost(base_q_idx, variances, strength,
+                                   bit_depth, octile, curve)
+            qmap[r, c] = np.clip(sb_q - boost, 1, 255)
 
     min_q = int(qmap.min())
     max_q = int(qmap.max())

@@ -165,6 +165,29 @@ class TplModel:
             return 1.0
         return r0
 
+    def sb_beta(self, i: int, width: int, height: int,
+                sb: int = 64) -> np.ndarray:
+        """Per-SB beta = r0 / rk (generate_r0beta second pass,
+        src_ops_process.c:1665): the TPL QPM input (raw r0, before the
+        crf_qindex_calc adjust/div scaling)."""
+        r0 = self.r0(i)
+        nsy = (height + sb - 1) // sb
+        nsx = (width + sb - 1) // sb
+        g = sb // BLK
+        out = np.ones((nsy, nsx))
+        delta = _rdcost(self.base_rdmult, self.mc_dep_rate[i],
+                        self.mc_dep_dist[i])
+        for sy in range(nsy):
+            for sx in range(nsx):
+                rs = int(self.recrf_dist[i][sy * g : (sy + 1) * g,
+                                            sx * g : (sx + 1) * g].sum())
+                ds = int(delta[sy * g : (sy + 1) * g,
+                               sx * g : (sx + 1) * g].sum())
+                if rs > 0:
+                    rk = (rs << RDDIV_BITS) / ((rs << RDDIV_BITS) + ds)
+                    out[sy, sx] = r0 / rk
+        return out
+
     def sb_rdmult_scale(self, i: int, width: int, height: int,
                         sb: int = 64) -> np.ndarray:
         """Per-SB lambda scaling factors = 1.2 + rk/r0
@@ -203,6 +226,31 @@ def qindex_from_qstep_ratio(leaf_qindex: int, ratio: float,
         while q < 255 and dc_q(q, bit_depth) < target:
             q += 1
     return q
+
+
+def get_deltaq_offset(qindex: int, beta: float, is_intra: bool,
+                      bit_depth: int = 8) -> int:
+    """svt_av1_get_deltaq_offset (rc_process.c:567): per-SB TPL QPM
+    qindex offset from beta, via a DC-qstep walk."""
+    q = dc_q(qindex, bit_depth)
+    if not is_intra and beta > 1:
+        newq = int(round(q / np.sqrt(np.sqrt(beta))))
+    else:
+        newq = int(round(q / np.sqrt(beta)))
+    orig = qindex
+    if newq == q:
+        return 0
+    if newq < q:
+        while qindex > 0:
+            qindex -= 1
+            if newq >= dc_q(qindex, bit_depth):
+                break
+    else:
+        while qindex < 255:
+            qindex += 1
+            if newq <= dc_q(qindex, bit_depth):
+                break
+    return qindex - orig
 
 
 def reduced_tpl_group_level(preset: int, hl: int, is_intra: bool,
