@@ -403,18 +403,28 @@ class SvtAv1Encoder:
                         la = 11 if la < 0 else min(la, 32)
                         look = [planes[0]] + [p[0] for p, _, _ in
                                               list(self._in_q)[:la]]
-                        tpl = run_tpl(look, q,
-                                      self.config.encoder_bit_depth,
-                                      compute_rate=self.config.enc_mode <= 2)
                         hl = max(self._max_minigop().bit_length() - 1, 1)
                         rtg = reduced_tpl_group_level(
                             self.config.enc_mode, hl, True,
                             self._small_res())
+                        # reduced TPL group: drop layers > rtg from the
+                        # propagation chain (validate_pic_for_tpl) — the
+                        # anchor is offset 0, so keep offsets divisible
+                        # by the layer stride
+                        stride = 1 << max(0, hl - rtg) if rtg >= 0 else 1
+                        full_n = len(look)
+                        if stride > 1:
+                            look = [look[0]] + [look[j] for j in
+                                                range(stride, full_n,
+                                                      stride)]
+                        tpl = run_tpl(look, q,
+                                      self.config.encoder_bit_depth,
+                                      compute_rate=self.config.enc_mode <= 2)
                         q = crf_qindex_calc(
                             q, is_intra=True, layer=0, hl=hl, leaf=False,
                             r0=tpl.r0(0),
                             adj=r0_adjust_factor(rtg, hl, True),
-                            tpl_group_size=len(look),
+                            tpl_group_size=full_n,
                             bit_depth=self.config.encoder_bit_depth,
                             qp_scale_compress_strength=self.config
                             .qp_scale_compress_strength)
@@ -507,16 +517,24 @@ class SvtAv1Encoder:
                 la = self.config.look_ahead_distance
                 la = 8 if la < 0 else min(la, 32)
                 look = ordered + [p[0] for p, _, _ in list(self._in_q)[:la]]
-                tpl = run_tpl(look, self.config.qindex,
-                              self.config.encoder_bit_depth,
-                              compute_rate=self.config.enc_mode <= 2)
-                if _os.environ.get("SVT_TPU_TIMING") == "1":
-                    self._enc._tick("tpl", _t0)
                 hl = max(length.bit_length() - 1, 1)  # 4 -> 2 layers
                 rtg = reduced_tpl_group_level(
                     self.config.enc_mode, hl, False, self._small_res())
                 adj = r0_adjust_factor(rtg, hl, False)
                 group_sz = len(look)
+                # reduced TPL group (validate_pic_for_tpl): keep frames
+                # whose offset from the anchor (group index + 1) rides a
+                # layer <= rtg; the chain then predicts across the kept
+                # frames only, like the reference's reduced dispenser
+                stride = 1 << max(0, hl - rtg) if rtg >= 0 else 1
+                if stride > 1:
+                    look = [look[j] for j in range(stride - 1, group_sz,
+                                                   stride)]
+                tpl = run_tpl(look, self.config.qindex,
+                              self.config.encoder_bit_depth,
+                              compute_rate=self.config.enc_mode <= 2)
+                if _os.environ.get("SVT_TPU_TIMING") == "1":
+                    self._enc._tick("tpl", _t0)
                 cfg_q = self.config.qindex
                 bd = self.config.encoder_bit_depth
                 qpscs = self.config.qp_scale_compress_strength
@@ -525,19 +543,22 @@ class SvtAv1Encoder:
                     """crf_qindex_calc per frame: own r0 for qstep-
                     eligible layers, nearest-ref q/layer otherwise."""
                     gi = pl.disp_idx - disp0
+                    # reduced-group stats index: offset gi+1 -> chain pos
+                    ti = min((gi + 1) // stride - 1 if stride > 1 else gi,
+                             len(look) - 1)
+                    ti = max(ti, 0)
                     refs = [pl.refs.get(n) for n in (1, 5, 7)]  # LAST,
                     refs = [s for s in refs if s is not None]   # BWD, ALT
                     rq = [self._slot_q[s] for s in refs[:2]
                           if s in self._slot_q]
                     if uses_qstep_calc(pl.layer, hl, rtg):
                         pl.tpl_betas = tpl.sb_beta(
-                            min(gi, group_sz - 1),
-                            self.config.source_width,
+                            ti, self.config.source_width,
                             self.config.source_height)
                     return crf_qindex_calc(
                         cfg_q, is_intra=False, layer=pl.layer, hl=hl,
                         leaf=pl.layer >= hl and not pl.refresh_flags,
-                        r0=tpl.r0(min(gi, group_sz - 1)), adj=adj,
+                        r0=tpl.r0(ti), adj=adj,
                         tpl_group_size=group_sz,
                         ref_qs=tuple(q for q, _l in rq),
                         ref_layers=tuple(_l for q, _l in rq),
