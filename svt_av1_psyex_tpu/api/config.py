@@ -112,7 +112,7 @@ class EncoderConfig:
     luminance_qp_bias: int = 0  # 0-100: more bits for darker frames
     psy_rd: float = 1.0  # SA8D energy-delta distortion (ops/psy_dist.py);
     # reference default 1.0 (enc_settings.c:1108); inert under tune 1
-    spy_rd: int = 0  # [pending]
+    spy_rd: int = 0  # PSYEX alternate psy RD (0 off / 1 full / 2 partial)
     sharp_tx: int = 1  # keeps luma detail: disables RDOQ down-rounding
     hbd_mds: int = 0  # [pending]
     complex_hvs: int = 0  # [pending]
@@ -122,7 +122,7 @@ class EncoderConfig:
     tf_strength: int = 1  # alt-ref TF decay scale (0 weakest..4 strongest)
     kf_tf_strength: int = 1  # keyframe TF strength (0 off .. 4)
     qp_scale_compress_strength: float = 1.0  # TPL qstep-ratio compression
-    max_32_tx_size: bool = False  # [pending]
+    max_32_tx_size: bool = False  # cap luma TX at 32x32 (PSYEX)
     min_chroma_qm_level: int = 8
     max_chroma_qm_level: int = 15
     low_q_taper: bool = False  # dampen VB q drops at low q (CRF)

@@ -489,7 +489,13 @@ class SvtAv1Encoder:
 
                 _t0 = _time.perf_counter()
                 arf = plans[0].disp_idx
-                nbrs = [v for k, v in srcs.items() if k != arf]
+                # the reference's base TF window is the nearest +-few
+                # pictures (tf_params_per_type[1] num_past/future_pics,
+                # enc_handle.c:2697), NOT the whole mini-GOP: distant
+                # frames exceed the full-pel search range and only ghost
+                nbrs = [v for k, v in
+                        sorted(srcs.items(), key=lambda kv: abs(kv[0] - arf))
+                        if k != arf][:6]
                 srcs[arf] = temporal_filter(
                     srcs[arf], nbrs, self.config.qindex,
                     self.config.encoder_bit_depth,

@@ -658,12 +658,14 @@ class Av1Encoder:
             fr.allow_warped_motion = True
             fr.is_motion_mode_switchable = True
 
-        # switchable interpolation filters: host-path inter frames at the
-        # slower presets search REG/SMOOTH/SHARP per block
-        # (enc_inter_prediction.c:2276 interpolation_filter_search);
-        # device-path frames keep the fixed REGULAR header for now
+        # switchable interpolation filters: inter frames at the slower
+        # presets search REG/SMOOTH/SHARP per block
+        # (enc_inter_prediction.c:2276 interpolation_filter_search).
+        # Host path searches in MD; device-path frames run the same
+        # trial per winning block at commit time (md_device
+        # _commit_inter_leaf), keeping the p6 toolset on the device path.
         if (not fr.frame_is_intra and bool(ref_planes)
-                and not use_device_inter and self.preset <= 6
+                and self.preset <= 6
                 and os.environ.get("SVT_TPU_NO_IFS") != "1"):
             fr.interp_filter = 4  # SWITCHABLE
 

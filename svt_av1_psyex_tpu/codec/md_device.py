@@ -750,11 +750,48 @@ class DeviceInterMD(DeviceIntraMD):
 
         ref_pl = md.ref_planes[ref_id]
 
+        # commit-time switchable-filter trial (the device lattice ranks
+        # candidates with full-pel SAD; the exact filter choice is a
+        # per-winner trial like the tx-depth one): prediction-domain SSE
+        # + symbol rate over REG/SMOOTH/SHARP, mirroring the host search
+        # (interpolation_filter_search, enc_inter_prediction.c:2276)
+        flt = 0
+        if (getattr(fr, "interp_filter", 0) == 4
+                and ((mv[0] | mv[1]) & 7)):
+            # needs_interp_filter (spec 5.11.26): large GLOBALMV blocks
+            # only code the symbol when the ref's GmType is TRANSLATION
+            codes_filter = True
+            if (mode == InterMode.GLOBALMV
+                    and min(bw_px, bh_px) >= 8):
+                e = md._gm_entry(ref_id)
+                codes_filter = e is not None and e[0] == 1
+            if codes_filter:
+                fcosts = md._interp_fcosts(False)
+                src = md.pctx[0].src[y : y + bh_px, x : x + bw_px]
+                from .rd import rdcost
+
+                best = None
+                for f in (0, 1, 2):
+                    p_f = mc_block(ref_pl[0], x, y, bw_px, bh_px,
+                                   mv[0], mv[1], 0, 0, f, f,
+                                   bit_depth=self.seq.bit_depth)
+                    sse = int(((src - p_f).astype(np.int64) ** 2).sum())
+                    j = rdcost(md.rdmult, int(fcosts[f]), sse)
+                    if md.spy_rd:
+                        if f == 2:
+                            j = j * 75 // 100
+                        elif f == 0:
+                            j = j * 80 // 100
+                    if best is None or j < best[0]:
+                        best = (j, f)
+                flt = best[1]
+
         def commit_y(xx, yy, tx):
             from .constants import TX_H, TX_W
 
             pr = mc_block(ref_pl[0], xx, yy, int(TX_W[tx]), int(TX_H[tx]),
-                          mv[0], mv[1], 0, 0, bit_depth=self.seq.bit_depth)
+                          mv[0], mv[1], 0, 0, flt, flt,
+                          bit_depth=self.seq.bit_depth)
             return self._commit_pred(md.pctx[0], pr, xx, yy, tx, 0, ctx)
 
         tx_depth, txbs = self._luma_tx_trial(md.pctx[0], commit_y, x, y,
@@ -770,7 +807,7 @@ class DeviceInterMD(DeviceIntraMD):
             for p in (1, 2):
                 predc = mc_block(ref_pl[p], cx, cy, int(TX_W[uv_tx]),
                                  int(TX_H[uv_tx]), mv[0], mv[1], ssx, ssy,
-                                 bit_depth=self.seq.bit_depth)
+                                 flt, flt, bit_depth=self.seq.bit_depth)
                 qcc, eobc = self._commit_pred(md.pctx[p], predc, cx, cy,
                                               uv_tx, p, ctx)
                 txbs.append({"plane": p, "plane_bsize": uv_bsize,
@@ -782,7 +819,7 @@ class DeviceInterMD(DeviceIntraMD):
                               mode_has_newmv(int(mode)))
         return LeafBlock(bsize, skip=skip, is_inter=True, ref_frame=ref_id,
                          inter_mode=int(mode), mv=tuple(mv), drl_index=0,
-                         tx_depth=tx_depth,
+                         tx_depth=tx_depth, interp_filter=flt,
                          coeffs=None if skip else txbs)
 
     def _commit_pred(self, pc, pred, x, y, tx_size, plane, ctx):

@@ -196,8 +196,21 @@ def _temporal_filter_host(center: list, neighbors: list, qindex: int,
                     if py0 < 0 or px0 < 0 or py0 + pbh > ph or px0 + pbw > pw:
                         continue
                     blk = ref_p[py0 : py0 + pbh, px0 : px0 + pbw].astype(np.int64)
-                    accum[p][pby : pby + pbh, pbx : pbx + pbw] += wgt * blk
-                    count[p][pby : pby + pbh, pbx : pbx + pbw] += wgt
+                    wgt_p = wgt
+                    if p > 0:
+                        # planewise: cap by this plane's own MC error
+                        # (chroma can move independently of luma)
+                        cur_p = np.asarray(center[p])[
+                            pby : pby + pbh, pbx : pbx + pbw].astype(np.int64)
+                        err_p = float(((blk - cur_p) ** 2).mean())
+                        wp = int(round(
+                            np.exp(-min(err_p / decay_px, 7.0))
+                            * _WEIGHT_SCALE))
+                        wgt_p = min(wgt, wp)
+                        if wgt_p == 0:
+                            continue
+                    accum[p][pby : pby + pbh, pbx : pbx + pbw] += wgt_p * blk
+                    count[p][pby : pby + pbh, pbx : pbx + pbw] += wgt_p
 
     out = []
     for p in range(len(center)):

@@ -129,14 +129,30 @@ def tf_filter(center: tuple, nbrs: tuple, n_valid: jnp.ndarray,
         src = center[p].astype(jnp.int32)
         accum = src * WEIGHT_SCALE
         count = jnp.full(src.shape, WEIGHT_SCALE, jnp.int32)
+        pblk_y, pblk_x = BLK >> ss_y, BLK >> ss_x
+        nby = src.shape[0] // pblk_y
+        nbx = src.shape[1] // pblk_x
 
-        def body(carry, inp):
+        def body(carry, inp, _p=p, _ssy=ss_y, _ssx=ss_x, _py=pblk_y,
+                 _px=pblk_x, _nby=nby, _nbx=nbx, _src=src):
             acc, cnt = carry
             ref, dyi, dxi, wi = inp
             pred, valid = _gather_plane(ref.astype(jnp.int32), dyi, dxi,
-                                        ss_y, ss_x)
-            pblk_y, pblk_x = BLK >> ss_y, BLK >> ss_x
-            w_px = jnp.repeat(jnp.repeat(wi, pblk_y, 0), pblk_x, 1)
+                                        _ssy, _ssx)
+            if _p > 0:
+                # planewise weights (svt_av1_apply_temporal_filter_
+                # planewise): chroma moves independently of luma in
+                # general, so cap the luma-match weight by this plane's
+                # own MC error — a luma-tracked block whose chroma
+                # mismatches must not smear chroma
+                d = jnp.where(valid, (_src - pred), maxpix)
+                errp = ((d * d).reshape(_nby, _py, _nbx, _px)
+                        .sum(axis=(1, 3)).astype(jnp.float32)
+                        / (_py * _px))
+                wp = jnp.round(jnp.exp(-jnp.minimum(errp / decay_px, 7.0))
+                               * WEIGHT_SCALE).astype(jnp.int32)
+                wi = jnp.minimum(wi, wp)
+            w_px = jnp.repeat(jnp.repeat(wi, _py, 0), _px, 1)
             w_px = jnp.where(valid, w_px, 0)
             return (acc + w_px * pred, cnt + w_px), None
 
