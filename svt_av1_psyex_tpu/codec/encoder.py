@@ -718,9 +718,12 @@ class Av1Encoder:
         if self.rdoq_level:
             from .rdoq import RdoqFrame
 
+            # the trellis dist is coefficient-domain (8x-orthonormal, so
+            # 64x pixel SSE >> 2*shift) — it pairs with the UNDIVIDED
+            # libaom rdmult; compute_rdmult carries /16 for raw-SSE MD
             rdoq_frame = RdoqFrame(
                 cdfs, fr.base_q_idx,
-                compute_rdmult(fr.base_q_idx, seq.bit_depth),
+                compute_rdmult(fr.base_q_idx, seq.bit_depth) * 16,
                 sharpness=self.sharpness, sharp_tx=self.sharp_tx,
                 use_sharpness=(self.rdoq_use_sharpness
                                and fr.delta_q_present))

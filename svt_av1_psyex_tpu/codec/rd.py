@@ -47,9 +47,19 @@ class CostTables:
 
 
 def compute_rdmult(qindex: int, bit_depth: int = 8) -> int:
-    """rdmult ~ 88 * q^2 / 24 with q = dc_q(qindex) (libaom-family shape)."""
+    """Lambda for rdcost() below: libaom's av1_compute_rd_mult
+    (88 * q^2 / 24, q = dc_q in Q3 units) divided by 16 because libaom
+    pairs that rdmult with distortions scaled <<4 (its block errors are
+    in the 8x-orthonormal transform domain >> 2*shift, i.e. sse << 4)
+    while rdcost() here takes RAW pixel-domain SSE. Keeping the raw-SSE
+    convention and folding the 16 into the lambda gives identical RD
+    trade-offs with one fewer shift on the hot dist path.
+
+    (Validated on a band-limited-texture keyframe: the uncorrected
+    lambda chose 3.3KB @ 31.4dB at q57 where the reference's RD curve
+    sits at ~6.5KB @ 42dB — rate over-penalized 16x.)"""
     q = dc_q(qindex, bit_depth) >> (bit_depth - 8)
-    return max(1, (88 * q * q) // 24)
+    return max(1, (88 * q * q) // 384)
 
 
 def rdcost(rdmult: int, rate_512: int, dist: int) -> int:

@@ -87,8 +87,12 @@ class TplModel:
         self.mc_dep_rate = np.zeros_like(self.srcrf_rate)
         self.base_qindex = base_qindex
         self.bit_depth = bit_depth
+        # TPL distortions are scaled << TPL_DEP_COST_SCALE_LOG2 (4) to
+        # pair with the UNDIVIDED libaom rdmult; compute_rdmult carries
+        # a /16 for the raw-SSE MD convention, so restore it here
         self.base_rdmult = max(
-            1, compute_rdmult(base_qindex, 8) // TPL_RDMULT_SCALING_FACTOR)
+            1, compute_rdmult(base_qindex, 8) * 16
+            // TPL_RDMULT_SCALING_FACTOR)
         self.compute_rate = compute_rate
         self._synthesize()
 

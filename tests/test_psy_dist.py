@@ -81,7 +81,7 @@ def test_psy_rd_changes_output_device_path():
     from svt_av1_psyex_tpu.bitstream.headers import SequenceConfig
     from svt_av1_psyex_tpu.codec.encoder import Av1Encoder
 
-    rng = np.random.default_rng(6)
+    rng = np.random.default_rng(4)
     y = np.clip(rng.normal(128, 50, (64, 64))
                 + np.sin(np.arange(64) / 3)[None, :] * 40,
                 0, 255).astype(np.uint8)
@@ -90,7 +90,7 @@ def test_psy_rd_changes_output_device_path():
     for psy in (0.0, 8.0):
         seq = SequenceConfig(width=64, height=64)
         enc = Av1Encoder(seq, preset=8, psy_rd=psy, tune=0)
-        outs.append(enc.encode_keyframe([y.copy(), u.copy(), u.copy()], 140))
+        outs.append(enc.encode_keyframe([y.copy(), u.copy(), u.copy()], 110))
     assert outs[0] != outs[1]
 
 
