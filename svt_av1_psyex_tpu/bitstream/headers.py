@@ -38,6 +38,8 @@ class SequenceConfig:
     enable_ref_frame_mvs: bool = False
     order_hint_bits: int = 7
     enable_superres: bool = False
+    # 0 off / 1 force on / 2 SELECT (per-frame allow_screen_content_tools)
+    force_screen_content_tools: int = 0
     enable_cdef: bool = True
     enable_restoration: bool = False
     film_grain_params_present: bool = False
@@ -116,9 +118,18 @@ def write_sequence_header(seq: SequenceConfig) -> bytes:
     if seq.enable_order_hint:
         w.f(1 if seq.enable_jnt_comp else 0, 1)
         w.f(1 if seq.enable_ref_frame_mvs else 0, 1)
-    w.f(0, 1)  # seq_choose_screen_content_tools
-    w.f(0, 1)  # seq_force_screen_content_tools = 0
-    # (force_integer_mv not coded since screen content tools are off)
+    if seq.force_screen_content_tools == 2:
+        w.f(1, 1)  # seq_choose_screen_content_tools -> SELECT(2)
+        # seq_force_integer_mv: fixed 0 (no per-frame bit; intra frames
+        # derive force_integer_mv = 1 regardless, spec 5.9.2)
+        w.f(0, 1)  # seq_choose_integer_mv = 0
+        w.f(0, 1)  # seq_force_integer_mv = 0
+    else:
+        w.f(0, 1)  # seq_choose_screen_content_tools
+        w.f(seq.force_screen_content_tools & 1, 1)
+        if seq.force_screen_content_tools:
+            w.f(0, 1)  # seq_choose_integer_mv = 0
+            w.f(0, 1)  # seq_force_integer_mv = 0
     if seq.enable_order_hint:
         w.f(seq.order_hint_bits - 1, 3)  # order_hint_bits_minus_1
     w.f(1 if seq.enable_superres else 0, 1)
@@ -247,6 +258,7 @@ class FrameConfig:
     ref_frame_idx: tuple = (0, 1, 2, 3, 4, 5, 6)
     ref_order_hints: tuple = (0,) * 8
     error_resilient_mode: bool = False
+    allow_screen_content_tools: bool = False
     allow_intrabc: bool = False
     interp_filter: int = 0  # EIGHTTAP
     is_motion_mode_switchable: bool = False
@@ -306,7 +318,9 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig, w: BitWriter) -> No
     if not (fr.frame_type == 3 or key_shown):
         w.f(1 if fr.error_resilient_mode else 0, 1)
     w.f(1 if fr.disable_cdf_update else 0, 1)
-    # allow_screen_content_tools: seq_force==0 -> implied 0
+    if seq.force_screen_content_tools == 2:
+        w.f(1 if fr.allow_screen_content_tools else 0, 1)
+    # (seq_force != SELECT -> allow_screen_content_tools implied)
     if fr.frame_type != 3:
         w.f(0, 1)  # frame_size_override_flag = 0
     if seq.enable_order_hint:
@@ -321,8 +335,10 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig, w: BitWriter) -> No
 
     if fr.frame_is_intra:
         _write_frame_size(w, seq)
-        # allow_intrabc only when screen content tools allowed (off)
-        assert not fr.allow_intrabc
+        if fr.allow_screen_content_tools:
+            w.f(1 if fr.allow_intrabc else 0, 1)
+        else:
+            assert not fr.allow_intrabc
     else:
         # frame_refs_short_signaling (only when order hint): write 0
         if seq.enable_order_hint:

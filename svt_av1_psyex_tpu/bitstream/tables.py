@@ -133,6 +133,16 @@ class FrameCdfs:
         self.intrabc = self._wrap(clone("default_intrabc_cdf")) if "default_intrabc_cdf" in t else None
         self.delta_q = self._wrap(clone("default_delta_q_cdf"))
 
+        # palette (screen-content tools)
+        self.palette_y_mode = self._wrap(clone("default_palette_y_mode_cdf"))
+        self.palette_uv_mode = self._wrap(clone("default_palette_uv_mode_cdf"))
+        self.palette_y_size = self._wrap(clone("default_palette_y_size_cdf"))
+        self.palette_uv_size = self._wrap(clone("default_palette_uv_size_cdf"))
+        self.palette_y_color_index = self._wrap(
+            clone("default_palette_y_color_index_cdf"))
+        self.palette_uv_color_index = self._wrap(
+            clone("default_palette_uv_color_index_cdf"))
+
         # segmentation (spec 5.11.15 read_segment_id)
         self.spatial_seg = self._wrap(clone("default_spatial_pred_seg_tree_cdf"))
 

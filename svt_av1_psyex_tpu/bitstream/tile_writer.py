@@ -62,6 +62,10 @@ class LeafBlock:
     cfl_alpha_u: int = 0  # signed alpha_q3 per component (uv_mode 13)
     cfl_alpha_v: int = 0
     interp_filter: int = 0  # REGULAR/SMOOTH/SHARP (SWITCHABLE frames)
+    # Y palette (screen-content tools): sorted base colors + the index
+    # map at luma resolution ((bh, bw) uint8); empty/None = no palette
+    palette_colors: tuple = ()
+    palette_map: object = None
     motion_mode: int = 0  # 0 SIMPLE, 1 OBMC_CAUSAL, 2 WARPED_CAUSAL
 
 
@@ -101,6 +105,11 @@ class TileWriter:
         self.flt = np.full((mi_rows, mi_cols), 3, dtype=np.int8)
         self.ref0g = np.zeros((mi_rows, mi_cols), dtype=np.int8)
         self.ref1g = np.full((mi_rows, mi_cols), -1, dtype=np.int8)
+        # palette neighbor state: per-mi Y palette size (mode ctx) and
+        # the covering block's sorted colors (cache merge); colors keyed
+        # by mi position since sizes vary
+        self.pal_size = np.zeros((mi_rows, mi_cols), dtype=np.int8)
+        self.pal_colors: dict = {}
         # coefficient contexts are managed by the coeff writer (set later)
         self.coeff_writer = None
         # inter frames: MVP mi-state (set by the encoder), replayed in
@@ -516,17 +525,28 @@ class TileWriter:
             self._write_inter_mode_info(leaf, r, c, bsize, avail_u, avail_l,
                                         use_angle, has_chroma)
 
+        # palette_mode_info (spec 5.11.15; write_palette_mode_info,
+        # entropy_coding.c:4249) — DC-mode blocks 8x8..64x64 on SC frames
+        if (not leaf.is_inter and self.fr.allow_screen_content_tools
+                and bsize >= 3
+                and int(BLOCK_W[bsize]) <= 64 and int(BLOCK_H[bsize]) <= 64):
+            self._write_palette_mode_info(leaf, r, c, bsize, avail_u,
+                                          avail_l, has_chroma)
         # filter_intra_mode_info (spec 5.11.20): flag for every eligible
-        # DC luma block when the sequence gate is on
+        # DC luma block when the sequence gate is on (palette blocks
+        # never code it: filter_intra_allowed requires palette_size 0)
         if (self.seq.enable_filter_intra and not leaf.is_inter
                 and leaf.y_mode == IntraMode.DC
+                and not leaf.palette_colors
                 and max(int(BLOCK_W[bsize]), int(BLOCK_H[bsize])) <= 32):
             self._sym_at(int(leaf.use_filter_intra), self.cdfs.filter_intra,
                          bsize)
             if leaf.use_filter_intra:
                 self._sym_at(leaf.filter_intra_mode,
                              self.cdfs.filter_intra_mode)
-        # palette: screen content off
+        # palette color index map tokens (spec 5.11.49 palette_tokens)
+        if not leaf.is_inter and leaf.palette_colors:
+            self._write_palette_tokens(leaf, r, c)
 
         # block tx size (TX_MODE_SELECT) — av1_code_tx_size mirror
         if self.fr.tx_mode_select:
@@ -550,6 +570,13 @@ class TileWriter:
         c_end = min(c + bw4, self.mi_cols)
         self.y_modes[r:r_end, c:c_end] = leaf.y_mode
         self.skips[r:r_end, c:c_end] = skip
+        npal = 0 if leaf.is_inter else len(leaf.palette_colors)
+        self.pal_size[r:r_end, c:c_end] = npal
+        if npal:
+            cols_t = tuple(leaf.palette_colors)
+            for rr in range(r, r_end):
+                for cc in range(c, c_end):
+                    self.pal_colors[(rr, cc)] = cols_t
         self.inters[r:r_end, c:c_end] = 1 if leaf.is_inter else 0
         self.flt[r:r_end, c:c_end] = (leaf.interp_filter if leaf.is_inter
                                       else 3)
@@ -851,6 +878,184 @@ class TileWriter:
         gt, mat = gm[ref_id - 1]
         return project_mv(mat, gt, r, c, int(BLOCK_W[bsize]),
                           int(BLOCK_H[bsize]), False, False)
+
+    # ---- palette (screen-content tools) --------------------------------
+    def _write_palette_mode_info(self, leaf: LeafBlock, r: int, c: int,
+                                 bsize: int, avail_u: bool, avail_l: bool,
+                                 has_chroma: bool) -> None:
+        """write_palette_mode_info (entropy_coding.c:4249): Y palette
+        flag/size/colors for DC blocks + the (always-zero) UV flag."""
+        from ..codec.constants import BLOCK_H, BLOCK_W
+
+        bw, bh = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+        bsize_ctx = (bw * bh).bit_length() - 1 - 6  # num_pels_log2 - 6
+        n = len(leaf.palette_colors)
+        if leaf.y_mode == IntraMode.DC:
+            ctx = 0
+            if avail_u and int(self.pal_size[r - 1, c]) > 0:
+                ctx += 1
+            if avail_l and int(self.pal_size[r, c - 1]) > 0:
+                ctx += 1
+            self._sym_at(1 if n else 0, self.cdfs.palette_y_mode,
+                         bsize_ctx, ctx)
+            if n:
+                self._sym_at(n - 2, self.cdfs.palette_y_size, bsize_ctx)
+                self._write_palette_colors_y(leaf, r, c, avail_u, avail_l)
+        if has_chroma and leaf.uv_mode == IntraMode.DC:
+            # UV palette unimplemented (as in the reference encoder:
+            # entropy_coding.c:4283 asserts palette_size[1] == 0)
+            self._sym_at(0, self.cdfs.palette_uv_mode, 1 if n else 0)
+
+    def _palette_cache(self, r: int, c: int, avail_u: bool,
+                       avail_l: bool) -> list:
+        """svt_get_palette_cache_y: merge the above (same SB row only)
+        and left MIs' sorted palettes, deduplicated."""
+        above = (self.pal_colors.get((r - 1, c), ())
+                 if avail_u and (r % 16) else ())
+        left = self.pal_colors.get((r, c - 1), ()) if avail_l else ()
+        cache: list = []
+
+        def add(v):
+            if not cache or cache[-1] != v:
+                cache.append(v)
+
+        ai = li = 0
+        while ai < len(above) and li < len(left):
+            va, vl = above[ai], left[li]
+            if vl < va:
+                add(vl)
+                li += 1
+            else:
+                add(va)
+                ai += 1
+                if vl == va:
+                    li += 1
+        while ai < len(above):
+            add(above[ai])
+            ai += 1
+        while li < len(left):
+            add(left[li])
+            li += 1
+        return cache
+
+    def _write_palette_colors_y(self, leaf: LeafBlock, r: int, c: int,
+                                avail_u: bool, avail_l: bool) -> None:
+        """write_palette_colors_y: cache-hit bits + delta-coded rest."""
+        colors = list(leaf.palette_colors)
+        n = len(colors)
+        cache = self._palette_cache(r, c, avail_u, avail_l)
+        in_flags = [False] * n
+        found = [0] * len(cache)
+        n_in = 0
+        for i, cv in enumerate(cache):
+            if n_in >= n:
+                break
+            for j in range(n):
+                if colors[j] == cv and not in_flags[j]:
+                    in_flags[j] = True
+                    found[i] = 1
+                    n_in += 1
+                    break
+        n_written = 0
+        for i in range(len(cache)):
+            if n_written >= n:
+                break
+            self.enc.encode_literal(found[i], 1)
+            n_written += found[i]
+        out = [colors[j] for j in range(n) if not in_flags[j]]
+        self._delta_encode_palette_colors(out, self.seq.bit_depth, 1)
+
+    def _delta_encode_palette_colors(self, colors: list, bit_depth: int,
+                                     min_val: int) -> None:
+        """delta_encode_palette_colors (entropy_coding.c:4162)."""
+        num = len(colors)
+        if num <= 0:
+            return
+        self.enc.encode_literal(colors[0], bit_depth)
+        if num == 1:
+            return
+        deltas = [colors[i] - colors[i - 1] for i in range(1, num)]
+        max_delta = max(deltas)
+
+        def clog2(x: int) -> int:
+            return 0 if x < 2 else (x - 1).bit_length()
+
+        min_bits = bit_depth - 3
+        bits = max(clog2(max_delta + 1 - min_val), min_bits)
+        rng = (1 << bit_depth) - colors[0] - min_val
+        self.enc.encode_literal(bits - min_bits, 2)
+        for d in deltas:
+            self.enc.encode_literal(d - min_val, bits)
+            rng -= d
+            bits = min(bits, clog2(rng))
+
+    @staticmethod
+    def _palette_color_ctx(cmap: np.ndarray, i: int, j: int):
+        """svt_aom_get_palette_color_index_context_optimized
+        (cabac_context_model.c:2458): neighbor-weighted color order;
+        returns (context, reordered symbol)."""
+        cn = [int(cmap[i, j - 1]) if j > 0 else -1,
+              int(cmap[i - 1, j]) if i > 0 else -1,
+              int(cmap[i - 1, j - 1]) if (i > 0 and j > 0) else -1]
+        sc = [2, 2, 1]
+        if cn[0] == cn[1]:
+            sc[0] += sc[1]
+            cn[1] = -1
+            if cn[0] == cn[2]:
+                sc[0] += sc[2]
+                cn[2] = -1
+        elif cn[0] == cn[2]:
+            sc[0] += sc[2]
+            cn[2] = -1
+        elif cn[1] == cn[2]:
+            sc[1] += sc[2]
+            cn[2] = -1
+        rank = [-1, -1, -1]
+        score = [0, 0, 0]
+        nv = 0
+        for idx in range(3):
+            if cn[idx] != -1:
+                score[nv] = sc[idx]
+                rank[nv] = cn[idx]
+                nv += 1
+        if score[0] < score[1] or (score[0] == score[1]
+                                   and rank[0] > rank[1]):
+            score[0], score[1] = score[1], score[0]
+            rank[0], rank[1] = rank[1], rank[0]
+        if score[0] < score[2]:
+            score[0], score[2] = score[2], score[0]
+            rank[0], rank[2] = rank[2], rank[0]
+        if score[1] < score[2]:
+            score[1], score[2] = score[2], score[1]
+            rank[1], rank[2] = rank[2], rank[1]
+        cur = int(cmap[i, j])
+        sym = cur
+        same = -1
+        for idx in range(3):
+            if rank[idx] > cur:
+                sym += 1
+            elif rank[idx] == cur:
+                same = idx
+        if same != -1:
+            sym = same
+        hashv = score[0] + 2 * score[1] + 2 * score[2]
+        ctx = (-1, -1, 0, -1, -1, 4, 3, 2, 1)[hashv]
+        return ctx, sym
+
+    def _write_palette_tokens(self, leaf: LeafBlock, r: int, c: int) -> None:
+        """palette_tokens (spec 5.11.49): first index uniform, the rest
+        in diagonal wavefront order with neighbor-ordered symbols."""
+        n = len(leaf.palette_colors)
+        cmap = np.asarray(leaf.palette_map)
+        rows = min(cmap.shape[0], (self.mi_rows - r) * 4)
+        cols = min(cmap.shape[1], (self.mi_cols - c) * 4)
+        self._wq_quniform(n, int(cmap[0, 0]))
+        for k in range(1, rows + cols - 1):
+            for j in range(min(k, cols - 1), max(0, k - rows + 1) - 1, -1):
+                i = k - j
+                ctx, sym = self._palette_color_ctx(cmap, i, j)
+                self._sym_at(sym, self.cdfs.palette_y_color_index,
+                             n - 2, ctx)
 
     def _write_interp_filter(self, leaf: LeafBlock, r: int, c: int,
                              avail_u: bool, avail_l: bool) -> None:

@@ -47,18 +47,30 @@ def _psnr_yuv(dec_frames, src_frames, bit_depth=8) -> float:
 
 
 def bd_rate(rate_a, psnr_a, rate_b, psnr_b) -> float:
-    """Bjontegaard delta rate (%) of B vs A (negative = B cheaper)."""
-    la, lb = np.log(rate_a), np.log(rate_b)
-    pa = np.polyfit(psnr_a, la, 3)
-    pb = np.polyfit(psnr_b, lb, 3)
-    lo = max(min(psnr_a), min(psnr_b))
-    hi = min(max(psnr_a), max(psnr_b))
-    if hi <= lo:
+    """Bjontegaard delta rate (%) of B vs A (negative = B cheaper).
+
+    PCHIP integration (the modern BD convention, e.g. JVET/libaom
+    tools): cubic polyfit explodes on clustered quality points."""
+    from scipy.interpolate import PchipInterpolator
+
+    def prep(psnr, rate):
+        order = np.argsort(psnr)
+        p = np.asarray(psnr, float)[order]
+        r = np.log(np.asarray(rate, float))[order]
+        # strictly increasing x for pchip
+        keep = np.concatenate([[True], np.diff(p) > 1e-9])
+        return p[keep], r[keep]
+
+    pa_x, la = prep(psnr_a, rate_a)
+    pb_x, lb = prep(psnr_b, rate_b)
+    lo = max(pa_x.min(), pb_x.min())
+    hi = min(pa_x.max(), pb_x.max())
+    if hi <= lo or len(pa_x) < 2 or len(pb_x) < 2:
         return float("nan")
-    ia = np.polyint(pa)
-    ib = np.polyint(pb)
-    va = np.polyval(ia, hi) - np.polyval(ia, lo)
-    vb = np.polyval(ib, hi) - np.polyval(ib, lo)
+    ia = PchipInterpolator(pa_x, la).antiderivative()
+    ib = PchipInterpolator(pb_x, lb).antiderivative()
+    va = float(ia(hi) - ia(lo))
+    vb = float(ib(hi) - ib(lo))
     avg = (vb - va) / (hi - lo)
     return float((np.exp(avg) - 1.0) * 100.0)
 
