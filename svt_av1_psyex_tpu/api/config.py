@@ -24,7 +24,6 @@ _PENDING_FIELDS = frozenset({
     "noise_adaptive_filtering",
     "lossless",
     "avif", "enable_overlays",
-    "screen_content_mode",
     "film_grain_denoise_apply",
     "superres_mode", "resize_mode", "enable_dg", "startup_mg_size",
     "tile_rows", "mbr_over_shoot_pct", "gop_constraint_rc",
@@ -138,7 +137,7 @@ class EncoderConfig:
     enable_overlays: bool = False  # [pending]
     tile_columns: int = 0  # log2 tile columns (independent MD+EC per tile)
     tile_rows: int = 0
-    screen_content_mode: int = 0  # [pending palette/intrabc]
+    screen_content_mode: int = 0  # 0 off / 1 on / 2 auto (palette; intra-BC pending)
     enable_qm: bool = False  # quantizer matrices (spec 5.9.12)
     min_qm_level: int = 8
     max_qm_level: int = 15

@@ -196,7 +196,8 @@ class SvtAv1Encoder:
                              cfg.chroma_u_dc_qindex_offset,
                              cfg.chroma_u_ac_qindex_offset),
             spy_rd=cfg.spy_rd,
-            enable_mfmv=cfg.enable_mfmv != 0)
+            enable_mfmv=cfg.enable_mfmv != 0,
+            screen_content_mode=cfg.screen_content_mode)
         # pre-dispatch the encode's device programs so the tunnelled
         # TPU's server-side compiles overlap each other and the host's
         # startup work instead of stalling mid-encode (encoder.py

@@ -105,9 +105,16 @@ class Av1Encoder:
                  sharp_tx: bool = True, spy_rd: int = 0,
                  enable_global_motion: bool = True,
                  delta_q_offsets: tuple = (0, 0, 0),
-                 enable_mfmv: bool = True):
+                 enable_mfmv: bool = True,
+                 screen_content_mode: int = 0):
         self.seq = seq
         self.preset = preset
+        # screen-content tools: 0 off / 1 force / 2 auto-detect per KF
+        # (svt_aom_is_screen_content_psy); SELECT-mode seq header bit
+        self.screen_content_mode = int(screen_content_mode)
+        self._allow_sc = screen_content_mode == 1
+        if screen_content_mode:
+            seq.force_screen_content_tools = 2
         # 4:4:4 (profile 1): the CDEF search/filter backends are still
         # 4:2:0-shaped — CDEF is signaled off for non-subsampled chroma
         # (DLF/restoration/grain are subsampling-generic)
@@ -401,6 +408,13 @@ class Av1Encoder:
                          show_frame=plan.show_frame,
                          base_q_idx=base_q_idx,
                          order_hint=plan.disp_idx & ((1 << seq.order_hint_bits) - 1))
+        if self.screen_content_mode:
+            if (is_key and self.screen_content_mode == 2
+                    and planes is not None):
+                from ..ops.palette import is_screen_content
+
+                self._allow_sc = is_screen_content(np.asarray(planes[0]))
+            fr.allow_screen_content_tools = self._allow_sc
         dq_y, dq_udc, dq_uac = self.delta_q_offsets
         coff = getattr(plan, "chroma_q_offset", 0)
         if dq_y or dq_udc or dq_uac or coff:
@@ -642,6 +656,7 @@ class Av1Encoder:
         # device-MD eligibility (shared gates): fused inter lattice for
         # inter frames, intra lattice for key frames
         dev_ok = (self.preset >= 6 and not seq.use_128x128_superblock
+                  and not fr.allow_screen_content_tools
                   and n_tiles == 1 and not fr.using_qmatrix
                   and self.noise_norm_strength == 0
                   and fr.seg_qdeltas is None

@@ -536,6 +536,26 @@ class ModeDecision:
                 if j < best[0]:
                     best = (j, leaf, artifacts)
 
+        # palette candidate (screen-content frames, 8x8..64x64 DC blocks;
+        # av1_rd_pick_palette_intra_sby, palette.c:561): the palette
+        # reconstruction is the prediction, residual coded normally
+        if (self.fr.allow_screen_content_tools and bsize >= 3 and d0 == 0
+                and int(BLOCK_W[bsize]) <= 64 and int(BLOCK_H[bsize]) <= 64):
+            from ..ops.palette import palette_search
+
+            bw_px, bh_px = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+            pal = palette_search(pc.src[y : y + bh_px, x : x + bw_px],
+                                 self.bd)
+            if pal is not None:
+                colors, cmap = pal
+                pp = np.asarray(colors, np.int32)[cmap]
+                j, leaf, artifacts = self._try_mode(
+                    IntraMode.DC, 0, pp, r, c, bsize, x, y, tx_size,
+                    intra_mode_costs, intra_base, skip_costs, has_chroma,
+                    fi_eligible=False, tx_depth=0, palette=(colors, cmap))
+                if j < best[0]:
+                    best = (j, leaf, artifacts)
+
         # tx depth 1 on the winning intra mode (TX_MODE_SELECT); pruned
         # when the whole-block tx already coded (near-)nothing — splitting
         # only pays when there is real residual structure to localize
@@ -1284,7 +1304,7 @@ class ModeDecision:
 
     def _try_mode(self, mode, angle_delta, pred, r, c, bsize, x, y, tx_size,
                   mode_costs, base_rate, skip_costs, has_chroma, tx_depth=0,
-                  fi_eligible=False, fi_mode=None):
+                  fi_eligible=False, fi_mode=None, palette=None):
         """RD one intra luma mode (+ DC chroma); returns (J, leaf, artifacts)
         without mutating shared state beyond what _commit_block redoes.
         tx_depth > 0 splits the luma tx (TX_MODE_SELECT), predicting each
@@ -1303,6 +1323,14 @@ class ModeDecision:
                                                    else 0])
             if fi_mode is not None:
                 rate += int(self._fi_mode_costs[fi_mode])
+        if palette is not None:
+            from ..ops.palette import palette_colors_rate, palette_tokens_rate
+
+            pal_colors, pal_map = palette
+            n_pal = len(pal_colors)
+            rate += (palette_colors_rate(n_pal, self.bd)
+                     + palette_tokens_rate(np.asarray(pal_map), n_pal)
+                     + 512 * 2)  # flag + size symbols (proxy)
         if self.tx_select and bsize > 0:
             rate += self._tx_depth_cost(r, c, bsize, tx_depth)
 
@@ -1428,6 +1456,10 @@ class ModeDecision:
                          use_filter_intra=fi_mode is not None,
                          filter_intra_mode=fi_mode if fi_mode is not None else 0,
                          cfl_alpha_u=cfl_alphas[0], cfl_alpha_v=cfl_alphas[1],
+                         palette_colors=(tuple(int(v) for v in palette[0])
+                                         if palette is not None else ()),
+                         palette_map=(np.asarray(palette[1])
+                                      if palette is not None else None),
                          coeffs=None if skip else
                          [{k: v for k, v in t.items() if k != "_rec"} for t in txbs])
         jdist = self._spy_dist(dist, is_intra=True, mode=int(mode),

@@ -48,6 +48,25 @@ def palette_search(block: np.ndarray, bit_depth: int = 8,
     return colors, idx.astype(np.uint8)
 
 
+def is_screen_content(luma: np.ndarray) -> bool:
+    """svt_aom_is_screen_content_psy (pic_analysis_process.c:2088)
+    simplified: fraction of palettizable 16x16 blocks (<= 6 colors,
+    the complex_final threshold; the dilation refinement is skipped)
+    minus a photo-block penalty must exceed 10%."""
+    h, w = luma.shape
+    counts1 = photo = total = 0
+    for r in range(0, h - 15, 16):
+        for c in range(0, w - 15, 16):
+            blk = luma[r : r + 16, c : c + 16]
+            n = int(np.unique(blk).size)
+            if 2 <= n <= 6:
+                counts1 += 1
+            elif n > 40:
+                photo += 1
+            total += 1
+    return (counts1 - photo / 24.0) * 10 > total
+
+
 def palette_tokens_rate(cmap: np.ndarray, n: int) -> int:
     """Map-rate proxy in 1/512 bits: first-symbol uniform bits + the
     empirical entropy of the remaining wavefront symbols (the CDF-coded
