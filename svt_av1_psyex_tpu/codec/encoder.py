@@ -780,9 +780,11 @@ class Av1Encoder:
             if use_device_inter:
                 dmd = DeviceInterMD(md, seq, fr, sb_qmap,
                                     ref_names=sorted(ref_planes))
+                dmd.mesh = getattr(self, "mesh", None)
                 dmd.analyze_dispatch()
             else:
                 dmd = DeviceIntraMD(md, seq, fr, sb_qmap)
+                dmd.mesh = getattr(self, "mesh", None)
                 if _analysis_row is None:
                     dmd.analyze_dispatch()
         return {"fr": fr, "tw": tw, "cdfs": cdfs, "pctx": pctx, "md": md,

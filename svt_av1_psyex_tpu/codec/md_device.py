@@ -188,8 +188,17 @@ class DeviceIntraMD:
         # narrow upload dtype: the tunnel link is bandwidth-bound and the
         # jitted lattice casts to int32 on device
         lum_dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            put_src = jax.device_put(src.astype(lum_dt)[None],
+                                     NamedSharding(mesh, P(None, "sp",
+                                                           None)))
+        else:
+            put_src = jax.device_put(src.astype(lum_dt)[None])
         self._pending = intra_analysis_batch(
-            jax.device_put(src.astype(lum_dt)[None]),
+            put_src,
             jax.device_put(qp[None]),
             jax.device_put(self.rd_row()[None]),
             depths=self.DEPTHS, bit_depth=self.seq.bit_depth,
@@ -573,9 +582,23 @@ class DeviceInterMD(DeviceIntraMD):
                                  axis=0)])
         qp = qp_row_for(self.fr.base_q_idx, self.fr.delta_q_y_dc, 0,
                         self.seq.bit_depth)
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            # spatial parallelism: shard superblock rows over the mesh's
+            # sp axis; GSPMD partitions the lattice and inserts the halo
+            # exchanges the ME sweeps need (SURVEY §2.1 segment
+            # wavefront -> spatial shards)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh2 = NamedSharding(mesh, P("sp", None))
+            sh3 = NamedSharding(mesh, P(None, "sp", None))
+            put_src = jax.device_put(src.astype(lum_dt), sh2)
+            put_refs = jax.device_put(refs.astype(lum_dt), sh3)
+        else:
+            put_src = jax.device_put(src.astype(lum_dt))
+            put_refs = jax.device_put(refs.astype(lum_dt))
         self._pending = inter_analysis(
-            jax.device_put(src.astype(lum_dt)),
-            jax.device_put(refs.astype(lum_dt)),
+            put_src, put_refs,
             jax.device_put(qp), jax.device_put(self.rd_row()),
             depths=self.DEPTHS, bit_depth=self.seq.bit_depth,
             psy=self.psy_fixed > 0)
