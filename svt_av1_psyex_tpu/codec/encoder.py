@@ -655,11 +655,15 @@ class Av1Encoder:
 
         # device-MD eligibility (shared gates): fused inter lattice for
         # inter frames, intra lattice for key frames
+        # QM / noise-norm frames fall back to the host txb chain inside
+        # the device commit (md_device._mk_commit_ctx) so they ride the
+        # lattice now; seg-AQ (aq-mode 1) inter frames still desync on
+        # the device path (tile payload error under seg-id coding) and
+        # stay host-side until root-caused
         dev_ok = (self.preset >= 6 and not seq.use_128x128_superblock
                   and not fr.allow_screen_content_tools
-                  and n_tiles == 1 and not fr.using_qmatrix
-                  and self.noise_norm_strength == 0
-                  and fr.seg_qdeltas is None
+                  and n_tiles == 1
+                  and (fr.frame_is_intra or fr.seg_qdeltas is None)
                   and (seq.mono_chrome
                        or (seq.subsampling_x and seq.subsampling_y))
                   and os.environ.get("SVT_TPU_HOST_MD") != "1")
@@ -835,7 +839,11 @@ class Av1Encoder:
             # call; SVT_TPU_PY_COMMIT=1 keeps the per-leaf oracle path
             from ..native import frame_enc as native_frame
 
+            # the C committer quantizes plain (no QM / noise-norm); those
+            # frames take the per-leaf host chain (md._txb_rd has both)
             use_frame_c = (native_frame.available()
+                           and not fr.using_qmatrix
+                           and self.noise_norm_strength == 0
                            and os.environ.get("SVT_TPU_PY_COMMIT") != "1")
             plans = []
             for r in range(0, self.mi_rows, sb_mi):

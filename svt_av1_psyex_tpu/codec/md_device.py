@@ -37,6 +37,19 @@ from .rd import cdf_costs, compute_rdmult
 
 _BLK_TO_BSIZE = {8: BlockSize.B8X8, 16: BlockSize.B16X16,
                  32: BlockSize.B32X32, 64: BlockSize.B64X64}
+
+
+def _mk_commit_ctx(dmd):
+    """Native C commit context when the frame's quantization is in its
+    repertoire; False selects the host numpy chain (QM quantization and
+    noise normalization live only in md._txb_rd)."""
+    from ..native import commit as native_commit
+
+    if (getattr(dmd.fr, "using_qmatrix", False)
+            or getattr(dmd.md, "noise_norm", 0) > 0
+            or not native_commit.available()):
+        return False
+    return native_commit.CommitCtx(dmd.seq.bit_depth)
 # canonical device ref-stack size (see DeviceInterMD.analyze_dispatch)
 REFS_CANON = 3
 # partition-cdf ctx row at neutral neighbors: ctx = bsl_ctx * 4
@@ -300,13 +313,7 @@ class DeviceIntraMD:
         ac_delta = 0 if plane == 0 else fr.delta_q_u_ac
         ctx = self._commit_ctx
         if ctx is None:
-            from ..native import commit as native_commit
-
-            if native_commit.available():
-                ctx = self._commit_ctx = native_commit.CommitCtx(
-                    self.seq.bit_depth)
-            else:
-                self._commit_ctx = False
+            ctx = self._commit_ctx = _mk_commit_ctx(self)
         if ctx:
             from .rdoq import arm_for
 
@@ -329,13 +336,7 @@ class DeviceIntraMD:
         tx_w, tx_h = int(TX_W[tx_size]), int(TX_H[tx_size])
         ctx = self._commit_ctx
         if ctx is None:
-            from ..native import commit as native_commit
-
-            if native_commit.available():
-                ctx = self._commit_ctx = native_commit.CommitCtx(
-                    self.seq.bit_depth)
-            else:
-                ctx = self._commit_ctx = False
+            ctx = self._commit_ctx = _mk_commit_ctx(self)
         if ctx:
             above, left, flat = intra_ops.fill_neighbors(
                 pc.recon, x, y, tx_w, tx_h, have_above, have_left, mode,
@@ -688,13 +689,7 @@ class DeviceInterMD(DeviceIntraMD):
 
         ctx = self._commit_ctx
         if ctx is None:
-            from ..native import commit as native_commit
-
-            if native_commit.available():
-                ctx = self._commit_ctx = native_commit.CommitCtx(
-                    self.seq.bit_depth)
-            else:
-                ctx = self._commit_ctx = False
+            ctx = self._commit_ctx = _mk_commit_ctx(self)
 
         ref_pl0 = md.ref_planes[rf[0]]
         ref_pl1 = md.ref_planes[rf[1]]
@@ -763,13 +758,7 @@ class DeviceInterMD(DeviceIntraMD):
 
         ctx = self._commit_ctx
         if ctx is None:
-            from ..native import commit as native_commit
-
-            if native_commit.available():
-                ctx = self._commit_ctx = native_commit.CommitCtx(
-                    self.seq.bit_depth)
-            else:
-                ctx = self._commit_ctx = False
+            ctx = self._commit_ctx = _mk_commit_ctx(self)
 
         ref_pl = md.ref_planes[ref_id]
 
