@@ -107,6 +107,9 @@ class Av1Encoder:
                  delta_q_offsets: tuple = (0, 0, 0),
                  enable_mfmv: bool = True,
                  screen_content_mode: int = 0):
+        from ..utils.tunnel import enable_compile_cache
+
+        enable_compile_cache()
         self.seq = seq
         self.preset = preset
         # screen-content tools: 0 off / 1 force / 2 auto-detect per KF

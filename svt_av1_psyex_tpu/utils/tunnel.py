@@ -18,6 +18,39 @@ from __future__ import annotations
 
 import time
 
+_cache_armed = False
+
+
+def enable_compile_cache() -> None:
+    """Arm JAX's persistent compilation cache (idempotent).
+
+    Over the tunnelled backend a cold XLA compile of a big program costs
+    60-500s server-side; the persistent cache cuts a fresh process's
+    first call to deserialize+run (measured 230s -> 36s for the 720p TF
+    program). Cache dir: $SVT_TPU_COMPILE_CACHE (0/empty disables),
+    default ~/.cache/svt_av1_psyex_tpu/jax."""
+    global _cache_armed
+    if _cache_armed:
+        return
+    _cache_armed = True
+    import os
+
+    loc = os.environ.get("SVT_TPU_COMPILE_CACHE")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.expanduser("~/.cache/svt_av1_psyex_tpu/jax")
+    try:
+        os.makedirs(loc, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:  # cache is an optimization, never fatal
+        pass
+
+
 _ATTEMPTS = 3
 _TRANSIENT_MARKERS = (
     "remote_compile",
