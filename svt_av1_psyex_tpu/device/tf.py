@@ -27,7 +27,10 @@ import numpy as np
 BLK = 16
 SEARCH = 8          # +- full-pel window around the co-located block
 WEIGHT_SCALE = 1 << 10
-N_BUCKETS = (4, 16)  # padded neighbor counts (kf window / ARF mini-GOP)
+# padded neighbor counts (kf window / ARF nearest-6 window): the search
+# vmaps over every slot, so padding waste is compile AND run time — the
+# ARF bucket tracks the +-3 nearest-neighbor window (codec/tf.py)
+N_BUCKETS = (4, 8)
 
 
 def n_bucket(n: int) -> int:
