@@ -387,9 +387,8 @@ def write_frame_header(seq: SequenceConfig, fr: FrameConfig, w: BitWriter) -> No
         w.f(1 if fr.delta_q_present else 0, 1)
         if fr.delta_q_present:
             w.f(fr.delta_q_res.bit_length() - 1, 2)  # log2(delta_q_res)
-    # delta_lf_params
-    if fr.delta_q_present:
-        assert not fr.allow_intrabc
+    # delta_lf_params (not coded at all when allow_intrabc, spec 5.9.18)
+    if fr.delta_q_present and not fr.allow_intrabc:
         w.f(0, 1)  # delta_lf_present
     _write_loop_filter_params(w, seq, fr)
     _write_cdef_params(w, seq, fr)
@@ -713,7 +712,8 @@ def _write_quantization_params(w: BitWriter, seq: SequenceConfig, fr: FrameConfi
 
 
 def _write_loop_filter_params(w: BitWriter, seq: SequenceConfig, fr: FrameConfig) -> None:
-    # CodedLossless / allow_intrabc both false in supported set
+    if fr.allow_intrabc:
+        return  # spec 5.9.11: levels forced 0, nothing coded
     lf = fr.lf_level
     w.f(lf[0], 6)
     w.f(lf[1], 6)
@@ -725,8 +725,8 @@ def _write_loop_filter_params(w: BitWriter, seq: SequenceConfig, fr: FrameConfig
 
 
 def _write_cdef_params(w: BitWriter, seq: SequenceConfig, fr: FrameConfig) -> None:
-    if not seq.enable_cdef:
-        return
+    if not seq.enable_cdef or fr.allow_intrabc:
+        return  # spec 5.9.19: intrabc frames code no cdef params
     w.f(fr.cdef_damping - 3, 2)
     w.f(fr.cdef_bits, 2)
     for i in range(1 << fr.cdef_bits):

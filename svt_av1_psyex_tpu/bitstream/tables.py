@@ -178,6 +178,13 @@ class FrameCdfs:
         self.nmv_class0_hp = self._wrap(clone("nmv_class0_hp_cdf"))
         self.nmv_hp = self._wrap(clone("nmv_hp_cdf"))
         self.nmv_bits = self._wrap(clone("nmv_bits_cdf"))
+        # intra-BC DV context: a second, independently-adapted copy of
+        # the default nmv set (the spec's ndvc; fr.allow_intrabc frames)
+        self.ndv_joints = self._wrap(clone("nmv_joints_cdf"))
+        self.ndv_sign = self._wrap(clone("nmv_sign_cdf"))
+        self.ndv_classes = self._wrap(clone("nmv_classes_cdf"))
+        self.ndv_class0 = self._wrap(clone("nmv_class0_cdf"))
+        self.ndv_bits = self._wrap(clone("nmv_bits_cdf"))
 
         # coefficients (quality-context dependent)
         q = self.qctx

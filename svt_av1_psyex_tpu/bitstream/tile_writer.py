@@ -66,6 +66,8 @@ class LeafBlock:
     # map at luma resolution ((bh, bw) uint8); empty/None = no palette
     palette_colors: tuple = ()
     palette_map: object = None
+    # intra block copy (SC intra frames): DV carried in .mv (1/8 units)
+    use_intrabc: bool = False
     motion_mode: int = 0  # 0 SIMPLE, 1 OBMC_CAUSAL, 2 WARPED_CAUSAL
 
 
@@ -510,24 +512,40 @@ class TileWriter:
         has_chroma = self._has_chroma(r, c, bw4, bh4)
 
         if self.fr.frame_is_intra:
-            # intra_frame_y_mode with kf neighbor context
-            above_mode = int(self.y_modes[r - 1, c]) if avail_u else IntraMode.DC
-            left_mode = int(self.y_modes[r, c - 1]) if avail_l else IntraMode.DC
-            actx = int(INTRA_MODE_CONTEXT[above_mode])
-            lctx = int(INTRA_MODE_CONTEXT[left_mode])
-            self._sym_at(leaf.y_mode, self.cdfs.kf_y_mode, actx, lctx)
-            if use_angle and leaf.y_mode in DIRECTIONAL:
-                self._sym_at(leaf.angle_delta_y + MAX_ANGLE_DELTA,
-                             self.cdfs.angle_delta, leaf.y_mode - IntraMode.V)
-            if has_chroma:
-                self._write_uv_mode(leaf, bsize, use_angle)
+            if self.fr.allow_intrabc:
+                # intrabc flag + DV (write_intrabc_info,
+                # entropy_coding.c:4298); intrabc blocks code no modes
+                self._sym_at(1 if leaf.use_intrabc else 0,
+                             self.cdfs.intrabc)
+                if leaf.use_intrabc:
+                    from ..codec.mvp import find_dv_ref
+
+                    ref_dv = find_dv_ref(self.mi_state, r, c, bsize,
+                                         self.mi_rows, self.mi_cols)
+                    self._write_dv(leaf.mv, ref_dv)
+            if not leaf.use_intrabc:
+                # intra_frame_y_mode with kf neighbor context
+                above_mode = int(self.y_modes[r - 1, c]) if avail_u \
+                    else IntraMode.DC
+                left_mode = int(self.y_modes[r, c - 1]) if avail_l \
+                    else IntraMode.DC
+                actx = int(INTRA_MODE_CONTEXT[above_mode])
+                lctx = int(INTRA_MODE_CONTEXT[left_mode])
+                self._sym_at(leaf.y_mode, self.cdfs.kf_y_mode, actx, lctx)
+                if use_angle and leaf.y_mode in DIRECTIONAL:
+                    self._sym_at(leaf.angle_delta_y + MAX_ANGLE_DELTA,
+                                 self.cdfs.angle_delta,
+                                 leaf.y_mode - IntraMode.V)
+                if has_chroma:
+                    self._write_uv_mode(leaf, bsize, use_angle)
         else:
             self._write_inter_mode_info(leaf, r, c, bsize, avail_u, avail_l,
                                         use_angle, has_chroma)
 
         # palette_mode_info (spec 5.11.15; write_palette_mode_info,
         # entropy_coding.c:4249) — DC-mode blocks 8x8..64x64 on SC frames
-        if (not leaf.is_inter and self.fr.allow_screen_content_tools
+        if (not leaf.is_inter and not leaf.use_intrabc
+                and self.fr.allow_screen_content_tools
                 and bsize >= 3
                 and int(BLOCK_W[bsize]) <= 64 and int(BLOCK_H[bsize]) <= 64):
             self._write_palette_mode_info(leaf, r, c, bsize, avail_u,
@@ -536,6 +554,7 @@ class TileWriter:
         # DC luma block when the sequence gate is on (palette blocks
         # never code it: filter_intra_allowed requires palette_size 0)
         if (self.seq.enable_filter_intra and not leaf.is_inter
+                and not leaf.use_intrabc
                 and leaf.y_mode == IntraMode.DC
                 and not leaf.palette_colors
                 and max(int(BLOCK_W[bsize]), int(BLOCK_H[bsize])) <= 32):
@@ -585,10 +604,11 @@ class TileWriter:
         self.ref1g[r:r_end, c:c_end] = (leaf.ref_frame1 if leaf.is_inter
                                         else -1)
         if self.mi_state is not None:
+            mi_ref = (0 if leaf.use_intrabc
+                      else (leaf.ref_frame if leaf.is_inter else -1))
             self.mi_state.set_block(
-                r, c, bsize,
-                leaf.ref_frame if leaf.is_inter else -1,
-                leaf.mv if leaf.is_inter else (0, 0),
+                r, c, bsize, mi_ref,
+                leaf.mv if (leaf.is_inter or leaf.use_intrabc) else (0, 0),
                 leaf.is_inter and mode_has_newmv(leaf.inter_mode),
                 leaf.ref_frame1 if leaf.is_inter else -1,
                 leaf.mv1 if leaf.is_inter else (0, 0),
@@ -622,8 +642,11 @@ class TileWriter:
         bw_px, bh_px = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
         signals = bsize > 0  # block_signals_txsize: bsize > BLOCK_4X4
 
-        if signals and not (leaf.is_inter and leaf.skip):
-            if leaf.is_inter:
+        # spec is_inter_block includes use_intrabc: intrabc blocks take
+        # the inter (vartx) tx-size coding
+        is_int = leaf.is_inter or leaf.use_intrabc
+        if signals and not (is_int and leaf.skip):
+            if is_int:
                 # one max-tx unit covers the whole block (<=64px blocks)
                 self._write_vartx(r, c, max_tx, tx, 0, bw_px, bh_px)
                 self._set_txi(r, c, bw4, bh4, bw_px, bh_px)
@@ -640,7 +663,7 @@ class TileWriter:
             self._set_txp(r, c, bw4, bh4, txw, txh)
             return
         # set_txfm_ctxs (entropy_coding.c:4426-4441)
-        if leaf.is_inter:
+        if is_int:
             self._set_txi(r, c, bw4, bh4, bw_px, bh_px)
             if leaf.skip:
                 self._set_txp(r, c, bw4, bh4, bw_px, bh_px)
@@ -1239,6 +1262,38 @@ class TileWriter:
             return 0  # comp neighbor, bidir
         return 2
 
+    def _write_dv(self, dv: tuple, ref_dv: tuple) -> None:
+        """svt_av1_encode_dv (entropy_coding.c:4290): like _write_mv but
+        over the separate ndvc context and MV_SUBPEL_NONE — the low
+        three magnitude bits are all-ones by construction (full-pel DVs)
+        so the fr/hp symbols are never coded (decoder infers 3/1)."""
+        diff = (dv[0] - ref_dv[0], dv[1] - ref_dv[1])
+        if diff[0] == 0:
+            joint = 0 if diff[1] == 0 else 1
+        else:
+            joint = 2 if diff[1] == 0 else 3
+        self._sym_at(joint, self.cdfs.ndv_joints)
+        for ci, comp in ((0, diff[0]), (1, diff[1])):
+            if comp == 0:
+                continue
+            sign = 1 if comp < 0 else 0
+            mag = -comp if comp < 0 else comp
+            z = mag - 1
+            if z < 16:
+                mv_class = 0
+                offset = z
+            else:
+                mv_class = min(10, (z >> 3).bit_length() - 1)
+                offset = z - (2 << (mv_class + 2))
+            d = offset >> 3
+            self._sym_at(sign, self.cdfs.ndv_sign, ci)
+            self._sym_at(mv_class, self.cdfs.ndv_classes, ci)
+            if mv_class == 0:
+                self._sym_at(d, self.cdfs.ndv_class0, ci)
+            else:
+                for i in range(mv_class):
+                    self._sym_at((d >> i) & 1, self.cdfs.ndv_bits, ci, i)
+
     def _write_mv(self, mv: tuple, ref_mv: tuple) -> None:
         """svt_av1_encode_mv: joint + per-component, low precision (no hp)."""
         diff = (mv[0] - ref_mv[0], mv[1] - ref_mv[1])
@@ -1297,7 +1352,7 @@ class TileWriter:
             if sqr_up > 3:  # 64-class: DCT only, no signal
                 return
             sqr = tx_size_sqr(tx_size)
-            if leaf.is_inter:
+            if leaf.is_inter or leaf.use_intrabc:
                 # ext_tx_set_index[inter]: DCT_IDTX->3, DTT9_IDTX_1DDCT->2,
                 # ALL16->1 (definitions.h:1808)
                 if self.fr.reduced_tx_set or sqr_up == 3:  # DCT_IDTX (2)

@@ -418,6 +418,11 @@ class Av1Encoder:
 
                 self._allow_sc = is_screen_content(np.asarray(planes[0]))
             fr.allow_screen_content_tools = self._allow_sc
+            # intra block copy on SC intra frames (spec: intra frames
+            # only; the frame then runs no in-loop filters)
+            if (self._allow_sc and fr.frame_is_intra
+                    and os.environ.get("SVT_TPU_NO_INTRABC") != "1"):
+                fr.allow_intrabc = True
         dq_y, dq_udc, dq_uac = self.delta_q_offsets
         coff = getattr(plan, "chroma_q_offset", 0)
         if dq_y or dq_udc or dq_uac or coff:
@@ -555,6 +560,12 @@ class Av1Encoder:
         tw.coeff_writer = CoeffWriter(tw, self.mi_rows, self.mi_cols,
                                       seq.subsampling_x, seq.subsampling_y)
         sign_bias = np.zeros(8, bool)
+        if fr.frame_is_intra and fr.allow_intrabc:
+            # intra-BC DV prediction replays through the writer-side
+            # MiState (ref 0 = INTRA_FRAME entries)
+            from .mvp import MiState
+
+            tw.mi_state = MiState(self.mi_rows, self.mi_cols)
         if not is_key:
             from .mvp import MiState
 
@@ -654,7 +665,6 @@ class Av1Encoder:
                 slot = self.slots[slot_idx]
                 assert slot is not None, f"ref {name} slot {slot_idx} empty"
                 ref_planes[name] = crop(slot["recon"])
-        import os
 
         # device-MD eligibility (shared gates): fused inter lattice for
         # inter frames, intra lattice for key frames
@@ -908,7 +918,15 @@ class Av1Encoder:
         # above already used the unfiltered recon, references/output use
         # the filtered one.
         deblock_planes = None
-        if self.enable_dlf or seq.enable_cdef or seq.enable_restoration:
+        if fr.allow_intrabc:
+            # spec 5.9.11/5.9.19/5.9.20: intrabc frames run no in-loop
+            # filters (the causal recon IS the reference the DVs read)
+            fr.lf_level = (0, 0, 0, 0)
+            fr.cdef_bits = 0
+            fr.cdef_y_strengths = (0,)
+            fr.cdef_uv_strengths = (0,)
+            fr.lr_frame_types = None
+        elif self.enable_dlf or seq.enable_cdef or seq.enable_restoration:
             from ..ops.dlf import (
                 collect_lf_grids,
                 loop_filter_frame,

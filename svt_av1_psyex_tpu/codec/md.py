@@ -139,7 +139,9 @@ class ModeDecision:
         self.me_field = me_field
         from .mvp import MiState
 
-        self.mi_state = MiState(mi_rows, mi_cols) if not fr.frame_is_intra else None
+        self.mi_state = MiState(mi_rows, mi_cols) \
+            if (not fr.frame_is_intra
+                or getattr(fr, "allow_intrabc", False)) else None
         self.seq = seq
         self.fr = fr
         self.pctx = pctx
@@ -555,6 +557,16 @@ class ModeDecision:
                     fi_eligible=False, tx_depth=0, palette=(colors, cmap))
                 if j < best[0]:
                     best = (j, leaf, artifacts)
+
+        # intra block copy candidate (SC intra frames): a handful of DV
+        # candidates (DV prediction, neighbor DVs, one-SB fallbacks)
+        # against the causal pre-filter recon (mode_decision.c:3390
+        # intrabc candidate generation, simplified search)
+        if getattr(self.fr, "allow_intrabc", False) and d0 == 0:
+            got = self._try_intrabc(r, c, bsize, x, y, tx_size,
+                                    skip_costs, has_chroma)
+            if got is not None and got[0] < best[0]:
+                best = got
 
         # tx depth 1 on the winning intra mode (TX_MODE_SELECT); pruned
         # when the whole-block tx already coded (near-)nothing — splitting
@@ -1302,6 +1314,97 @@ class ModeDecision:
             self._txp_cost_cache[ctx] = costs
         return int(costs[0])
 
+    def _try_intrabc(self, r, c, bsize, x, y, tx_size, skip_costs,
+                     has_chroma):
+        """Intra-BC candidate: best valid DV among the DV prediction,
+        neighbor DVs and one-SB fallbacks; prediction is a copy of the
+        causal recon (chroma via the BILINEAR subpel path when the
+        halved DV lands on a half sample, spec 7.11.3)."""
+        from ..ops.mc import mc_block
+        from .mvp import dv_valid, find_dv_ref
+
+        mi = self.mi_state
+        fr = self.fr
+        bw_px, bh_px = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+        tx_w, tx_h = int(TX_W[tx_size]), int(TX_H[tx_size])
+        ref_dv = find_dv_ref(mi, r, c, bsize, self.mi_rows, self.mi_cols)
+        cands = [tuple(ref_dv)]
+        if r > 0 and int(mi.ref_frame[r - 1, c]) == 0:
+            cands.append((int(mi.mv_row[r - 1, c]), int(mi.mv_col[r - 1, c])))
+        if c > 0 and int(mi.ref_frame[r, c - 1]) == 0:
+            cands.append((int(mi.mv_row[r, c - 1]), int(mi.mv_col[r, c - 1])))
+        # fixed fallbacks: 1/2 SBs up and left (the 256px intrabc delay
+        # makes one-SB-up DVs invalid on narrow frames), plus the
+        # find_ref_dv first-row fallback
+        cands += [(0, -512), (-512, 0), (-1024, 0), (0, -1024),
+                  (0, -2560), (-512, -512), (-1024, -512),
+                  (-1032, 0)]  # odd-pel probe (half-pel chroma phase)
+        best = None
+        seen = set()
+        pc = self.pctx[0]
+        src = pc.src[y : y + tx_h, x : x + tx_w]
+        for dv in cands:
+            if dv in seen or dv == (0, 0):
+                continue
+            seen.add(dv)
+            if not dv_valid(dv, r, c, bsize, self.mi_rows, self.mi_cols,
+                            has_chroma):
+                continue
+            pred = mc_block(pc.recon, x, y, tx_w, tx_h, dv[0], dv[1],
+                            0, 0, bit_depth=self.bd)
+            sse = int(((src - pred).astype(np.int64) ** 2).sum())
+            # flag + joint + component magnitudes (rate proxy, 1/512b)
+            diff = (abs(dv[0] - ref_dv[0]) >> 3, abs(dv[1] - ref_dv[1]) >> 3)
+            rate = 512 * (3 + (1 + diff[0]).bit_length()
+                          + (1 + diff[1]).bit_length())
+            j = rdcost(self.rdmult, rate, sse)
+            if best is None or j < best[0]:
+                best = (j, dv, pred, rate)
+        if best is None:
+            return None
+        _, dv, pred, dv_rate = best
+
+        txbs = []
+        dist = 0
+        qc, eob, rec, d = self._txb_rd(pc, pred, x, y, tx_size,
+                                       TxType.DCT_DCT, 0)
+        txbs.append({"plane": 0, "plane_bsize": bsize, "tx_size": tx_size,
+                     "tx_type": int(TxType.DCT_DCT), "qcoeff": qc,
+                     "eob": eob, "ux": x >> 2, "uy": y >> 2, "_rec": rec})
+        dist += d
+        rate = dv_rate
+        if has_chroma:
+            ssx, ssy = self.pctx[1].ss_x, self.pctx[1].ss_y
+            cw_px = max(bw_px >> ssx, 4)
+            ch_px = max(bh_px >> ssy, 4)
+            uv_bsize = block_size_of(cw_px, ch_px)
+            uv_tx = int(MAX_TX_SIZE_RECT[uv_bsize])
+            cx, cy = x >> ssx, y >> ssy
+            for p in (1, 2):
+                pcc = self.pctx[p]
+                predc = mc_block(pcc.recon, cx, cy, int(TX_W[uv_tx]),
+                                 int(TX_H[uv_tx]), dv[0], dv[1], ssx, ssy,
+                                 3, 3, bit_depth=self.bd)  # BILINEAR
+                qcc, eobc, recc, dc = self._txb_rd(pcc, predc, cx, cy,
+                                                   uv_tx, TxType.DCT_DCT, p)
+                txbs.append({"plane": p, "plane_bsize": uv_bsize,
+                             "tx_size": uv_tx,
+                             "tx_type": int(TxType.DCT_DCT), "qcoeff": qcc,
+                             "eob": eobc, "ux": cx >> 2, "uy": cy >> 2,
+                             "_rec": recc})
+                dist += dc
+        skip = all(t["eob"] == 0 for t in txbs)
+        rate += int(skip_costs[1 if skip else 0])
+        if not skip:
+            rate += self._txbs_rate(txbs)
+        leaf = LeafBlock(bsize, y_mode=int(IntraMode.DC),
+                         uv_mode=int(IntraMode.DC), skip=skip,
+                         use_intrabc=True, mv=tuple(dv),
+                         coeffs=None if skip else
+                         [{k: v for k, v in t.items() if k != "_rec"}
+                          for t in txbs])
+        return rdcost(self.rdmult, rate, dist), leaf, txbs
+
     def _try_mode(self, mode, angle_delta, pred, r, c, bsize, x, y, tx_size,
                   mode_costs, base_rate, skip_costs, has_chroma, tx_depth=0,
                   fi_eligible=False, fi_mode=None, palette=None):
@@ -1649,10 +1752,13 @@ class ModeDecision:
         self.y_modes[r:r1, c:c1] = leaf.y_mode
         self.skips[r:r1, c:c1] = 1 if leaf.skip else 0
         if self.mi_state is not None:
+            mi_ref = (0 if getattr(leaf, "use_intrabc", False)
+                      else (leaf.ref_frame if leaf.is_inter else -1))
             self.mi_state.set_block(
-                r, c, bsize,
-                leaf.ref_frame if leaf.is_inter else -1,
-                leaf.mv if leaf.is_inter else (0, 0),
+                r, c, bsize, mi_ref,
+                leaf.mv if (leaf.is_inter
+                            or getattr(leaf, "use_intrabc", False))
+                else (0, 0),
                 leaf.is_inter and mode_has_newmv(leaf.inter_mode),
                 leaf.ref_frame1 if leaf.is_inter else -1,
                 leaf.mv1 if leaf.is_inter else (0, 0),

@@ -123,10 +123,12 @@ class MiState:
             getattr(self, g)[r:r1, c:c1] = s
 
     def cand_refs(self, rr: int, cc: int):
-        """[(ref, (mvr, mvc))] for both components of the candidate."""
+        """[(ref, (mvr, mvc))] for both components of the candidate.
+        ref 0 = INTRA_FRAME (intra-BC blocks carrying a DV); plain intra
+        blocks store -1 and never match."""
         out = []
         r0 = int(self.ref_frame[rr, cc])
-        if r0 >= 1:
+        if r0 >= 0:
             out.append((r0, (int(self.mv_row[rr, cc]), int(self.mv_col[rr, cc]))))
         r1 = int(self.ref_frame1[rr, cc])
         if r1 >= 1:
@@ -204,6 +206,8 @@ def find_mv_stack(mi: MiState, mi_row: int, mi_col: int, bsize: int,
     tests/test_native_mvp.py."""
     lib = _mvp_lib()
     g0, g1 = (gm_mv if gm_mv is not None else (ZERO, ZERO))
+    if ref_frame == 0:
+        lib = None  # INTRA_FRAME (intra-BC DV stack): python path only
     if lib:
         is_comp = isinstance(ref_frame, tuple)
         rf0, rf1 = ref_frame if is_comp else (int(ref_frame), -1)
@@ -625,3 +629,70 @@ def _find_mv_stack_py(mi: MiState, mi_row: int, mi_col: int, bsize: int,
 
     return MvStack(mvs=mvs0, comp_mvs=mvs1, weights=weights,
                    mode_context=mode_context, count=true_count)
+
+
+# ---- intra block copy (DV) helpers -----------------------------------------
+
+INTRABC_DELAY_PIXELS = 256
+INTRABC_DELAY_SB64 = INTRABC_DELAY_PIXELS // 64
+
+
+def find_dv_ref(mi: MiState, mi_row: int, mi_col: int, bsize: int,
+                mi_rows: int, mi_cols: int, sb_mi: int = 16):
+    """DV prediction (mode_decision.c:3415-3423 + svt_aom_find_ref_dv):
+    nearest nonzero of the INTRA_FRAME stack, else the near candidate,
+    else the fixed fallback DV (one SB up, or one SB + delay left when
+    on the first SB row). Units: 1/8 pel."""
+    stack = find_mv_stack(mi, mi_row, mi_col, bsize, 0)
+    nearest = tuple(stack.mvs[0])
+    near = tuple(stack.mvs[1]) if stack.count >= 2 else (0, 0)
+    dv = nearest if nearest != (0, 0) else near
+    if dv == (0, 0):
+        if mi_row - sb_mi < 0:
+            dv = (0, (-4 * sb_mi - INTRABC_DELAY_PIXELS) * 8)
+        else:
+            dv = (-4 * sb_mi * 8, 0)
+    return dv
+
+
+def dv_valid(dv, mi_row: int, mi_col: int, bsize: int,
+             mi_rows: int, mi_cols: int, has_chroma: bool = True) -> bool:
+    """av1_is_dv_valid mirror (adaptive_mv_pred.c:1832-1903), 64px SBs,
+    single tile spanning the frame. dv in 1/8-pel (row, col)."""
+    from .constants import BLOCK_H, BLOCK_W
+
+    bw = int(BLOCK_W[bsize])
+    bh = int(BLOCK_H[bsize])
+    if (dv[0] | dv[1]) & 7:
+        return False  # DVs are full-pel
+    s = 8
+    src_top = mi_row * 4 * s + dv[0]
+    src_left = mi_col * 4 * s + dv[1]
+    if src_top < 0 or src_left < 0:
+        return False
+    src_bottom = (mi_row * 4 + bh) * s + dv[0]
+    src_right = (mi_col * 4 + bw) * s + dv[1]
+    if src_bottom > mi_rows * 4 * s or src_right > mi_cols * 4 * s:
+        return False
+    if has_chroma:
+        if bw < 8 and src_left < 4 * s:
+            return False
+        if bh < 8 and src_top < 4 * s:
+            return False
+    active_sb_row = mi_row >> 4
+    active_sb64_col = (mi_col * 4) >> 6
+    src_sb_row = ((src_bottom >> 3) - 1) // 64
+    src_sb64_col = ((src_right >> 3) - 1) >> 6
+    total = ((mi_cols - 1) >> 4) + 1
+    active_sb64 = active_sb_row * total + active_sb64_col
+    src_sb64 = src_sb_row * total + src_sb64_col
+    if src_sb64 >= active_sb64 - INTRABC_DELAY_SB64:
+        return False
+    gradient = 1 + INTRABC_DELAY_SB64
+    wf = gradient * (active_sb_row - src_sb_row)
+    if (src_sb_row > active_sb_row
+            or src_sb64_col >= active_sb64_col - INTRABC_DELAY_SB64 + wf):
+        return False
+    if src_sb64_col > active_sb64_col + (active_sb_row - src_sb_row):
+        return False
+    return True

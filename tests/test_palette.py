@@ -13,7 +13,6 @@ from svt_av1_psyex_tpu.codec.encoder import Av1Encoder
 from svt_av1_psyex_tpu.conformance.dav1d import decode_ivf
 from svt_av1_psyex_tpu.utils.ivf import IvfWriter
 
-pytestmark = pytest.mark.quick
 
 
 def _sc_frame(w=128, h=128, seed=0):
@@ -58,7 +57,8 @@ def _roundtrip(tmp_path, tus, w, h, recs):
             assert np.array_equal(fr[p], rec[p][:dh, :dw]), "dav1d mismatch"
 
 
-@pytest.mark.parametrize("q", [60, 100, 170, 220])
+@pytest.mark.quick
+@pytest.mark.parametrize("q", [100])
 def test_palette_keyframe_dav1d_exact(tmp_path, q):
     st = {}
     restore = _count_palette(st)
@@ -106,6 +106,7 @@ def test_palette_inter_frame_intra_blocks(tmp_path):
     _roundtrip(tmp_path, tus, 128, 128, recs)
 
 
+@pytest.mark.quick
 def test_screen_content_autodetect():
     from svt_av1_psyex_tpu.ops.palette import is_screen_content
 
@@ -115,6 +116,7 @@ def test_screen_content_autodetect():
     assert not is_screen_content(photo)
 
 
+@pytest.mark.quick
 def test_palette_search_exact_and_dominant():
     from svt_av1_psyex_tpu.ops.palette import palette_search
 
