@@ -20,7 +20,6 @@ _PENDING_FIELDS = frozenset({
     "sframe_dist", "sframe_mode",
     "recode_loop", "vbr_bias_pct", "vbr_min_section_pct",
     "vbr_max_section_pct",
-    "hbd_mds", "complex_hvs",
     "noise_adaptive_filtering",
     "lossless",
     "avif", "enable_overlays",
@@ -113,8 +112,8 @@ class EncoderConfig:
     # reference default 1.0 (enc_settings.c:1108); inert under tune 1
     spy_rd: int = 0  # PSYEX alternate psy RD (0 off / 1 full / 2 partial)
     sharp_tx: int = 1  # keeps luma detail: disables RDOQ down-rounding
-    hbd_mds: int = 0  # [pending]
-    complex_hvs: int = 0  # [pending]
+    hbd_mds: int = 0  # 0 auto / 1 full-10bit MD / 2 hybrid / 3 8-bit analysis
+    complex_hvs: int = 0  # 1: SA8D stage-0 candidate ranking (full HVS cost)
     adaptive_film_grain: bool = True  # [pending]
     noise_adaptive_filtering: bool = False  # [pending]
     noise_norm_strength: int = 0  # 0 off, 1-4 AC revival aggressiveness

@@ -197,7 +197,8 @@ class SvtAv1Encoder:
                              cfg.chroma_u_ac_qindex_offset),
             spy_rd=cfg.spy_rd,
             enable_mfmv=cfg.enable_mfmv != 0,
-            screen_content_mode=cfg.screen_content_mode)
+            screen_content_mode=cfg.screen_content_mode,
+            complex_hvs=cfg.complex_hvs, hbd_mds=cfg.hbd_mds)
         # pre-dispatch the encode's device programs so the tunnelled
         # TPU's server-side compiles overlap each other and the host's
         # startup work instead of stalling mid-encode (encoder.py

@@ -106,7 +106,8 @@ class Av1Encoder:
                  enable_global_motion: bool = True,
                  delta_q_offsets: tuple = (0, 0, 0),
                  enable_mfmv: bool = True,
-                 screen_content_mode: int = 0):
+                 screen_content_mode: int = 0, complex_hvs: int = 0,
+                 hbd_mds: int = 0):
         from ..utils.tunnel import enable_compile_cache
 
         enable_compile_cache()
@@ -115,6 +116,10 @@ class Av1Encoder:
         # screen-content tools: 0 off / 1 force / 2 auto-detect per KF
         # (svt_aom_is_screen_content_psy); SELECT-mode seq header bit
         self.screen_content_mode = int(screen_content_mode)
+        # --complex-hvs: SA8D stage-0 ranking (enc_mode_config.c:8517);
+        # --hbd-mds 3: 8-bit analysis tier for 10-bit content (hbd_md=0)
+        self.complex_hvs = int(complex_hvs)
+        self.hbd_mds = int(hbd_mds)
         self._allow_sc = screen_content_mode == 1
         if screen_content_mode:
             seq.force_screen_content_tools = 2
@@ -777,7 +782,9 @@ class Av1Encoder:
                              noise_norm=self.noise_norm_strength,
                              max_32_tx=self.max_32_tx_size,
                              rdoq=rdoq_frame, spy_rd=self.spy_rd,
-                             temporal_layer=plan.layer)
+                             temporal_layer=plan.layer,
+                             complex_hvs=self.complex_hvs,
+                             hbd_mds=self.hbd_mds)
             if m.mi_state is not None:
                 m.mi_state.sign_bias = sign_bias
                 if tw.mi_state is not None:
@@ -867,7 +874,7 @@ class Av1Encoder:
                     if use_frame_c:
                         _, plan = dmd.pick(r, c, sb_bsize,
                                            self._min_partition_bsize,
-                                           md.rdmult)
+                                           dmd.pick_rdmult())
                         plans.append((plan, r, c, md.cur_qindex))
                     else:
                         node = dmd.encode_sb(r, c, sb_bsize,

@@ -102,7 +102,8 @@ class ModeDecision:
                  filter_intra: bool = False, cfl: bool = False,
                  tile_x_off: int = 0, noise_norm: int = 0,
                  max_32_tx: bool = False, try_4way: bool = False,
-                 rdoq=None, spy_rd: int = 0, temporal_layer: int = 0):
+                 rdoq=None, spy_rd: int = 0, temporal_layer: int = 0,
+                 complex_hvs: int = 0, hbd_mds: int = 0):
         # layer-modulated psy-rd strength (0 = off); adds the SA8D energy
         # delta to every txb's distortion (full_loop.c:2285-2536 hook)
         self.psy_factor = psy_factor
@@ -118,6 +119,8 @@ class ModeDecision:
         # PSYEX spy-rd: mode-class distortion biases for candidate
         # ranking (pic_operators.c:241 facade); 0 off, 1 full, 2 partial
         self.spy_rd = int(spy_rd)
+        self.complex_hvs = int(complex_hvs)
+        self.hbd_mds = int(hbd_mds)
         self.temporal_layer = int(temporal_layer)
         # switchable interp filter search: on when the frame header
         # signals SWITCHABLE (encoder preset gate sets fr.interp_filter)
@@ -467,14 +470,25 @@ class ModeDecision:
         have_left = c > 0
         is_inter_frame = not self.fr.frame_is_intra
 
-        # stage 0: prediction SSE over all intra candidates
+        # stage 0: prediction-domain metric over all intra candidates.
+        # --complex-hvs 1 ranks by SA8D (the reference's mds0_level=1
+        # full HVS cost, enc_mode_config.c:8517) instead of SSE
         dr_avail_y = self._dr_avail(r, c, bsize, tx_size, 0)
+        use_hvs = getattr(self, "complex_hvs", 0) and tx_w >= 8 and tx_h >= 8
         cands = []
         for mode in self.MODES_FULL:
             pred = self._predict(pc, x, y, tx_w, tx_h, have_above, have_left,
                                  mode, 0, dr_avail_y)
             src = pc.src[y : y + tx_h, x : x + tx_w]
-            sse = int(((src - pred).astype(np.int64) ** 2).sum())
+            resid = (src - pred).astype(np.int64)
+            if use_hvs:
+                from ..ops.psy_dist import sa8d_8x8
+
+                t = (resid.reshape(tx_h // 8, 8, tx_w // 8, 8)
+                     .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+                sse = int(sa8d_8x8(t).sum())
+            else:
+                sse = int((resid ** 2).sum())
             cands.append((sse, mode, pred))
         cands.sort(key=lambda t: t[0])
         survivors = cands[: self.n_full_rd]

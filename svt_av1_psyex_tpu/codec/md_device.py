@@ -39,6 +39,15 @@ _BLK_TO_BSIZE = {8: BlockSize.B8X8, 16: BlockSize.B16X16,
                  32: BlockSize.B32X32, 64: BlockSize.B64X64}
 
 
+def _hbd8(dmd) -> bool:
+    """--hbd-mds 3: run the analysis tier at 8 bits for 10-bit
+    content (enc_mode_config.c:1817 hbd_md=0 semantics) — half the
+    upload bytes and narrower device arithmetic; the conformant commit
+    stays full-depth."""
+    return (getattr(dmd.md, "hbd_mds", 0) == 3
+            and dmd.seq.bit_depth > 8)
+
+
 def _mk_commit_ctx(dmd):
     """Native C commit context when the frame's quantization is in its
     repertoire; False selects the host numpy chain (QM quantization and
@@ -180,8 +189,11 @@ class DeviceIntraMD:
         """[rdmult, skip0, skip1, mode_costs..., psy_factor<<8] for the
         on-device RD reduction (frame-level rdmult; per-SB deltaq from
         variance boost only re-weights the host partition rates)."""
+        rdm = self.md.rdmult
+        if _hbd8(self):
+            rdm = max(1, rdm // 16)  # 8-bit-unit distortions
         return np.concatenate([
-            np.array([self.md.rdmult, self.skip0, self.skip1], np.int32),
+            np.array([rdm, self.skip0, self.skip1], np.int32),
             self.mode_rate.astype(np.int32),
             np.array([self.psy_fixed], np.int32)])
 
@@ -196,11 +208,14 @@ class DeviceIntraMD:
 
         src = self.pad_src(self.md.pctx[0].src)
         self._hp, self._wp = src.shape
+        a_bd = 8 if _hbd8(self) else self.seq.bit_depth
+        if a_bd != self.seq.bit_depth:
+            src = (src >> (self.seq.bit_depth - 8))
         qp = qp_row_for(self.fr.base_q_idx, self.fr.delta_q_y_dc, 0,
-                        self.seq.bit_depth)
+                        a_bd)
         # narrow upload dtype: the tunnel link is bandwidth-bound and the
         # jitted lattice casts to int32 on device
-        lum_dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
+        lum_dt = np.uint8 if a_bd == 8 else np.uint16
         mesh = getattr(self, "mesh", None)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -214,7 +229,7 @@ class DeviceIntraMD:
             put_src,
             jax.device_put(qp[None]),
             jax.device_put(self.rd_row()[None]),
-            depths=self.DEPTHS, bit_depth=self.seq.bit_depth,
+            depths=self.DEPTHS, bit_depth=a_bd,
             psy=self.psy_fixed > 0)
 
     def analyze(self, packed_row: np.ndarray | None = None) -> None:
@@ -286,9 +301,13 @@ class DeviceIntraMD:
         return best
 
     # ---- conformant commit -----------------------------------------------
+    def pick_rdmult(self) -> int:
+        """Lambda in the lattice J domain (8-bit units under hbd8)."""
+        return max(1, self.md.rdmult // 16) if _hbd8(self) \
+            else self.md.rdmult
+
     def encode_sb(self, r: int, c: int, sb_bsize: int, min_bsize: int) -> PartitionNode:
-        rdmult = self.md.rdmult
-        _, plan = self.pick(r, c, sb_bsize, min_bsize, rdmult)
+        _, plan = self.pick(r, c, sb_bsize, min_bsize, self.pick_rdmult())
         return self._commit_plan(plan, r, c)
 
     def _commit_plan(self, plan, r: int, c: int) -> PartitionNode:
@@ -547,7 +566,8 @@ class DeviceInterMD(DeviceIntraMD):
             comp_base[1] = ref_r + int(
                 cmode[int(InterMode.GLOBAL_GLOBALMV) - base0])
         return np.concatenate([
-            np.array([md.rdmult, self.skip0, self.skip1], np.int64),
+            np.array([max(1, md.rdmult // 16) if _hbd8(self)
+                      else md.rdmult, self.skip0, self.skip1], np.int64),
             mode_rate, new_base, zero_base, comp_base,
             np.array([self.psy_fixed], np.int64)]).astype(np.int32)
 
@@ -569,9 +589,14 @@ class DeviceInterMD(DeviceIntraMD):
                 p = np.pad(p, ((0, hp - h), (0, wp - w)), mode="edge")
             return p
 
-        lum_dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
+        a_bd = 8 if _hbd8(self) else self.seq.bit_depth
+        if a_bd != self.seq.bit_depth:
+            src = src >> (self.seq.bit_depth - 8)
+        lum_dt = np.uint8 if a_bd == 8 else np.uint16
         refs = np.stack([pad64(np.ascontiguousarray(
             self.md.ref_planes[n][0])) for n in self.ref_names])
+        if a_bd != self.seq.bit_depth:
+            refs = refs >> (self.seq.bit_depth - 8)
         # canonical ref count: every inter frame compiles to the SAME
         # device program (BFS layers see 2 or 3 refs; each distinct count
         # would otherwise be its own ~60-200s server-side compile over
@@ -582,7 +607,7 @@ class DeviceInterMD(DeviceIntraMD):
                 [refs, np.repeat(refs[:1], REFS_CANON - refs.shape[0],
                                  axis=0)])
         qp = qp_row_for(self.fr.base_q_idx, self.fr.delta_q_y_dc, 0,
-                        self.seq.bit_depth)
+                        a_bd)
         mesh = getattr(self, "mesh", None)
         if mesh is not None:
             # spatial parallelism: shard superblock rows over the mesh's
@@ -601,7 +626,7 @@ class DeviceInterMD(DeviceIntraMD):
         self._pending = inter_analysis(
             put_src, put_refs,
             jax.device_put(qp), jax.device_put(self.rd_row()),
-            depths=self.DEPTHS, bit_depth=self.seq.bit_depth,
+            depths=self.DEPTHS, bit_depth=a_bd,
             psy=self.psy_fixed > 0)
 
     def analyze(self, packed_row: np.ndarray | None = None) -> None:

@@ -134,3 +134,26 @@ def test_palette_search_exact_and_dominant():
     assert len(colors) == 8 and np.all(np.diff(colors) > 0)
     # flat block: no palette
     assert palette_search(np.full((8, 8), 7)) is None
+
+
+@pytest.mark.quick
+def test_config5_knobs_conformant(tmp_path):
+    """--complex-hvs 1 + --hbd-mds 3 (config 5's defining knobs) stay
+    dav1d bit-exact on a 10-bit keyframe; complex-hvs must actually be
+    able to change decisions (no silent no-op) on some content."""
+    rng = np.random.default_rng(2)
+    y = (rng.integers(0, 1024, (128, 128))).astype(np.uint16)
+    u = np.full((64, 64), 512, np.uint16)
+    enc = Av1Encoder(SequenceConfig(width=128, height=128, bit_depth=10),
+                     preset=8, hbd_mds=3, complex_hvs=1)
+    tu = enc.encode_keyframe([y.copy(), u.copy(), u.copy()], 120)
+    rec = [p.copy() for p in enc.last_recon]
+    path = tmp_path / "c5.ivf"
+    with open(path, "wb") as fh:
+        wr = IvfWriter(fh, 128, 128)
+        wr.write_frame(tu, 0)
+        wr.close()
+    dec = decode_ivf(path)
+    for p in range(3):
+        dh, dw = dec[0][p].shape
+        assert np.array_equal(dec[0][p], rec[p][:dh, :dw])
