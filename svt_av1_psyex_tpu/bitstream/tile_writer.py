@@ -194,10 +194,13 @@ class TileWriter:
 
     # ---- segmentation (spec 5.11.15 read_segment_id mirror) -------------------
     def _write_segment_id(self, r: int, c: int, bsize: int,
-                          avail_u: bool, avail_l: bool) -> None:
+                          avail_u: bool, avail_l: bool,
+                          skip: int = 0) -> None:
         """Spatially-predicted segment id (ALT_Q-only segmentation:
         SegIdPreSkip = 0, coded after the skip flag; temporal_update = 0
-        so inter blocks use the same spatial coder)."""
+        so inter blocks use the same spatial coder). Skip blocks code
+        NOTHING and take the spatial prediction (spec read_segment_id
+        early-out; write_segment_id entropy_coding.c:4714)."""
         if self.seg_target is None:
             return
         target = int(self.seg_target[r, c])
@@ -220,12 +223,15 @@ class TileWriter:
             ctx = 1
         else:
             ctx = 0
-        coded = _neg_interleave(target, pred, self.seg_last_active + 1)
-        self._sym_at(coded, self.cdfs.spatial_seg, ctx)
         bh4 = int(BLOCK_H[bsize]) >> 2
         bw4 = int(BLOCK_W[bsize]) >> 2
         r1 = min(r + bh4, self.mi_rows)
         c1 = min(c + bw4, self.mi_cols)
+        if skip:
+            self._seg_map[r:r1, c:c1] = pred
+            return
+        coded = _neg_interleave(target, pred, self.seg_last_active + 1)
+        self._sym_at(coded, self.cdfs.spatial_seg, ctx)
         self._seg_map[r:r1, c:c1] = target
 
     # ---- loop restoration units (spec 5.11.57 read_lr mirror) ----------------
@@ -504,7 +510,7 @@ class TileWriter:
         left_skip = int(self.skips[r, c - 1]) if avail_l else 0
         skip = 1 if leaf.skip else 0
         self._sym_at(skip, self.cdfs.skip, above_skip + left_skip)
-        self._write_segment_id(r, c, bsize, avail_u, avail_l)
+        self._write_segment_id(r, c, bsize, avail_u, avail_l, skip)
         self._write_cdef(r, c, skip)
         self._write_delta_q(leaf, r, c, bsize, skip)
 

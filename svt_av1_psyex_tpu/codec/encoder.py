@@ -674,14 +674,11 @@ class Av1Encoder:
         # device-MD eligibility (shared gates): fused inter lattice for
         # inter frames, intra lattice for key frames
         # QM / noise-norm frames fall back to the host txb chain inside
-        # the device commit (md_device._mk_commit_ctx) so they ride the
-        # lattice now; seg-AQ (aq-mode 1) inter frames still desync on
-        # the device path (tile payload error under seg-id coding) and
-        # stay host-side until root-caused
+        # the device commit (md_device._mk_commit_ctx) and seg-AQ rides
+        # the per-SB qmap plumbing — none of them gate the lattice
         dev_ok = (self.preset >= 6 and not seq.use_128x128_superblock
                   and not fr.allow_screen_content_tools
                   and n_tiles == 1
-                  and (fr.frame_is_intra or fr.seg_qdeltas is None)
                   and (seq.mono_chrome
                        or (seq.subsampling_x and seq.subsampling_y))
                   and os.environ.get("SVT_TPU_HOST_MD") != "1")

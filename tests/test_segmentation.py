@@ -109,3 +109,40 @@ def test_aq_mode_1_via_api(tmp_path):
         for i in range(3):
             dh, dw = dec[t][i].shape
             assert np.array_equal(dec[t][i], recons[t][i][:dh, :dw]), (t, i)
+
+
+def test_seg_skip_blocks_take_predicted_id(tmp_path):
+    """Skip blocks code no segment id and take the spatial prediction
+    (spec read_segment_id early-out; entropy_coding.c:4714) — noisy
+    content at mixed variance used to desync the seg-id grid between
+    writer and decoder; exercises the device inter path too (p8)."""
+    rng = np.random.default_rng(3)
+    w, h = 128, 96
+
+    def sine(t):
+        yy, xx = np.mgrid[0:h, 0:w]
+        y = np.clip(120 + 60 * np.sin((xx + 4 * t) / 9.0)
+                    * np.cos(yy / 7.0) + rng.integers(-8, 9, (h, w)),
+                    0, 255).astype(np.uint8)
+        return [y, np.full((h // 2, w // 2), 120, np.uint8),
+                np.full((h // 2, w // 2), 130, np.uint8)]
+
+    enc = Av1Encoder(SequenceConfig(width=w, height=h), preset=8,
+                     seg_aq=True)
+    tus = [enc.encode_frame(sine(0), 120, plan=plan_key(0))]
+    recs = {0: [p.copy() for p in enc.last_recon]}
+    for pl in plan_minigop(0, 1, 4, future_slot=1):
+        src = sine(pl.disp_idx) if pl.show_existing_slot is None else None
+        tus.append(enc.encode_frame(src, 120, plan=pl))
+        recs[pl.disp_idx] = [p.copy() for p in enc.last_recon]
+    path = tmp_path / "segskip.ivf"
+    with open(path, "wb") as fh:
+        wr = IvfWriter(fh, w, h)
+        for t, tu in enumerate(tus):
+            wr.write_frame(tu, t)
+        wr.close()
+    dec = decode_ivf(path)
+    for t in range(len(dec)):
+        for i in range(3):
+            dh, dw = dec[t][i].shape
+            assert np.array_equal(dec[t][i], recs[t][i][:dh, :dw]), (t, i)
