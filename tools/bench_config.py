@@ -45,6 +45,8 @@ def main() -> None:
     ap.add_argument("--bit-depth", type=int, default=8)
     ap.add_argument("--timing", action="store_true")
     ap.add_argument("--no-dav1d", action="store_true")
+    ap.add_argument("--keep", default="",
+                    help="save the IVF (and recon mismatch report) here")
     ap.add_argument("--repeat", action="store_true",
                     help="encode twice in-process; report the 2nd pass "
                          "(steady state: XLA compiles cached)")
@@ -107,12 +109,24 @@ def main() -> None:
                     wr.close()
                 dec = decode_ivf(path)
                 ok = len(dec) == len(recons)
+                if not ok:
+                    print(f"# len(dec)={len(dec)} len(recons)={len(recons)}",
+                          file=sys.stderr)
                 for t in range(min(len(dec), len(recons))):
                     for i in range(len(dec[t])):
                         dh, dw = dec[t][i].shape
                         if not np.array_equal(dec[t][i],
                                               recons[t][i][:dh, :dw]):
+                            d = (dec[t][i].astype(np.int64)
+                                 - recons[t][i][:dh, :dw])
+                            print(f"# mismatch frame {t} plane {i}: "
+                                  f"n={(d != 0).sum()} max={np.abs(d).max()}",
+                                  file=sys.stderr)
                             ok = False
+                if args.keep:
+                    import shutil
+
+                    shutil.copy(path, args.keep)
     print(json.dumps({
         "config": f"{args.w}x{args.h} p{args.preset} crf{args.crf}",
         "frames": args.frames, "fps": round(fps, 4), "bytes": nbytes,
