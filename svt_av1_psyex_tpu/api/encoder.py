@@ -129,6 +129,12 @@ class SvtAv1Encoder:
             color_range=cfg.color_range,
             chroma_sample_position=cfg.chroma_sample_position,
         )
+        # compound tool gates (get_inter_compound_level,
+        # enc_mode_config.c:8024/2113): dist-wtd + masked compound ride
+        # the low presets only
+        if cfg.enc_mode <= 2:
+            self._seq.enable_jnt_comp = True
+            self._seq.enable_masked_compound = True
         # HDR metadata OBUs (prepended to every keyframe TU for seek
         # robustness; metadata_handle.c:50-110 string formats)
         self._metadata = b""

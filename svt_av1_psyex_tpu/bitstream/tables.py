@@ -159,6 +159,14 @@ class FrameCdfs:
         self.comp_ref = self._wrap(clone("default_comp_ref_cdf"))
         self.comp_bwdref = self._wrap(clone("default_comp_bwdref_cdf"))
         self.inter_compound_mode = self._wrap(clone("default_inter_compound_mode_cdf"))
+        # compound type group (read_compound_type): dist-wtd / masked
+        self.comp_group_idx = self._wrap(clone("default_comp_group_idx_cdfs"))
+        self.compound_idx = self._wrap(clone("default_compound_idx_cdfs"))
+        self.compound_type = self._wrap(clone("default_compound_type_cdf"))
+        self.wedge_idx = self._wrap(clone("default_wedge_idx_cdf"))
+        self.interintra = self._wrap(clone("default_interintra_cdf"))
+        self.interintra_mode = self._wrap(clone("default_interintra_mode_cdf"))
+        self.wedge_interintra = self._wrap(clone("default_wedge_interintra_cdf"))
         self.switchable_interp = self._wrap(
             clone("default_switchable_interp_cdf"))
         self.newmv = self._wrap(clone("default_newmv_cdf"))

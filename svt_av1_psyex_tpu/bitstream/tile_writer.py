@@ -69,6 +69,14 @@ class LeafBlock:
     # intra block copy (SC intra frames): DV carried in .mv (1/8 units)
     use_intrabc: bool = False
     motion_mode: int = 0  # 0 SIMPLE, 1 OBMC_CAUSAL, 2 WARPED_CAUSAL
+    # compound type (read_compound_type): group 0 = avg / dist-wtd
+    # (compound_idx 1 / 0), group 1 = wedge / diff-wtd masks
+    comp_group_idx: int = 0
+    compound_idx: int = 1
+    comp_type: int = 0  # constants.COMPOUND_* (AVERAGE/DISTWTD/WEDGE/DIFFWTD)
+    wedge_index: int = 0
+    wedge_sign: int = 0
+    mask_type: int = 0
 
 
 @dataclass
@@ -107,6 +115,10 @@ class TileWriter:
         self.flt = np.full((mi_rows, mi_cols), 3, dtype=np.int8)
         self.ref0g = np.zeros((mi_rows, mi_cols), dtype=np.int8)
         self.ref1g = np.full((mi_rows, mi_cols), -1, dtype=np.int8)
+        # compound-type neighbor state (comp_group_idx / compound_idx
+        # contexts read these for two-ref neighbors)
+        self.cgig = np.zeros((mi_rows, mi_cols), dtype=np.int8)
+        self.cpig = np.ones((mi_rows, mi_cols), dtype=np.int8)
         # palette neighbor state: per-mi Y palette size (mode ctx) and
         # the covering block's sorted colors (cache merge); colors keyed
         # by mi position since sizes vary
@@ -609,6 +621,8 @@ class TileWriter:
                                         else 0)
         self.ref1g[r:r_end, c:c_end] = (leaf.ref_frame1 if leaf.is_inter
                                         else -1)
+        self.cgig[r:r_end, c:c_end] = leaf.comp_group_idx if leaf.is_inter else 0
+        self.cpig[r:r_end, c:c_end] = leaf.compound_idx if leaf.is_inter else 1
         if self.mi_state is not None:
             mi_ref = (0 if leaf.use_intrabc
                       else (leaf.ref_frame if leaf.is_inter else -1))
@@ -808,6 +822,7 @@ class TileWriter:
             if sub1 == InterMode.NEWMV:
                 self._write_mv(leaf.mv1, stack.comp_mvs[leaf.drl_index])
             # compound blocks are always SIMPLE (read_motion_mode)
+            self._write_compound_type(leaf, r, c, bsize, avail_u, avail_l)
             self._write_interp_filter(leaf, r, c, avail_u, avail_l)
             return
 
@@ -833,6 +848,68 @@ class TileWriter:
             self._write_mv(leaf.mv, ref_mv)
         self._write_motion_mode(leaf, r, c, bsize)
         self._write_interp_filter(leaf, r, c, avail_u, avail_l)
+
+    # ---- compound type (spec 5.11.27 read_compound_type mirror) ---------
+    def _cgi_nb(self, rr: int, cc: int) -> int:
+        """Neighbor contribution to the comp_group_idx context
+        (svt_aom_get_comp_group_idx_context_enc, entropy_coding.c:74)."""
+        if self.ref1g[rr, cc] >= 1:
+            return int(self.cgig[rr, cc])
+        if self.ref0g[rr, cc] == 7:  # single-ref ALTREF
+            return 3
+        return 0
+
+    def _cpi_nb(self, rr: int, cc: int) -> int:
+        """Neighbor contribution to the compound_idx context
+        (svt_aom_get_comp_index_context_enc, entropy_coding.c:48)."""
+        if self.ref1g[rr, cc] >= 1:
+            return int(self.cpig[rr, cc])
+        if self.ref0g[rr, cc] == 7:
+            return 1
+        return 0
+
+    def comp_index_ctx(self, ref0: int, ref1: int, r: int, c: int,
+                       avail_u: bool, avail_l: bool) -> int:
+        bits = self.seq.order_hint_bits
+        cur = self.fr.order_hint
+        from ..ops.mc import rel_dist
+        fwd = abs(rel_dist(bits, self.fr.ref_order_hints[ref1 - 1], cur))
+        bck = abs(rel_dist(bits, cur, self.fr.ref_order_hints[ref0 - 1]))
+        above = self._cpi_nb(r - 1, c) if avail_u else 0
+        left = self._cpi_nb(r, c - 1) if avail_l else 0
+        return above + left + (3 if fwd == bck else 0)
+
+    def comp_group_ctx(self, r: int, c: int, avail_u: bool,
+                       avail_l: bool) -> int:
+        above = self._cgi_nb(r - 1, c) if avail_u else 0
+        left = self._cgi_nb(r, c - 1) if avail_l else 0
+        return min(5, above + left)
+
+    def _write_compound_type(self, leaf: LeafBlock, r: int, c: int,
+                             bsize: int, avail_u: bool, avail_l: bool) -> None:
+        """Compound group / index / masked-type syntax after the MVs
+        (entropy_coding.c:5141-5200; our streams never use skip_mode)."""
+        from ..codec.constants import COMPOUND_WEDGE, WEDGE_BITS
+
+        masked_used = (getattr(self.seq, "enable_masked_compound", False)
+                       and min(int(BLOCK_W[bsize]), int(BLOCK_H[bsize])) >= 8)
+        if masked_used:
+            self._sym_at(leaf.comp_group_idx, self.cdfs.comp_group_idx,
+                         self.comp_group_ctx(r, c, avail_u, avail_l))
+        if leaf.comp_group_idx == 0:
+            if getattr(self.seq, "enable_jnt_comp", False):
+                ctx = self.comp_index_ctx(leaf.ref_frame, leaf.ref_frame1,
+                                          r, c, avail_u, avail_l)
+                self._sym_at(leaf.compound_idx, self.cdfs.compound_idx, ctx)
+            return
+        if int(WEDGE_BITS[bsize]) > 0:
+            self._sym_at(leaf.comp_type - COMPOUND_WEDGE,
+                         self.cdfs.compound_type, bsize)
+        if leaf.comp_type == COMPOUND_WEDGE:
+            self._sym_at(leaf.wedge_index, self.cdfs.wedge_idx, bsize)
+            self.enc.encode_literal(leaf.wedge_sign, 1)
+        else:
+            self.enc.encode_literal(leaf.mask_type, 1)
 
     def _interp_ctx(self, r: int, c: int, avail_u: bool, avail_l: bool,
                     rf0: int, rf1: int, dir_: int) -> int:

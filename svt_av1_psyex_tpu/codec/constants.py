@@ -307,6 +307,19 @@ ALTREF_FRAME = 7
 # group LOWER than the squares of the same long dim (definitions.h:1600)
 SIZE_GROUP = np.array([0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 0, 0, 1, 1, 2, 2])
 
+# compound prediction types (read_compound_type; the coded masked
+# symbol is comp_type - COMPOUND_WEDGE)
+COMPOUND_AVERAGE = 0
+COMPOUND_DISTWTD = 1
+COMPOUND_WEDGE = 2
+COMPOUND_DIFFWTD = 3
+
+# wedge codebook bits per bsize (wedge_params_lookup .bits,
+# inter_prediction.c:1912): 16-entry codebooks exist for the 8x8..32x32
+# family only; 0 = wedge unusable at this size
+WEDGE_BITS = np.array([0, 0, 0, 4, 4, 4, 4, 4, 4, 4, 0,
+                       0, 0, 0, 0, 0, 0, 0, 4, 4, 0, 0])
+
 # Max/smallest dims
 MAX_SB_SIZE = 128
 MAX_MIB_SIZE = 32

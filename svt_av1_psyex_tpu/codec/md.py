@@ -1164,6 +1164,93 @@ class ModeDecision:
             rate += int(self._interp_fcosts(is_comp)[flt])
         elif not codes_filter:
             flt = 0
+        # compound-type trial (read_compound_type tools): pred-domain SSE
+        # + syntax rate picks among average / dist-wtd / diff-wtd /
+        # wedge, mirroring the reference's MD_COMP_* stages
+        # (set_inter_comp_controls; preset gate = the seq flags, enabled
+        # at enc_mode <= 2 like get_inter_compound_level)
+        comp_idx = 1
+        comp_group = 0
+        dw_weights = None
+        masked_pick = None  # (comp_type, wedge_idx, wedge_sign, mask_type, mask)
+        jnt_on = getattr(self.seq, "enable_jnt_comp", False)
+        masked_on = (getattr(self.seq, "enable_masked_compound", False)
+                     and min(int(BLOCK_W[bsize]), int(BLOCK_H[bsize])) >= 8)
+        if is_comp and (jnt_on or masked_on):
+            from ..ops.mc import (
+                compound_dist_wtd,
+                dist_wtd_weights,
+                mc_block_convbuf,
+                rel_dist,
+            )
+            from ..ops.wedge import blend_a64_d16, diffwtd_mask_d16, wedge_mask
+            from .constants import (
+                COMPOUND_DIFFWTD,
+                COMPOUND_WEDGE,
+                WEDGE_BITS,
+            )
+
+            b0 = mc_block_convbuf(ref_pl[0], ax, y, tx_w, tx_h, mv[0], mv[1],
+                                  0, 0, flt, flt, bit_depth=self.bd)
+            b1 = mc_block_convbuf(ref_pl1[0], ax, y, tx_w, tx_h, mv1[0],
+                                  mv1[1], 0, 0, flt, flt, bit_depth=self.bd)
+            src = self.pctx[0].src[y : y + tx_h, x : x + tx_w]
+
+            def sse_of(p):
+                return int(((src - p).astype(np.int64) ** 2).sum())
+
+            cg = self._comp_group_costs() if masked_on else (0, 0)
+            # group 0: average (what `pred` already holds) vs dist-wtd
+            if jnt_on:
+                ohb = self.seq.order_hint_bits
+                cur_h = self.fr.order_hint
+                bck_h = self.fr.ref_order_hints[ref_id - 1]
+                fwd_h = self.fr.ref_order_hints[ref_id1 - 1]
+                wts = dist_wtd_weights(ohb, cur_h, bck_h, fwd_h)
+                offset = int(abs(rel_dist(ohb, fwd_h, cur_h))
+                             == abs(rel_dist(ohb, cur_h, bck_h)))
+                ccosts = self._comp_idx_costs(3 * offset)
+                cost_avg = int(ccosts[1]) + int(cg[0])
+                cost_dw = int(ccosts[0]) + int(cg[0])
+            else:
+                wts = None
+                cost_avg = int(cg[0])
+                cost_dw = None
+            best = (rdcost(self.rdmult, cost_avg, sse_of(pred)),
+                    cost_avg, pred, 1, None, None)
+            if cost_dw is not None:
+                p_dw = compound_dist_wtd(b0, b1, wts[0], wts[1], self.bd)
+                j_dw = rdcost(self.rdmult, cost_dw, sse_of(p_dw))
+                if j_dw < best[0]:
+                    best = (j_dw, cost_dw, p_dw, 0, wts, None)
+            if masked_on:
+                wb = int(WEDGE_BITS[bsize])
+                ct_costs = self._comp_type_costs(bsize) if wb else None
+                # diff-wtd: both mask polarities
+                for mt in (0, 1):
+                    msk = diffwtd_mask_d16(b0, b1, mt, self.bd)
+                    p_m = blend_a64_d16(b0, b1, msk, 0, 0, self.bd)
+                    cost = (int(cg[1]) + 512
+                            + (int(ct_costs[1]) if wb else 0))
+                    j_m = rdcost(self.rdmult, cost, sse_of(p_m))
+                    if j_m < best[0]:
+                        best = (j_m, cost, p_m, 1, None,
+                                (COMPOUND_DIFFWTD, 0, 0, mt, msk))
+                if wb:
+                    wi_costs = self._wedge_idx_costs(bsize)
+                    for wi in range(16):
+                        for ws in (0, 1):
+                            msk = wedge_mask(bsize, wi, ws)
+                            p_m = blend_a64_d16(b0, b1, msk, 0, 0, self.bd)
+                            cost = (int(cg[1]) + int(ct_costs[0])
+                                    + int(wi_costs[wi]) + 512)
+                            j_m = rdcost(self.rdmult, cost, sse_of(p_m))
+                            if j_m < best[0]:
+                                best = (j_m, cost, p_m, 1, None,
+                                        (COMPOUND_WEDGE, wi, ws, 0, msk))
+            _, pick_cost, pred, comp_idx, dw_weights, masked_pick = best
+            comp_group = 1 if masked_pick is not None else 0
+            rate += pick_cost
         if obmc:
             from .obmc import obmc_blend_plane
 
@@ -1199,11 +1286,26 @@ class ModeDecision:
                                        acx, cy, int(TX_W[uv_tx]),
                                        int(TX_H[uv_tx]), ssx, ssy,
                                        bd=self.bd).astype(np.int32)
+                elif is_comp and masked_pick is not None:
+                    from ..ops.mc import mc_block_convbuf
+                    from ..ops.wedge import blend_a64_d16
+
+                    b0c = mc_block_convbuf(ref_pl[p], acx, cy,
+                                           int(TX_W[uv_tx]), int(TX_H[uv_tx]),
+                                           mv[0], mv[1], ssx, ssy, flt, flt,
+                                           bit_depth=self.bd)
+                    b1c = mc_block_convbuf(ref_pl1[p], acx, cy,
+                                           int(TX_W[uv_tx]), int(TX_H[uv_tx]),
+                                           mv1[0], mv1[1], ssx, ssy, flt, flt,
+                                           bit_depth=self.bd)
+                    predc = blend_a64_d16(b0c, b1c, masked_pick[4], ssx, ssy,
+                                          self.bd)
                 elif is_comp:
                     predc = mc_block_compound(ref_pl[p], ref_pl1[p], acx, cy,
                                               int(TX_W[uv_tx]), int(TX_H[uv_tx]),
                                               mv, mv1, ssx, ssy,
-                                              bit_depth=self.bd, interp=flt)
+                                              bit_depth=self.bd, interp=flt,
+                                              weights=dw_weights)
                 else:
                     predc = mc_block(ref_pl[p], acx, cy,
                                      int(TX_W[uv_tx]), int(TX_H[uv_tx]),
@@ -1239,6 +1341,13 @@ class ModeDecision:
                 self.cw.above[p][...] = ca[p]
                 self.cw.left[p][...] = cl[p]
 
+        from .constants import COMPOUND_AVERAGE, COMPOUND_DISTWTD
+
+        if masked_pick is not None:
+            c_type, wedge_i, wedge_s, mask_t, _ = masked_pick
+        else:
+            c_type = COMPOUND_DISTWTD if comp_idx == 0 else COMPOUND_AVERAGE
+            wedge_i = wedge_s = mask_t = 0
         leaf = LeafBlock(bsize, skip=skip, is_inter=True, ref_frame=ref_id,
                          ref_frame1=ref_id1 if is_comp else -1,
                          mv1=tuple(mv1) if is_comp else (0, 0),
@@ -1246,6 +1355,10 @@ class ModeDecision:
                          interp_filter=flt,
                          motion_mode=(2 if lwarp is not None
                                       else 1 if obmc else 0),
+                         comp_group_idx=comp_group,
+                         compound_idx=comp_idx,
+                         comp_type=c_type, wedge_index=wedge_i,
+                         wedge_sign=wedge_s, mask_type=mask_t,
                          coeffs=None if skip else
                          [{k: v for k, v in t.items() if k != "_rec"} for t in txbs])
         jdist = self._spy_dist(dist, is_intra=False, comp_avg=is_comp)
@@ -1264,6 +1377,42 @@ class ModeDecision:
         if t is None:
             t = cdf_costs(self.cdfs.switchable_interp[0][4 if is_comp else 0])
             self._ifs_cost_cache[key] = t
+        return t
+
+    def _comp_idx_costs(self, ctx: int) -> np.ndarray:
+        """compound_idx symbol costs at the distance-offset context
+        (neighbor terms 0 — the writer codes the exact context)."""
+        cache = getattr(self, "_cmpidx_cost_cache", None)
+        if cache is None:
+            cache = self._cmpidx_cost_cache = {}
+        t = cache.get(ctx)
+        if t is None:
+            t = cdf_costs(self.cdfs.compound_idx[0][ctx])
+            cache[ctx] = t
+        return t
+
+    def _comp_group_costs(self) -> np.ndarray:
+        t = getattr(self, "_cmpgrp_costs", None)
+        if t is None:
+            t = self._cmpgrp_costs = cdf_costs(self.cdfs.comp_group_idx[0][0])
+        return t
+
+    def _comp_type_costs(self, bsize: int) -> np.ndarray:
+        cache = getattr(self, "_ctype_cost_cache", None)
+        if cache is None:
+            cache = self._ctype_cost_cache = {}
+        t = cache.get(bsize)
+        if t is None:
+            t = cache[bsize] = cdf_costs(self.cdfs.compound_type[0][bsize])
+        return t
+
+    def _wedge_idx_costs(self, bsize: int) -> np.ndarray:
+        cache = getattr(self, "_widx_cost_cache", None)
+        if cache is None:
+            cache = self._widx_cost_cache = {}
+        t = cache.get(bsize)
+        if t is None:
+            t = cache[bsize] = cdf_costs(self.cdfs.wedge_idx[0][bsize])
         return t
 
     def _spy_dist(self, dist: int, *, is_intra: bool, mode: int = -1,

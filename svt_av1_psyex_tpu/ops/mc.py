@@ -175,11 +175,76 @@ def compound_average(buf0: np.ndarray, buf1: np.ndarray,
     return np.clip(_rp2(tmp, round_bits), 0, (1 << bd) - 1).astype(np.int32)
 
 
+# ---- distance-weighted compound (compound_idx = 0) ------------------------
+# Counterpart: svt_av1_dist_wtd_comp_weight_assign + the jnt convolve
+# accumulation `tmp = p0*fwd + p1*bck >> DIST_PRECISION_BITS`
+# (inter_prediction.c:267-308, :467-480). order_idx is always 0 at the
+# reference's call sites (enc_inter_prediction.c:1983).
+
+MAX_FRAME_DISTANCE = 31
+_DIST_PRECISION_BITS = 4
+_QUANT_DIST_WEIGHT = ((2, 3), (2, 5), (2, 7), (1, MAX_FRAME_DISTANCE))
+_QUANT_DIST_LOOKUP = ((9, 7), (11, 5), (12, 4), (13, 3))
+
+
+def rel_dist(order_hint_bits: int, ref_hint: int, order_hint: int) -> int:
+    """Signed wrap-around order-hint distance (spec get_relative_dist)."""
+    diff = ref_hint - order_hint
+    m = 1 << (order_hint_bits - 1)
+    return (diff & (m - 1)) - (diff & m)
+
+
+def dist_wtd_weights(order_hint_bits: int, cur_hint: int, bck_hint: int,
+                     fwd_hint: int) -> tuple[int, int]:
+    """(fwd_offset, bck_offset) weights for the dist-wtd blend; fwd
+    scales the FIRST (list-0) conv buffer, matching the reference's
+    accumulation order. bck_hint/fwd_hint are the order hints of
+    ref_frame[0] / ref_frame[1]."""
+    d0 = min(abs(rel_dist(order_hint_bits, fwd_hint, cur_hint)),
+             MAX_FRAME_DISTANCE)
+    d1 = min(abs(rel_dist(order_hint_bits, cur_hint, bck_hint)),
+             MAX_FRAME_DISTANCE)
+    order = 1 if d0 <= d1 else 0
+    if d0 == 0 or d1 == 0:
+        i = 3
+    else:
+        for i in range(3):
+            c0 = _QUANT_DIST_WEIGHT[i][order]
+            c1 = _QUANT_DIST_WEIGHT[i][1 - order]
+            d0_c0 = d0 * c0
+            d1_c1 = d1 * c1
+            if (d0 > d1 and d0_c0 < d1_c1) or (d0 <= d1 and d0_c0 > d1_c1):
+                break
+        else:
+            i = 3
+    return (_QUANT_DIST_LOOKUP[i][order], _QUANT_DIST_LOOKUP[i][1 - order])
+
+
+def compound_dist_wtd(buf0: np.ndarray, buf1: np.ndarray, fwd_offset: int,
+                      bck_offset: int, bit_depth: int = 8) -> np.ndarray:
+    """Distance-weighted blend of two CONV-buffer predictions
+    (compound_idx = 0): p0*fwd + p1*bck >> 4, then the compound
+    round/offset removal shared with compound_average."""
+    bd = bit_depth
+    r0, r1 = ROUND0, _COMP_ROUND1
+    offset_bits = bd + 2 * FILTER_BITS - r0
+    round_offset = (1 << (offset_bits - r1)) + (1 << (offset_bits - r1 - 1))
+    round_bits = 2 * FILTER_BITS - r0 - r1
+    tmp = ((buf0 * fwd_offset + buf1 * bck_offset)
+           >> _DIST_PRECISION_BITS) - round_offset
+    return np.clip(_rp2(tmp, round_bits), 0, (1 << bd) - 1).astype(np.int32)
+
+
 def mc_block_compound(ref0: np.ndarray, ref1: np.ndarray, x: int, y: int,
                       w: int, h: int, mv0, mv1, ss_x: int, ss_y: int,
-                      bit_depth: int = 8, interp: int = 0) -> np.ndarray:
+                      bit_depth: int = 8, interp: int = 0,
+                      weights: tuple[int, int] | None = None) -> np.ndarray:
+    """weights: None = plain average (compound_idx 1); (fwd, bck) =
+    distance-weighted blend (compound_idx 0)."""
     b0 = mc_block_convbuf(ref0, x, y, w, h, mv0[0], mv0[1], ss_x, ss_y,
                           interp, interp, bit_depth=bit_depth)
     b1 = mc_block_convbuf(ref1, x, y, w, h, mv1[0], mv1[1], ss_x, ss_y,
                           interp, interp, bit_depth=bit_depth)
+    if weights is not None:
+        return compound_dist_wtd(b0, b1, weights[0], weights[1], bit_depth)
     return compound_average(b0, b1, bit_depth)
