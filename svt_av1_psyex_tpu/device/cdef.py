@@ -157,10 +157,23 @@ _SEC_IDX0 = (2, 3, 4, 5)
 _SEC_IDX1 = (8, 9, 10, 11)
 
 
+def _ilog2(x):
+    """floor(log2(max(x, 1))) in pure integer ops. The filter output is
+    decoder-visible, so this must be exact on every backend: TPU's f32
+    log2 approximation can land just below an integer at exact powers of
+    two, flooring one low and shifting the constraint by a full bit
+    (seen as +-1-pixel recon diffs vs dav1d at 1080p)."""
+    v = jnp.maximum(x, 1)
+    r = jnp.zeros_like(v)
+    for k in (16, 8, 4, 2, 1):
+        hit = v >= (1 << k)
+        r = r + jnp.where(hit, k, 0)
+        v = jnp.where(hit, v >> k, v)
+    return r
+
+
 def _msb_shift(strength, damping):
-    msb = jnp.floor(jnp.log2(jnp.maximum(strength.astype(jnp.float32), 1.0))
-                    ).astype(jnp.int32)
-    return jnp.maximum(0, damping - msb)
+    return jnp.maximum(0, damping - _ilog2(strength))
 
 
 def _pri_sum(taps, pri, damping, coeff_shift: int):
@@ -204,8 +217,7 @@ def _combine(taps, pri_sum, sec_sum):
 
 def _adjust_strength(strength, var):
     v6 = var >> 6
-    i = jnp.minimum(jnp.floor(jnp.log2(jnp.maximum(v6, 1).astype(jnp.float32))
-                              ).astype(jnp.int32), 12)
+    i = jnp.minimum(_ilog2(v6), 12)
     adj = (strength * (4 + i) + 8) >> 4
     return jnp.where(var != 0, adj, 0)
 
