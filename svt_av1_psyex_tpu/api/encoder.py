@@ -135,6 +135,9 @@ class SvtAv1Encoder:
         if cfg.enc_mode <= 2:
             self._seq.enable_jnt_comp = True
             self._seq.enable_masked_compound = True
+            # inter-intra rides the same presets (base-layer pictures,
+            # svt_aom_get_inter_intra_level enc_mode_config.c:8050)
+            self._seq.enable_interintra_compound = True
         # HDR metadata OBUs (prepended to every keyframe TU for seek
         # robustness; metadata_handle.c:50-110 string formats)
         self._metadata = b""

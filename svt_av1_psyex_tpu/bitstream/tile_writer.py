@@ -77,6 +77,10 @@ class LeafBlock:
     wedge_index: int = 0
     wedge_sign: int = 0
     mask_type: int = 0
+    # inter-intra (single-ref, 8x8..32x32): -1 = off, else II_DC/V/H/SMOOTH;
+    # wedge_interintra reuses wedge_index (sign fixed 0)
+    interintra_mode: int = -1
+    wedge_interintra: int = 0
 
 
 @dataclass
@@ -846,8 +850,38 @@ class TileWriter:
         if mode == InterMode.NEWMV:
             ref_mv = stack.mvs[leaf.drl_index]
             self._write_mv(leaf.mv, ref_mv)
-        self._write_motion_mode(leaf, r, c, bsize)
+        ii_coded = self._write_interintra(leaf, bsize)
+        if not ii_coded or leaf.interintra_mode < 0:
+            # inter-intra blocks read no motion_mode (rf[1] == INTRA,
+            # entropy_coding.c:5134)
+            self._write_motion_mode(leaf, r, c, bsize)
         self._write_interp_filter(leaf, r, c, avail_u, avail_l)
+
+    def _write_interintra(self, leaf: LeafBlock, bsize: int) -> bool:
+        """read_interintra_mode mirror: flag + mode (+ wedge) for
+        single-ref NEAREST/NEAR/GLOBAL/NEWMV at 8x8..32x32 when the seq
+        gate is on. Returns whether the flag was coded."""
+        from ..codec.constants import SIZE_GROUP, WEDGE_BITS
+
+        if not getattr(self.seq, "enable_interintra_compound", False):
+            return False
+        if not (8 <= int(BLOCK_W[bsize]) <= 32
+                and 8 <= int(BLOCK_H[bsize]) <= 32):
+            return False
+        if not (13 <= leaf.inter_mode <= 16):  # NEARESTMV..NEWMV
+            return False
+        grp = int(SIZE_GROUP[bsize])
+        ii = leaf.interintra_mode >= 0
+        self._sym_at(1 if ii else 0, self.cdfs.interintra, grp)
+        if not ii:
+            return True
+        self._sym_at(leaf.interintra_mode, self.cdfs.interintra_mode, grp)
+        if int(WEDGE_BITS[bsize]) > 0:
+            self._sym_at(leaf.wedge_interintra, self.cdfs.wedge_interintra,
+                         bsize)
+            if leaf.wedge_interintra:
+                self._sym_at(leaf.wedge_index, self.cdfs.wedge_idx, bsize)
+        return True
 
     # ---- compound type (spec 5.11.27 read_compound_type mirror) ---------
     def _cgi_nb(self, rr: int, cc: int) -> int:

@@ -1251,6 +1251,65 @@ class ModeDecision:
             _, pick_cost, pred, comp_idx, dw_weights, masked_pick = best
             comp_group = 1 if masked_pick is not None else 0
             rate += pick_cost
+        # inter-intra trial (single-ref 8x8..32x32, NEAREST/NEAR/NEWMV;
+        # GLOBALMV skipped to stay clear of the global-warp pred path):
+        # blend the inter pred with a DC/V/H/SMOOTH intra pred through
+        # the smooth ii mask, then optionally a wedge mask (sign 0)
+        ii_pick = None  # (ii_mode, wedge_flag, wedge_idx, mask)
+        if (not is_comp and lwarp is None and not obmc
+                and warp_ent is None
+                and getattr(self.seq, "enable_interintra_compound", False)
+                and int(mode) in (13, 14, 16)
+                and 8 <= int(BLOCK_W[bsize]) <= 32
+                and 8 <= int(BLOCK_H[bsize]) <= 32):
+            from ..ops.wedge import (
+                blend_a64_pixel,
+                smooth_ii_mask,
+                wedge_mask,
+            )
+            from .constants import SIZE_GROUP, WEDGE_BITS
+
+            grp = int(SIZE_GROUP[bsize])
+            iif = self._ii_flag_costs(grp)
+            iim = self._ii_mode_costs(grp)
+            src = self.pctx[0].src[y : y + tx_h, x : x + tx_w]
+
+            def sse_of(p):
+                return int(((src - p).astype(np.int64) ** 2).sum())
+
+            _II2INTRA = (IntraMode.DC, IntraMode.V, IntraMode.H,
+                         IntraMode.SMOOTH)
+            dr_avail = self._dr_avail(r, c, bsize, tx_size, 0)
+            best_ii = (rdcost(self.rdmult, int(iif[0]), sse_of(pred)),
+                       int(iif[0]), pred, None)
+            wb = int(WEDGE_BITS[bsize])
+            iiw = (self._ii_wedge_costs(bsize) if wb else None)
+            intra_preds = {}
+            for iimode in range(4):
+                ip = self._predict(self.pctx[0], x, y, tx_w, tx_h, r > 0,
+                                   c > 0, _II2INTRA[iimode], 0, dr_avail)
+                intra_preds[iimode] = ip
+                msk = smooth_ii_mask(bsize, iimode)
+                p_ii = blend_a64_pixel(ip, pred, msk, 0, 0)
+                cost = int(iif[1]) + int(iim[iimode]) \
+                    + (int(iiw[0]) if wb else 0)
+                j_ii = rdcost(self.rdmult, cost, sse_of(p_ii))
+                if j_ii < best_ii[0]:
+                    best_ii = (j_ii, cost, p_ii, (iimode, 0, 0, msk))
+            if wb and best_ii[3] is not None:
+                iimode = best_ii[3][0]
+                ip = intra_preds[iimode]
+                wic = self._wedge_idx_costs(bsize)
+                for wi in range(16):
+                    msk = wedge_mask(bsize, wi, 0)
+                    p_w = blend_a64_pixel(ip, pred, msk, 0, 0)
+                    cost = (int(iif[1]) + int(iim[iimode]) + int(iiw[1])
+                            + int(wic[wi]))
+                    j_w = rdcost(self.rdmult, cost, sse_of(p_w))
+                    if j_w < best_ii[0]:
+                        best_ii = (j_w, cost, p_w, (iimode, 1, wi, msk))
+            _, ii_cost, pred, ii_pick = best_ii
+            rate += ii_cost
         if obmc:
             from .obmc import obmc_blend_plane
 
@@ -1311,6 +1370,28 @@ class ModeDecision:
                                      int(TX_W[uv_tx]), int(TX_H[uv_tx]),
                                      mv[0], mv[1], ssx, ssy, flt, flt,
                                      bit_depth=self.bd)
+                    if ii_pick is not None:
+                        from ..ops.wedge import (
+                            blend_a64_pixel,
+                            smooth_ii_mask,
+                            wedge_mask,
+                        )
+
+                        iimode, wflag, wi, _ = ii_pick
+                        _II2I = (IntraMode.DC, IntraMode.V, IntraMode.H,
+                                 IntraMode.SMOOTH)
+                        ipc = self._predict(
+                            self.pctx[p], cx, cy, int(TX_W[uv_tx]),
+                            int(TX_H[uv_tx]), r > 0, c > 0, _II2I[iimode],
+                            0, self._dr_avail(r, c, bsize, uv_tx, p))
+                        if wflag:
+                            predc = blend_a64_pixel(ipc, predc,
+                                                    wedge_mask(bsize, wi, 0),
+                                                    ssx, ssy)
+                        else:
+                            predc = blend_a64_pixel(
+                                ipc, predc, smooth_ii_mask(uv_bsize, iimode),
+                                0, 0)
                 if obmc:
                     from .obmc import obmc_blend_plane
 
@@ -1348,6 +1429,10 @@ class ModeDecision:
         else:
             c_type = COMPOUND_DISTWTD if comp_idx == 0 else COMPOUND_AVERAGE
             wedge_i = wedge_s = mask_t = 0
+        if ii_pick is not None:
+            ii_mode_v, ii_wedge_f, wedge_i, _ = ii_pick
+        else:
+            ii_mode_v, ii_wedge_f = -1, 0
         leaf = LeafBlock(bsize, skip=skip, is_inter=True, ref_frame=ref_id,
                          ref_frame1=ref_id1 if is_comp else -1,
                          mv1=tuple(mv1) if is_comp else (0, 0),
@@ -1359,6 +1444,8 @@ class ModeDecision:
                          compound_idx=comp_idx,
                          comp_type=c_type, wedge_index=wedge_i,
                          wedge_sign=wedge_s, mask_type=mask_t,
+                         interintra_mode=ii_mode_v,
+                         wedge_interintra=ii_wedge_f,
                          coeffs=None if skip else
                          [{k: v for k, v in t.items() if k != "_rec"} for t in txbs])
         jdist = self._spy_dist(dist, is_intra=False, comp_avg=is_comp)
@@ -1413,6 +1500,33 @@ class ModeDecision:
         t = cache.get(bsize)
         if t is None:
             t = cache[bsize] = cdf_costs(self.cdfs.wedge_idx[0][bsize])
+        return t
+
+    def _ii_flag_costs(self, grp: int) -> np.ndarray:
+        cache = getattr(self, "_iif_cost_cache", None)
+        if cache is None:
+            cache = self._iif_cost_cache = {}
+        t = cache.get(grp)
+        if t is None:
+            t = cache[grp] = cdf_costs(self.cdfs.interintra[0][grp])
+        return t
+
+    def _ii_mode_costs(self, grp: int) -> np.ndarray:
+        cache = getattr(self, "_iim_cost_cache", None)
+        if cache is None:
+            cache = self._iim_cost_cache = {}
+        t = cache.get(grp)
+        if t is None:
+            t = cache[grp] = cdf_costs(self.cdfs.interintra_mode[0][grp])
+        return t
+
+    def _ii_wedge_costs(self, bsize: int) -> np.ndarray:
+        cache = getattr(self, "_iiw_cost_cache", None)
+        if cache is None:
+            cache = self._iiw_cost_cache = {}
+        t = cache.get(bsize)
+        if t is None:
+            t = cache[bsize] = cdf_costs(self.cdfs.wedge_interintra[0][bsize])
         return t
 
     def _spy_dist(self, dist: int, *, is_intra: bool, mode: int = -1,

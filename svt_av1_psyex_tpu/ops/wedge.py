@@ -156,6 +156,52 @@ def _sub_mask(mask: np.ndarray, subw: int, subh: int) -> np.ndarray:
     return m
 
 
+# ---- inter-intra (COMPOUND_INTRA) blending -------------------------------
+# ii_weights1d / ii_size_scales (inter_prediction.c:2126-2142) +
+# build_smooth_interintra_mask (:2144); INTERINTRA_WEDGE_SIGN = 0.
+
+II_DC, II_V, II_H, II_SMOOTH = range(4)
+
+II_WEIGHTS_1D = np.array(
+    [60, 58, 56, 54, 52, 50, 48, 47, 45, 44, 42, 41, 39, 38, 37, 35, 34,
+     33, 32, 31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 22, 21, 20, 19, 19,
+     18, 18, 17, 16, 16, 15, 15, 14, 14, 13, 13, 12, 12, 12, 11, 11, 10,
+     10, 10, 9, 9, 9, 8, 8, 8, 8, 7, 7, 7, 7, 6, 6, 6, 6, 6, 5, 5, 5, 5,
+     5, 4, 4, 4, 4, 4, 4, 4, 4, 3, 3, 3, 3, 3, 3, 3, 3, 3, 2, 2, 2, 2, 2,
+     2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1], np.uint8)
+assert len(II_WEIGHTS_1D) == 128
+
+_II_SIZE_SCALES = (32, 16, 16, 16, 8, 8, 8, 4, 4, 4, 2, 2,
+                   2, 1, 1, 1, 8, 8, 4, 4, 2, 2)
+
+
+@lru_cache(maxsize=128)
+def smooth_ii_mask(plane_bsize: int, mode: int) -> np.ndarray:
+    """(bh, bw) uint8 mask scaling the INTRA prediction."""
+    from ..codec.constants import BLOCK_H, BLOCK_W
+
+    bw, bh = int(BLOCK_W[plane_bsize]), int(BLOCK_H[plane_bsize])
+    sc = _II_SIZE_SCALES[plane_bsize]
+    if mode == II_V:
+        return np.repeat(II_WEIGHTS_1D[np.arange(bh) * sc][:, None], bw, 1)
+    if mode == II_H:
+        return np.repeat(II_WEIGHTS_1D[np.arange(bw) * sc][None, :], bh, 0)
+    if mode == II_SMOOTH:
+        idx = np.minimum(np.arange(bh)[:, None], np.arange(bw)[None, :])
+        return II_WEIGHTS_1D[idx * sc]
+    return np.full((bh, bw), 32, np.uint8)
+
+
+def blend_a64_pixel(src0: np.ndarray, src1: np.ndarray, mask: np.ndarray,
+                    subw: int, subh: int) -> np.ndarray:
+    """Pixel-domain a64 blend (blend_a64_mask.c:201): mask scales src0
+    (the intra prediction for inter-intra)."""
+    m = _sub_mask(mask, subw, subh).astype(np.int32)
+    return _rp2(m * src0 + (MAX_ALPHA - m) * src1,
+                _BLEND_ROUND_BITS).astype(np.int32)
+
+
 def blend_a64_d16(buf0: np.ndarray, buf1: np.ndarray, mask: np.ndarray,
                   subw: int, subh: int, bit_depth: int = 8) -> np.ndarray:
     """Masked conv-domain blend to pixels; mask is luma-sized, buf0/1

@@ -204,6 +204,86 @@ def test_diffwtd_forced_bitexact(tmp_path):
     assert counts[COMPOUND_DIFFWTD] > 0, counts
 
 
+def _encode_interintra(tmp_path, tag, force_wedge_ii):
+    """Force inter-intra by making the ii=0 arm prohibitively expensive
+    (and, for the wedge variant, the smooth-mask arm too)."""
+    import os
+
+    os.environ["SVT_TPU_HOST_MD"] = "1"
+    w, h = 96, 64
+    fmt = VideoFormat(w, h)
+    frames = [synth_frame(fmt, t, "blobs") for t in range(4)]
+    seq = SequenceConfig(width=w, height=h)
+    seq.enable_interintra_compound = True
+    enc = Av1Encoder(seq, preset=8)
+
+    n_ii = [0, 0]  # smooth, wedge
+    orig_wb = TileWriter._write_block
+
+    def spy(self, leaf, r, c, bsize):
+        if leaf.is_inter and leaf.interintra_mode >= 0:
+            n_ii[1 if leaf.wedge_interintra else 0] += 1
+        return orig_wb(self, leaf, r, c, bsize)
+
+    TileWriter._write_block = spy
+    orig_f = mdmod.ModeDecision._ii_flag_costs
+    orig_w = mdmod.ModeDecision._ii_wedge_costs
+
+    def pricey_off(self, grp):
+        t = orig_f(self, grp).copy()
+        t[0] = 1 << 28
+        return t
+
+    def wedge_bias(self, bsize):
+        t = orig_w(self, bsize).copy()
+        if force_wedge_ii:
+            t[0] = 1 << 28
+        else:
+            t[1] = 1 << 28
+        return t
+
+    mdmod.ModeDecision._ii_flag_costs = pricey_off
+    mdmod.ModeDecision._ii_wedge_costs = wedge_bias
+    try:
+        plans = [plan_key(0)]
+        plans += plan_minigop(0, 1, 2, future_slot=1, mid_slot=2)
+        path = tmp_path / f"ii_{tag}.ivf"
+        recons = {}
+        with open(path, "wb") as fh:
+            wr = IvfWriter(fh, w, h)
+            n = 0
+            for pl in plans:
+                src = frames[pl.disp_idx] if pl.show_existing_slot is None else None
+                tu = enc.encode_frame(src, 120, plan=pl)
+                wr.write_frame(tu, n)
+                n += 1
+                if pl.show_frame or pl.show_existing_slot is not None:
+                    recons[pl.disp_idx] = [q.copy() for q in enc.last_recon]
+            wr.close()
+    finally:
+        TileWriter._write_block = orig_wb
+        mdmod.ModeDecision._ii_flag_costs = orig_f
+        mdmod.ModeDecision._ii_wedge_costs = orig_w
+        os.environ.pop("SVT_TPU_HOST_MD", None)
+    dec = decode_ivf(path)
+    for disp in sorted(recons):
+        for i in range(3):
+            dh, dw_ = dec[disp][i].shape
+            assert np.array_equal(dec[disp][i],
+                                  recons[disp][i][:dh, :dw_]), (tag, disp, i)
+    return n_ii
+
+
+def test_interintra_smooth_forced_bitexact(tmp_path):
+    n_smooth, _ = _encode_interintra(tmp_path, "smooth", False)
+    assert n_smooth > 0
+
+
+def test_interintra_wedge_forced_bitexact(tmp_path):
+    _, n_wedge = _encode_interintra(tmp_path, "wedge", True)
+    assert n_wedge > 0
+
+
 def test_wedge_mask_properties():
     """Mask + complement = 64 everywhere; sign flips swap them."""
     from svt_av1_psyex_tpu.ops.wedge import wedge_mask
