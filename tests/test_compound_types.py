@@ -230,8 +230,12 @@ def _encode_interintra(tmp_path, tag, force_wedge_ii):
     orig_w = mdmod.ModeDecision._ii_wedge_costs
 
     def pricey_off(self, grp):
+        # force ii on two fronts: the off arm is prohibitive AND the on
+        # arm carries a rate discount so ii-eligible candidates also win
+        # the overall leaf competition (vs GLOBALMV/compound/intra)
         t = orig_f(self, grp).copy()
         t[0] = 1 << 28
+        t[1] = -(1 << 22)
         return t
 
     def wedge_bias(self, bsize):
