@@ -24,7 +24,7 @@ _PENDING_FIELDS = frozenset({
     "lossless",
     "avif", "enable_overlays",
     "film_grain_denoise_apply",
-    "superres_mode", "resize_mode", "enable_dg", "startup_mg_size",
+    "resize_mode", "enable_dg", "startup_mg_size",
     "tile_rows", "mbr_over_shoot_pct", "gop_constraint_rc",
     "buf_initial_sz", "buf_optimal_sz", "buf_sz",
     "lambda_scale_factors", "forced_max_frame_width",
@@ -142,7 +142,10 @@ class EncoderConfig:
     max_qm_level: int = 15
     film_grain_denoise_strength: int = 0  # 0-50 grain synthesis strength
     film_grain_denoise_apply: int = 1  # [pending]
-    superres_mode: int = 0  # [pending]
+    # superres (spec 7.16; super_res.c): 0 off, 1 fixed-denominator.
+    # v1 scope: all-intra streams (intra_period_length == 0) — scaled
+    # inter prediction / modes 2-4 (random/qthresh/auto) pending
+    superres_mode: int = 0
     superres_denom: int = 8
     superres_kf_denom: int = 8
     superres_qthres: int = 43
@@ -211,6 +214,17 @@ class EncoderConfig:
                 != self.chroma_u_ac_qindex_offset):
             errs.append("v qindex offsets must equal u offsets "
                         "(separate_uv_delta_q signaling not supported)")
+        if self.superres_mode not in (0, 1):
+            errs.append(f"superres_mode {self.superres_mode} not "
+                        "implemented (0 off / 1 fixed)")
+        elif self.superres_mode == 1:
+            if not (9 <= self.superres_denom <= 16):
+                errs.append(f"superres_denom {self.superres_denom} "
+                            "out of [9, 16]")
+            if self.intra_period_length != 0:
+                errs.append("superres_mode 1 requires all-intra "
+                            "(intra-period 0): scaled inter prediction "
+                            "is not implemented yet")
         if self.rate_control_mode not in (0, 1, 2):
             errs.append(f"rate_control_mode {self.rate_control_mode} invalid")
         if self.rate_control_mode != 0 and self.target_bit_rate <= 0:

@@ -207,7 +207,9 @@ class SvtAv1Encoder:
             spy_rd=cfg.spy_rd,
             enable_mfmv=cfg.enable_mfmv != 0,
             screen_content_mode=cfg.screen_content_mode,
-            complex_hvs=cfg.complex_hvs, hbd_mds=cfg.hbd_mds)
+            complex_hvs=cfg.complex_hvs, hbd_mds=cfg.hbd_mds,
+            superres_denom=(cfg.superres_denom if cfg.superres_mode == 1
+                            else 8))
         # pre-dispatch the encode's device programs so the tunnelled
         # TPU's server-side compiles overlap each other and the host's
         # startup work instead of stalling mid-encode (encoder.py

@@ -38,6 +38,12 @@ class SequenceConfig:
     enable_ref_frame_mvs: bool = False
     order_hint_bits: int = 7
     enable_superres: bool = False
+    # superres (spec 7.16): when active, `width` is the CODED
+    # (downscaled) width everywhere inside the encoder and
+    # superres_upscaled_width carries the display/UpscaledWidth the
+    # sequence header + frame_size() signal (super_res.c fixed mode)
+    superres_denom: int = 8
+    superres_upscaled_width: int = 0
     # 0 off / 1 force on / 2 SELECT (per-frame allow_screen_content_tools)
     force_screen_content_tools: int = 0
     enable_cdef: bool = True
@@ -57,13 +63,19 @@ class SequenceConfig:
         return 128 if self.use_128x128_superblock else 64
 
     @property
+    def disp_width(self) -> int:
+        """UpscaledWidth: display width signaled in the headers (equals
+        the coded width unless superres is active)."""
+        return self.superres_upscaled_width or self.width
+
+    @property
     def num_planes(self) -> int:
         return 1 if self.mono_chrome else 3
 
     def seq_level_idx(self) -> int:
         """Smallest spec level satisfying picture-size constraints
         (spec A.3; simplified: size-based only)."""
-        pic = self.width * self.height
+        pic = self.disp_width * self.height
         # (level_idx, MaxPicSize, MaxHSize, MaxVSize)
         levels = [
             (0, 147456, 2048, 1152),
@@ -78,7 +90,7 @@ class SequenceConfig:
             (17, 35651584, 16384, 8704),
         ]
         for idx, max_pic, max_h, max_v in levels:
-            if pic <= max_pic and self.width <= max_h and self.height <= max_v:
+            if pic <= max_pic and self.disp_width <= max_h and self.height <= max_v:
                 return idx
         return 19  # 6.3
 
@@ -98,11 +110,11 @@ def write_sequence_header(seq: SequenceConfig) -> bytes:
     if level > 7:
         w.f(0, 1)  # seq_tier[0]
 
-    wbits = max(1, (seq.width - 1).bit_length())
+    wbits = max(1, (seq.disp_width - 1).bit_length())
     hbits = max(1, (seq.height - 1).bit_length())
     w.f(wbits - 1, 4)  # frame_width_bits_minus_1
     w.f(hbits - 1, 4)  # frame_height_bits_minus_1
-    w.f(seq.width - 1, wbits)  # max_frame_width_minus_1
+    w.f(seq.disp_width - 1, wbits)  # max_frame_width_minus_1
     w.f(seq.height - 1, hbits)  # max_frame_height_minus_1
 
     w.f(0, 1)  # frame_id_numbers_present_flag
@@ -609,8 +621,20 @@ def _skip_mode_allowed(seq: SequenceConfig, fr: FrameConfig) -> bool:
 
 
 def _write_frame_size(w: BitWriter, seq: SequenceConfig) -> None:
-    # frame_size_override == 0: nothing; superres off: nothing
-    # render_size:
+    # frame_size_override == 0: FrameWidth starts at max_frame_width
+    # (= UpscaledWidth); superres_params (spec 5.9.8) then derives the
+    # coded width = (UpscaledWidth*8 + denom/2) / denom == seq.width
+    if seq.enable_superres:
+        if seq.superres_upscaled_width and seq.superres_denom > 8:
+            from ..ops.resize import SUPERRES_DENOM_MIN, scaled_size
+
+            assert seq.width == scaled_size(seq.superres_upscaled_width,
+                                            seq.superres_denom)
+            w.f(1, 1)  # use_superres
+            w.f(seq.superres_denom - SUPERRES_DENOM_MIN, 3)  # coded_denom
+        else:
+            w.f(0, 1)  # use_superres
+    # render_size (RenderWidth = UpscaledWidth):
     w.f(0, 1)  # render_and_frame_size_different
 
 

@@ -107,7 +107,7 @@ class Av1Encoder:
                  delta_q_offsets: tuple = (0, 0, 0),
                  enable_mfmv: bool = True,
                  screen_content_mode: int = 0, complex_hvs: int = 0,
-                 hbd_mds: int = 0):
+                 hbd_mds: int = 0, superres_denom: int = 8):
         from ..utils.tunnel import enable_compile_cache
 
         enable_compile_cache()
@@ -191,6 +191,22 @@ class Av1Encoder:
         self.vb_strength = variance_boost_strength
         self.vb_octile = variance_octile
         self.vb_curve = variance_boost_curve
+        # super-resolution (spec 7.16; super_res.c fixed mode): code the
+        # frame at a horizontally downscaled width, the decoder upscales
+        # the recon normatively.  seq.width becomes the CODED width for
+        # the whole pipeline; only the headers signal UpscaledWidth.
+        # v1 scope: all-intra streams (scaled inter prediction /
+        # reference scaling pending); loop restoration stays off (LR
+        # runs post-upscale per spec — not plumbed yet).
+        self.superres_denom = int(superres_denom)
+        if self.superres_denom > 8:
+            from ..ops.resize import scaled_size
+
+            seq.superres_upscaled_width = seq.width
+            seq.superres_denom = self.superres_denom
+            seq.width = scaled_size(seq.width, self.superres_denom)
+            seq.enable_superres = True
+            seq.enable_restoration = False
         self.mi_cols = 2 * ((seq.width + 7) >> 3)
         self.mi_rows = 2 * ((seq.height + 7) >> 3)
         self.aligned_w = self.mi_cols * 4
@@ -416,6 +432,20 @@ class Av1Encoder:
                          show_frame=plan.show_frame,
                          base_q_idx=base_q_idx,
                          order_hint=plan.disp_idx & ((1 << seq.order_hint_bits) - 1))
+        if seq.enable_superres and seq.superres_upscaled_width:
+            # superres frames are coded at seq.width (downscaled); the
+            # source arrives at display width — downscale it here
+            # (non-normative, resize.c av1_resize_and_extend_frame role)
+            assert fr.frame_is_intra, \
+                "superres: all-intra streams only (ref scaling pending)"
+            if planes is not None and planes[0].shape[1] > seq.width:
+                from ..ops.resize import downscale_horiz
+
+                ssx = seq.subsampling_x
+                cws = [seq.width] + [(seq.width + ssx) >> ssx] * 2
+                planes = [downscale_horiz(np.asarray(p), cws[i],
+                                          seq.bit_depth)
+                          for i, p in enumerate(planes)]
         if self.screen_content_mode:
             if (is_key and self.screen_content_mode == 2
                     and planes is not None):
@@ -1077,7 +1107,25 @@ class Av1Encoder:
         self.frame_count += 1
         maxv = (1 << seq.bit_depth) - 1
         dtype = np.uint8 if seq.bit_depth == 8 else np.uint16
-        self.last_recon = [np.clip(p.recon, 0, maxv).astype(dtype) for p in pctx]
+        if seq.enable_superres and seq.superres_upscaled_width:
+            # normative superres upscale (spec 7.16): the decoder output
+            # (and hence our recon / DPB entry) is the upscaled frame
+            from ..ops.resize import upscale_normative
+
+            up = []
+            for i, p in enumerate(pctx):
+                ssx = 0 if i == 0 else seq.subsampling_x
+                cw = (seq.width + ssx) >> ssx
+                aw = self.aligned_w >> ssx  # mi-aligned decoded width
+                ow = (seq.superres_upscaled_width + ssx) >> ssx
+                rec = np.clip(p.recon, 0, maxv).astype(dtype)
+                up.append(upscale_normative(rec[:, :aw], ow,
+                                            seq.bit_depth, coded_w=cw))
+            self.last_recon = up
+            entry_recon = [r.copy() for r in up]
+        else:
+            self.last_recon = [np.clip(p.recon, 0, maxv).astype(dtype) for p in pctx]
+            entry_recon = None
         self.last_film_grain = fr.film_grain
         self.last_frame_gm = fr.gm
         self._last_sb_plans = [n for (n, _r, _c) in st.get("sb_plans", [])]
@@ -1096,7 +1144,8 @@ class Av1Encoder:
 
             side = compute_ref_frame_side(fr, seq.order_hint_bits)
             saved_mvs = save_frame_mvs(tw.mi_state, side)
-        entry = {"recon": [p.recon.copy() for p in pctx],
+        entry = {"recon": (entry_recon if entry_recon is not None
+                           else [p.recon.copy() for p in pctx]),
                  "order_hint": fr.order_hint,
                  "film_grain": fr.film_grain,
                  "gm_mats": gm_mats,
@@ -1284,15 +1333,16 @@ class Av1Encoder:
         spec 7.18.3)."""
         fg = getattr(self, "last_film_grain", None)
         seq = self.seq
+        dw = seq.disp_width  # superres recon is already upscaled
         if fg is None:
             return [p[: (seq.height + (i > 0) * seq.subsampling_y)
                       >> (seq.subsampling_y if i else 0),
-                      : (seq.width + (i > 0) * seq.subsampling_x)
+                      : (dw + (i > 0) * seq.subsampling_x)
                       >> (seq.subsampling_x if i else 0)]
                     for i, p in enumerate(self.last_recon)]
         from ..ops.film_grain import apply_grain
 
-        return apply_grain(self.last_recon, fg, seq.width, seq.height,
+        return apply_grain(self.last_recon, fg, dw, seq.height,
                            seq.bit_depth, seq.subsampling_x,
                            seq.subsampling_y, seq.mono_chrome)
 
