@@ -18,14 +18,12 @@ from dataclasses import dataclass, field, fields
 # Shrinks as consumers land; SvtAv1Encoder.init warns when a user sets one.
 _PENDING_FIELDS = frozenset({
     "sframe_dist", "sframe_mode",
-    "recode_loop", "vbr_bias_pct", "vbr_min_section_pct",
-    "vbr_max_section_pct",
     "noise_adaptive_filtering",
     "lossless",
     "avif", "enable_overlays",
     "film_grain_denoise_apply",
     "resize_mode", "enable_dg", "startup_mg_size",
-    "tile_rows", "mbr_over_shoot_pct", "gop_constraint_rc",
+    "tile_rows", "gop_constraint_rc",
     "buf_initial_sz", "buf_optimal_sz", "buf_sz",
     "lambda_scale_factors", "forced_max_frame_width",
     "forced_max_frame_height",
@@ -61,20 +59,20 @@ class EncoderConfig:
     crf: int | None = None
     use_qp_file: bool = False
     target_bit_rate: int = 2000000
-    max_bit_rate: int = 0  # [pending capped CRF]
+    max_bit_rate: int = 0  # capped CRF ceiling (codec/rc.py CappedCrf)
     min_qp_allowed: int = 1  # enforced by RateControl (VBR/CBR)
     max_qp_allowed: int = 63
-    vbv_bufsize: int = 0  # [pending]
-    over_shoot_pct: int = 25  # [pending]
-    under_shoot_pct: int = 25  # [pending]
-    recode_loop: int = 4  # [pending]
-    vbr_bias_pct: int = 50  # [pending]
-    vbr_min_section_pct: int = 0  # [pending]
-    vbr_max_section_pct: int = 2000  # [pending]
+    vbv_bufsize: int = 0  # virtual buffer window (RC + capped CRF)
+    over_shoot_pct: int = 25  # RC feedback clamp scale
+    under_shoot_pct: int = 25
+    recode_loop: int = 4  # 0 disables overshoot re-encodes
+    vbr_bias_pct: int = 50  # two-pass complexity-bias blend
+    vbr_min_section_pct: int = 0  # VBR per-frame target floor %
+    vbr_max_section_pct: int = 2000  # VBR per-frame target cap %
     enable_adaptive_quantization: int = 2  # 0 off, 1 segmentation AQ, 2 delta-q (variance boost)
     pass_: int = 0  # 0 single, 1 stats-out, 2 stats-in (codec/firstpass.py)
     rc_stats_buffer: bytes = b""  # pass-1 stats for pass 2
-    mbr_over_shoot_pct: int = 50  # [pending]
+    mbr_over_shoot_pct: int = 50  # capped-CRF per-frame slack
     gop_constraint_rc: bool = False  # [pending]
     buf_initial_sz: int = 6000  # [pending decoder model]
     buf_optimal_sz: int = 5000  # [pending]

@@ -179,7 +179,22 @@ class SvtAv1Encoder:
                                    over_shoot_pct=cfg.over_shoot_pct,
                                    under_shoot_pct=cfg.under_shoot_pct,
                                    max_bit_rate=cfg.max_bit_rate,
-                                   two_pass=self._fp_weights is not None)
+                                   two_pass=self._fp_weights is not None,
+                                   vbr_bias_pct=cfg.vbr_bias_pct,
+                                   vbr_min_section_pct=cfg.vbr_min_section_pct,
+                                   vbr_max_section_pct=cfg.vbr_max_section_pct)
+        # capped CRF (max_bit_rate in CRF mode, EbSvtAv1Enc.h:640-649):
+        # virtual buffer at the cap + ambient q floor + overshoot recode
+        self._cap = None
+        if cfg.rate_control_mode == 0 and cfg.max_bit_rate > 0:
+            from ..codec.rc import CappedCrf
+
+            fps = cfg.frame_rate_numerator / max(cfg.frame_rate_denominator, 1) \
+                if getattr(cfg, "frame_rate_numerator", 0) else 30.0
+            self._cap = CappedCrf(fps, cfg.max_bit_rate,
+                                  cfg.encoder_bit_depth,
+                                  vbv_bufsize=cfg.vbv_bufsize,
+                                  mbr_over_shoot_pct=cfg.mbr_over_shoot_pct)
         self._enc = Av1Encoder(
             self._seq, preset=cfg.enc_mode,
             enable_variance_boost=cfg.enable_variance_boost,
@@ -277,18 +292,40 @@ class SvtAv1Encoder:
         """Encode one frame under rate control with the overshoot recode
         loop (rc_process.c recode): when the frame blows the tolerance,
         roll the DPB back and re-encode at the model-inverted higher q
-        (bounded at 2 recodes).  Also feeds the RC bit feedback."""
+        (bounded at 2 recodes; --recode-loop 0 disables re-encodes).
+        Also feeds the RC bit feedback."""
         if self._rc is None:
-            return self._enc.encode_frame(planes, q, **kw)
+            return self._encode_capped(planes, q, **kw)
         snap = self._enc.state_snapshot()
         tu = self._enc.encode_frame(planes, q, **kw)
-        for _ in range(2):
-            q2 = self._rc.recode_qindex(len(tu) * 8)
-            if q2 is None:
-                break
-            self._enc.state_restore(snap)
-            tu = self._enc.encode_frame(planes, q2, **kw)
+        if self.config.recode_loop != 0:
+            for _ in range(2):
+                q2 = self._rc.recode_qindex(len(tu) * 8)
+                if q2 is None:
+                    break
+                self._enc.state_restore(snap)
+                tu = self._enc.encode_frame(planes, q2, **kw)
         self._rc.update(len(tu) * 8)
+        return tu
+
+    def _encode_capped(self, planes, q: int, **kw) -> bytes:
+        """Capped-CRF encode (max_bit_rate in CRF mode): ambient q floor
+        from the virtual buffer fill, plus a bounded overshoot re-encode
+        when one frame would overdraw the buffer."""
+        if self._cap is None:
+            return self._enc.encode_frame(planes, q, **kw)
+        q = self._cap.adjust_q(q)
+        snap = self._enc.state_snapshot()
+        tu = self._enc.encode_frame(planes, q, **kw)
+        if self.config.recode_loop != 0:
+            for _ in range(2):
+                q2 = self._cap.recode_qindex(q, len(tu) * 8)
+                if q2 is None:
+                    break
+                q = q2
+                self._enc.state_restore(snap)
+                tu = self._enc.encode_frame(planes, q, **kw)
+        self._cap.update(len(tu) * 8)
         return tu
 
     def _q_override(self, disp_idx: int, q: int, layer: int = 0,
@@ -451,10 +488,7 @@ class SvtAv1Encoder:
                 kplan.tpl_betas = getattr(self, "_kf_betas", None)
                 self._kf_betas = None
                 kplan.chroma_q_offset = self._chroma_layer_offset(0, True)
-                if self._rc:
-                    tu = self._encode_rc(planes, q, plan=kplan)
-                else:
-                    tu = self._enc.encode_frame(planes, q, plan=kplan)
+                tu = self._encode_rc(planes, q, plan=kplan)
                 self._emit(tu, pts, 0, shown=True)
                 self._anchor_slot = 0
                 continue
@@ -633,14 +667,13 @@ class SvtAv1Encoder:
             i = 0
             while i < len(items):
                 pl, src, is_se = items[i]
-                if is_se or self._rc is not None:
-                    # show_existing, or RC's sequential bit feedback
+                if is_se or self._rc is not None or self._cap is not None:
+                    # show_existing, or RC/capped-CRF sequential feedback
                     q = pick_q(pl, src, is_se)
-                    if self._rc and not is_se:
-                        tu = self._encode_rc(src, q, plan=pl)
+                    if is_se:
+                        tu = self._enc.encode_frame(None, q, plan=pl)
                     else:
-                        tu = self._enc.encode_frame(None if is_se else src,
-                                                    q, plan=pl)
+                        tu = self._encode_rc(src, q, plan=pl)
                     self._emit(tu, pl.disp_idx, 1,
                                shown=pl.show_frame or is_se)
                     i += 1

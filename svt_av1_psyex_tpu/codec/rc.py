@@ -26,7 +26,9 @@ class RateControl:
                  max_qindex: int = 255, keyint: int = -1,
                  low_delay: bool = False, vbv_bufsize: int = 0,
                  over_shoot_pct: int = 25, under_shoot_pct: int = 25,
-                 max_bit_rate: int = 0, two_pass: bool = False):
+                 max_bit_rate: int = 0, two_pass: bool = False,
+                 vbr_bias_pct: int = 50, vbr_min_section_pct: int = 0,
+                 vbr_max_section_pct: int = 2000):
         self.pixels = width * height
         self.fps = max(fps, 1e-6)
         self.target_bps = target_bps
@@ -47,6 +49,15 @@ class RateControl:
         # --mbr: hard per-frame target ceiling (capped-CRF/VBR shape)
         self.max_frame_bits = (max_bit_rate / self.fps
                                if max_bit_rate > 0 else 0.0)
+        # --bias-pct (pass2_strategy.c calculate_modified_err): 100 =
+        # full complexity-proportional allocation, 0 = flat CBR-like
+        # spend; intermediate values blend via err^(bias/100)
+        self.vbr_bias = max(0, min(100, vbr_bias_pct)) / 100.0
+        # --minsection-pct / --maxsection-pct: per-frame target clamp as
+        # a percentage of the average frame budget (av1_rc_pick_q...
+        # vbr_rate_correction bounds)
+        self.vbr_min_pct = max(0, vbr_min_section_pct) / 100.0
+        self.vbr_max_pct = max(1, vbr_max_section_pct) / 100.0
         # two-pass: per-frame allocation comes entirely from the stats
         # weights (pass2_frame_weights, mean 1.0 incl. kf boost) so the
         # layer-weight split is skipped — multiplying both double-counts
@@ -79,9 +90,15 @@ class RateControl:
         (codec/firstpass.py complexity_weights); 1.0 = single-pass."""
         cat = self._category(is_key, layer)
         if self.two_pass:
-            target = self.avg_bits * complexity
+            # bias-pct shapes how strongly the stats weights steer the
+            # per-frame split (calculate_modified_err's err^bias blend)
+            target = self.avg_bits * (complexity ** self.vbr_bias
+                                      if complexity > 0 else 0.0)
         else:
             target = self._weighted_target(cat) * complexity
+        if self.mode == 1:  # VBR section bounds (min/max-section-pct)
+            target = min(max(target, self.avg_bits * self.vbr_min_pct),
+                         self.avg_bits * self.vbr_max_pct)
         # buffer = accumulated savings; negative (overspent) shrinks targets
         if self.mode == 2:  # CBR: hard pull toward center
             adj = 1.0 + max(-2 * self.under_pct,
@@ -156,6 +173,61 @@ class RateControl:
         self.buffer += self.avg_bits - actual_bits
         self.buffer = max(-2 * self.buf_cap, min(2 * self.buf_cap, self.buffer))
         self._q = q
+
+
+class CappedCrf:
+    """Capped CRF (EbSvtAv1Enc.h:640-649 max_bit_rate + the capped-CRF
+    re-encode in rc_process.c): CRF picks q as usual; a virtual buffer
+    filled at max_bit_rate enforces the ceiling. Every frame deposits
+    max_bit_rate/fps and withdraws its coded bits; a frame that would
+    overdraw the buffer (beyond --mbr-overshoot-pct slack) is re-encoded
+    at a model-inverted higher q, and a low buffer raises an ambient
+    qindex floor for subsequent frames so the cap holds without
+    oscillating."""
+
+    def __init__(self, fps: float, max_bit_rate: int, bit_depth: int = 8,
+                 vbv_bufsize: int = 0, mbr_over_shoot_pct: int = 50):
+        self.per_frame = max_bit_rate / max(fps, 1e-6)
+        # buffer window: --vbv-bufsize when given, else 2 seconds at the
+        # cap (keyframes legitimately spend several frame budgets)
+        self.cap = float(vbv_bufsize if vbv_bufsize > 0
+                         else 2 * max_bit_rate)
+        self.buf = self.cap
+        self.bit_depth = bit_depth
+        self.over = max(mbr_over_shoot_pct, 0) / 100.0
+        self.q_offset = 0
+
+    def adjust_q(self, q: int) -> int:
+        """Ambient qindex floor from the buffer fill level (the capped
+        CRF ambient-QP push): empty buffer -> up to +64 qindex."""
+        fill = self.buf / max(self.cap, 1.0)
+        self.q_offset = 0 if fill >= 0.5 else int(round((0.5 - fill)
+                                                        * 2 * 64))
+        return int(min(q + self.q_offset, 255))
+
+    def recode_qindex(self, q: int, actual_bits: int) -> int | None:
+        """Higher q to retry with when the frame overdraws the buffer
+        (mbr_over_shoot_pct slack on one frame budget), else None."""
+        allowed = max(self.buf + self.per_frame,
+                      self.per_frame) * (1.0 + self.over)
+        if actual_bits <= allowed or q >= 255:
+            return None
+        qstep_new = (ac_q(q, self.bit_depth) * actual_bits
+                     / max(allowed, 1.0))
+        lo, hi = 1, 255
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if ac_q(mid, self.bit_depth) < qstep_new:
+                lo = mid + 1
+            else:
+                hi = mid
+        q_new = min(max(lo, q + 4), 255)
+        return q_new if q_new > q else None
+
+    def update(self, actual_bits: int) -> None:
+        self.buf = min(self.cap,
+                       self.buf + self.per_frame - actual_bits)
+        self.buf = max(self.buf, 0.0)
 
 
 def luminance_qp_bias_offset(qindex: int, avg_luma: float, layer: int,

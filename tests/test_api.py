@@ -45,7 +45,11 @@ def test_all_params_parse():
     cfg = EncoderConfig()
     samples = {int: "1", float: "0.5", str: "x"}
     for name, (attr, parser) in PARAM_MAP.items():
-        val = "1" if parser.__name__ == "_to_bool" else samples.get(parser, "1")
+        if parser is None:  # int-list params ([a,b,c] syntax)
+            val = "[1,2]"
+        else:
+            val = ("1" if parser.__name__ == "_to_bool"
+                   else samples.get(parser, "1"))
         parse_parameter(cfg, name, val)
         assert getattr(cfg, attr) is not None
     with pytest.raises(KeyError):

