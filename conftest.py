@@ -36,7 +36,7 @@ _SLOW_FILES = {
     "test_gm_e2e.py", "test_lwarp.py", "test_obmc.py",
     "test_interp_filter.py", "test_dlf.py", "test_params_breadth.py",
     "test_rdoq.py", "test_native_commit.py", "test_tf.py",
-    "test_device_txselect.py",
+    "test_device_txselect.py", "test_device_motion_mode.py",
 }
 
 

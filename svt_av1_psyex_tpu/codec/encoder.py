@@ -136,9 +136,10 @@ class Av1Encoder:
         # recursive filter intra searched (and therefore signaled) at the
         # slower presets (sig_deriv md_filter_intra_level gating)
         seq.enable_filter_intra = preset <= 6
-        # local warped motion (WARPED_CAUSAL): host-MD presets only (the
-        # reference's wm_level gates similarly, enc_mode_config.c)
-        seq.enable_warped_motion = preset <= 5
+        # local warped motion (WARPED_CAUSAL): the reference keeps
+        # wm_level nonzero up to M9 — base-layer frames only at M4-9
+        # (enc_mode_config.c:8237-8243); per-frame gating in begin_frame
+        seq.enable_warped_motion = preset <= 9
         # tile columns (log2): each tile is an independent MD + entropy
         # partition (ec_process.c per-tile loop); 0 = single tile
         self.tile_cols_log2 = tile_cols_log2
@@ -712,10 +713,16 @@ class Av1Encoder:
                   and n_tiles == 1)
         use_device_inter = dev_ok and not fr.frame_is_intra and bool(ref_planes)
 
-        # local warped motion: host-MD inter frames when the sequence
-        # advertises it (motion_mode syntax + WARPED_CAUSAL candidates)
+        # local warped motion + OBMC (motion_mode syntax): host MD
+        # searches WARPED_CAUSAL/OBMC candidates; device-MD frames run a
+        # commit-time motion-mode trial per winning block
+        # (md_device._commit_inter_leaf). Layer gating mirrors the
+        # reference: all layers at the host presets (wm_level 1-2,
+        # enc_mode_config.c:8225-8236), base layer only at M4-9
+        # (wm_level 3/4 + obmc_level 4 at is_base, :8237-8243, :8065-8075)
         if (not fr.frame_is_intra and bool(ref_planes)
-                and not use_device_inter and seq.enable_warped_motion
+                and seq.enable_warped_motion
+                and (self.preset <= 5 or plan.layer == 0)
                 and os.environ.get("SVT_TPU_NO_LWARP") != "1"):
             fr.allow_warped_motion = True
             fr.is_motion_mode_switchable = True
@@ -885,10 +892,15 @@ class Av1Encoder:
             from ..native import frame_enc as native_frame
 
             # the C committer quantizes plain (no QM / noise-norm); those
-            # frames take the per-leaf host chain (md._txb_rd has both)
+            # frames take the per-leaf host chain (md._txb_rd has both).
+            # Motion-mode frames (base-layer OBMC/warp trials,
+            # md_device._commit_inter_leaf) also run per-leaf until the
+            # warp/OBMC predictors land in native/frame_enc.c.
             use_frame_c = (native_frame.available()
                            and not fr.using_qmatrix
                            and self.noise_norm_strength == 0
+                           and not getattr(fr, "is_motion_mode_switchable",
+                                           False)
                            and os.environ.get("SVT_TPU_PY_COMMIT") != "1")
             plans = []
             for r in range(0, self.mi_rows, sb_mi):
@@ -967,6 +979,8 @@ class Av1Encoder:
 
             bsize_g, skip_inter_g, skip_g, txd_g = collect_lf_grids(
                 sb_plans, self.mi_rows, self.mi_cols, sb_mi)
+            if timing:
+                t0 = self._tick("lf_grids", t0)
             if self.enable_dlf:
                 if self.preset <= 6 and os.environ.get(
                         "SVT_TPU_NO_DLF_SEARCH") != "1":
@@ -991,6 +1005,8 @@ class Av1Encoder:
                                       bsize_g, skip_inter_g,
                                       seq.subsampling_x, seq.subsampling_y,
                                       seq.bit_depth, txd_g=txd_g)
+                if timing:
+                    t0 = self._tick("dlf", t0)
             if seq.enable_restoration:
                 # loop restoration reads 2 deblocked rows at each stripe
                 # boundary (save_deblock_boundary_lines); snapshot the
@@ -1021,6 +1037,8 @@ class Av1Encoder:
                     self.mi_rows, self.mi_cols, fr.base_q_idx, rd_fn,
                     level=self._cdef_search_level, bit_depth=seq.bit_depth)
                 self._apply_cdef_result(fr, tw, res)
+                if timing:
+                    t0 = self._tick("cdef", t0)
 
         if timing:
             t0 = self._tick("filters", t0)

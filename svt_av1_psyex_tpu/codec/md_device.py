@@ -823,13 +823,72 @@ class DeviceInterMD(DeviceIntraMD):
                         best = (j, f)
                 flt = best[1]
 
+        # commit-time motion-mode trial (OBMC_CAUSAL / WARPED_CAUSAL):
+        # the reference keeps OBMC (obmc_level=4) and local warp
+        # (wm_level=3/4) on BASE-layer frames up to M9
+        # (enc_mode_config.c:8065-8075, 8237-8243) — the device lattice
+        # ranks candidates with SIMPLE translation; the exact motion
+        # mode is a per-winner prediction-domain trial like the
+        # interp-filter one. Warp forfeits the filter symbol
+        # (needs_interp_filter, spec 5.11.26).
+        motion_mode = 0
+        lwarp = None
+        pred_y = mc_block(ref_pl[0], x, y, bw_px, bh_px, mv[0], mv[1],
+                          0, 0, flt, flt, bit_depth=self.seq.bit_depth)
+        kind = "none"
+        if getattr(fr, "is_motion_mode_switchable", False):
+            kind, samples = md._motion_mode_kind_md(r, c, bsize, ref_id)
+        if kind != "none":
+            from .rd import rdcost as _rdc
+
+            src_y = md.pctx[0].src[y : y + bh_px, x : x + bw_px]
+
+            def _sse(p):
+                return int(((src_y - p).astype(np.int64) ** 2).sum())
+
+            best = (_rdc(md.rdmult, md._mm_cost(kind, 0, bsize),
+                         _sse(pred_y)), 0, None, pred_y)
+            from .obmc import obmc_blend_plane
+
+            oss = ((md.pctx[1].ss_x, md.pctx[1].ss_y)
+                   if len(md.pctx) > 1 else (1, 1))
+            p_ob = obmc_blend_plane(pred_y, 0, md.mi_state, r, c, bsize,
+                                    md.ref_planes, self.seq.bit_depth,
+                                    oss, 0)
+            j_ob = _rdc(md.rdmult, md._mm_cost(kind, 1, bsize), _sse(p_ob))
+            if j_ob < best[0]:
+                best = (j_ob, 1, None, p_ob)
+            if kind == "full":
+                from ..ops.warp import (
+                    find_projection,
+                    select_samples,
+                    warp_plane,
+                )
+
+                pts, ptsr = samples
+                if len(pts) > 1:
+                    pts, ptsr = select_samples(mv, pts, ptsr, bw_px, bh_px)
+                wp = find_projection(pts, ptsr, bw_px, bh_px, mv, r, c)
+                if wp is not None:
+                    p_w = warp_plane(ref_pl[0], wp[0], wp[1], x, y, bw_px,
+                                     bh_px, 0, 0,
+                                     bd=self.seq.bit_depth).astype(np.int32)
+                    j_w = _rdc(md.rdmult, md._mm_cost(kind, 2, bsize),
+                               _sse(p_w))
+                    if j_w < best[0]:
+                        best = (j_w, 2, wp, p_w)
+            motion_mode, lwarp, pred_y = best[1], best[2], best[3]
+            if motion_mode == 2:
+                flt = 0  # warp codes no interp-filter symbol
+
         def commit_y(xx, yy, tx):
             from .constants import TX_H, TX_W
 
-            pr = mc_block(ref_pl[0], xx, yy, int(TX_W[tx]), int(TX_H[tx]),
-                          mv[0], mv[1], 0, 0, flt, flt,
-                          bit_depth=self.seq.bit_depth)
-            return self._commit_pred(md.pctx[0], pr, xx, yy, tx, 0, ctx)
+            pr = pred_y[yy - y : yy - y + int(TX_H[tx]),
+                        xx - x : xx - x + int(TX_W[tx])]
+            return self._commit_pred(md.pctx[0],
+                                     np.ascontiguousarray(pr, np.int32),
+                                     xx, yy, tx, 0, ctx)
 
         tx_depth, txbs = self._luma_tx_trial(md.pctx[0], commit_y, x, y,
                                              bsize, True)
@@ -842,9 +901,25 @@ class DeviceInterMD(DeviceIntraMD):
             uv_tx = int(MAX_TX_SIZE_RECT[uv_bsize])
             cx, cy = x >> ssx, y >> ssy
             for p in (1, 2):
-                predc = mc_block(ref_pl[p], cx, cy, int(TX_W[uv_tx]),
-                                 int(TX_H[uv_tx]), mv[0], mv[1], ssx, ssy,
-                                 flt, flt, bit_depth=self.seq.bit_depth)
+                if (motion_mode == 2 and int(TX_W[uv_tx]) >= 8
+                        and int(TX_H[uv_tx]) >= 8):
+                    from ..ops.warp import warp_plane as _wpl
+
+                    predc = _wpl(ref_pl[p], lwarp[0], lwarp[1], cx, cy,
+                                 int(TX_W[uv_tx]), int(TX_H[uv_tx]),
+                                 ssx, ssy,
+                                 bd=self.seq.bit_depth).astype(np.int32)
+                else:
+                    predc = mc_block(ref_pl[p], cx, cy, int(TX_W[uv_tx]),
+                                     int(TX_H[uv_tx]), mv[0], mv[1],
+                                     ssx, ssy, flt, flt,
+                                     bit_depth=self.seq.bit_depth)
+                    if motion_mode == 1:
+                        from .obmc import obmc_blend_plane as _obp
+
+                        predc = _obp(predc, p, md.mi_state, r, c, bsize,
+                                     md.ref_planes, self.seq.bit_depth,
+                                     (ssx, ssy), 0)
                 qcc, eobc = self._commit_pred(md.pctx[p], predc, cx, cy,
                                               uv_tx, p, ctx)
                 txbs.append({"plane": p, "plane_bsize": uv_bsize,
@@ -853,10 +928,12 @@ class DeviceInterMD(DeviceIntraMD):
                              "eob": eobc, "ux": cx >> 2, "uy": cy >> 2})
         skip = all(t["eob"] == 0 for t in txbs)
         md.mi_state.set_block(r, c, bsize, ref_id, mv,
-                              mode_has_newmv(int(mode)))
+                              mode_has_newmv(int(mode)),
+                              interp_filter=flt)
         return LeafBlock(bsize, skip=skip, is_inter=True, ref_frame=ref_id,
                          inter_mode=int(mode), mv=tuple(mv), drl_index=0,
                          tx_depth=tx_depth, interp_filter=flt,
+                         motion_mode=motion_mode,
                          coeffs=None if skip else txbs)
 
     def _commit_pred(self, pc, pred, x, y, tx_size, plane, ctx):
