@@ -37,6 +37,7 @@ _SLOW_FILES = {
     "test_interp_filter.py", "test_dlf.py", "test_params_breadth.py",
     "test_rdoq.py", "test_native_commit.py", "test_tf.py",
     "test_device_txselect.py", "test_device_motion_mode.py",
+    "test_conformance_cross.py",
 }
 
 

@@ -130,27 +130,22 @@ static void write_golomb(EcEnc *e, int32_t level) {
 }
 
 int64_t svt_ec_done(EcEnc *e, uint8_t *out, int64_t cap) {
-    /* non-destructive: computes the terminated stream into out */
+    /* non-destructive: computes the terminated stream into out.
+       od_ec-compatible termination (see bitstream/ec.py done()): round
+       low up to a multiple of 2^14 with bit 14 forced on, then emit the
+       top wbits-6 bits of the window. */
     uint64_t low = e->low;
-    uint32_t rng = e->rng;
     int wbits = e->wbits;
-    uint64_t top = low + rng - 1;
-    uint64_t best;
+    uint64_t m = 0x3FFF;
+    uint64_t ev = ((low + m) & ~m) | (m + 1);
     int carry = 0;
-    if (low == top) {
-        best = low;
-    } else {
-        uint64_t x = low ^ top;
-        int p = 63 - __builtin_clzll(x);
-        best = (top >> p) << p;
-    }
-    if (best >> wbits) {
-        best &= ((uint64_t)1 << wbits) - 1;
+    if (ev >> wbits) {
+        ev &= ((uint64_t)1 << wbits) - 1;
         carry = 1;
     }
-    int pad = (8 - (wbits % 8)) % 8;
-    best <<= pad;
-    int nbytes = (wbits + pad) / 8;
+    int s = wbits - 6;
+    int nbytes = (s + 7) / 8;
+    if (nbytes < 0) nbytes = 0;
     int64_t total = e->len + nbytes;
     if (total == 0) total = 1;
     if (total > cap) return -total;
@@ -160,9 +155,15 @@ int64_t svt_ec_done(EcEnc *e, uint8_t *out, int64_t cap) {
         while (i >= 0 && out[i] == 0xFF) out[i--] = 0;
         out[i] += 1;
     }
-    for (int i = nbytes - 1; i >= 0; i--) {
-        out[e->len + i] = (uint8_t)(best & 0xFF);
-        best >>= 8;
+    int w = wbits;
+    for (int i = 0; i < nbytes; i++) {
+        w -= 8;
+        if (w >= 0) {
+            out[e->len + i] = (uint8_t)((ev >> w) & 0xFF);
+            ev &= w ? (((uint64_t)1 << w) - 1) : 0;
+        } else {
+            out[e->len + i] = (uint8_t)((ev << -w) & 0xFF);
+        }
     }
     if (e->len + nbytes == 0) out[0] = 0;
     return total;

@@ -238,7 +238,7 @@ static void mv_proj(int *out_r, int *out_c, int mr, int mc, int num,
                     : -(int)((-xr + (1 << 13)) >> 14);
     int c = xc >= 0 ? (int)((xc + (1 << 13)) >> 14)
                     : -(int)((-xc + (1 << 13)) >> 14);
-    const int lim = (1 << 15) - 1;
+    const int lim = (1 << 14) - 1; /* MV_UPP - 1 (MV_IN_USE_BITS = 14) */
     r = r < -lim ? -lim : (r > lim ? lim : r);
     c = c < -lim ? -lim : (c > lim ? lim : c);
     /* lower_mv_precision, allow_high_precision_mv = 0 */

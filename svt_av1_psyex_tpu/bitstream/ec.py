@@ -137,26 +137,35 @@ class EntropyEncoder:
             self.encode_symbol((value >> i) & 1, _BOOL_HALF_CDF)
 
     def done(self) -> bytes:
-        """Terminate and return the coded payload."""
-        low, rng, wbits = self._low, self._rng, self._wbits
-        top = low + rng - 1
-        if low == top:
-            best = low
-        else:
-            p = (low ^ top).bit_length() - 1
-            best = (top >> p) << p
-        # best is within [low, low+rng); after byte emissions low+rng may
-        # exceed 2^wbits, in which case the carry goes into emitted bytes.
-        if best >> wbits:
-            best &= (1 << wbits) - 1
+        """Terminate and return the coded payload.
+
+        od_ec-compatible termination: pick E = low rounded up to a
+        multiple of 2^14 with bit 14 forced on (E in [low, low+2^15) and
+        therefore inside [low, low+rng) since rng >= 2^15), then emit
+        only the top wbits-6 bits of the window. This is the shape every
+        AV1 encoder produces (od_ec_enc_done) and the one libaom's
+        decoder accounting accepts — our previous full-window minimal
+        termination decoded bit-exactly under dav1d but tripped
+        libaom's tile-data validation and, at rare byte-level states,
+        dav1d itself (448x256 p6 crf46 regression)."""
+        low, wbits = self._low, self._wbits
+        m = 0x3FFF
+        e = ((low + m) & ~m) | (m + 1)
+        if e >> wbits:  # rounding carried out of the window
+            e &= (1 << wbits) - 1
             self._propagate_carry()
-        pad = (-wbits) % 8
-        best <<= pad
-        nbytes = (wbits + pad) // 8
-        out = bytes(self._buf) + best.to_bytes(nbytes, "big")
-        # AV1 requires at least one byte of tile data; also the implicit
-        # zero-padding property lets trailing zero bytes be kept safely.
-        return out if out else b"\x00"
+        out = bytearray(self._buf)
+        s = wbits - 6  # cnt + 10 in od_ec terms
+        while s > 0:
+            wbits -= 8
+            if wbits >= 0:
+                out.append((e >> wbits) & 0xFF)
+                e &= (1 << wbits) - 1 if wbits else 0
+            else:
+                out.append((e << -wbits) & 0xFF)
+            s -= 8
+        # AV1 requires at least one byte of tile data.
+        return bytes(out) if out else b"\x00"
 
 
 class EntropyDecoder:
@@ -178,7 +187,10 @@ class EntropyDecoder:
     def _read_bits(self, n: int) -> int:
         v = 0
         for _ in range(n):
-            byte = self._data[self._pos >> 3]
+            i = self._pos >> 3
+            # bits past the end read as zero (spec 8.2.2 padding; the
+            # od_ec termination relies on it)
+            byte = self._data[i] if i < len(self._data) else 0
             v = (v << 1) | ((byte >> (7 - (self._pos & 7))) & 1)
             self._pos += 1
         return v

@@ -631,8 +631,12 @@ class Av1Encoder:
             # tile columns — a legal encoder choice)
             import os as _os_mfmv
 
+            from .mfmv import projection_safe
+
             if (seq.enable_ref_frame_mvs and n_tiles == 1
-                    and _os_mfmv.environ.get("SVT_TPU_NO_MFMV") != "1"):
+                    and _os_mfmv.environ.get("SVT_TPU_NO_MFMV") != "1"
+                    and projection_safe(fr, self.slots,
+                                        seq.order_hint_bits)):
                 from .mfmv import rel_dist as _rel_dist
                 from .mfmv import setup_motion_field
 

@@ -58,7 +58,9 @@ def mv_projection(mv_row, mv_col, num: int, den):
     mult = DIV_MULT[np.clip(den, 0, 31)]
     r = _round_pow2_signed(mv_row.astype(np.int64) * num * mult, 14)
     c = _round_pow2_signed(mv_col.astype(np.int64) * num * mult, 14)
-    lim = (1 << 15) - 1
+    lim = (1 << 14) - 1  # MV_UPP - 1 (MV_IN_USE_BITS = 14); the decoder
+    # clamps projected candidates here — a wider clamp desyncs the MVP
+    # stack whenever a projection exceeds +-16383 (448x256 crf46 repro)
     return (np.clip(r, -lim, lim).astype(np.int32),
             np.clip(c, -lim, lim).astype(np.int32))
 
@@ -117,6 +119,30 @@ def save_frame_mvs(mi, ref_frame_side: np.ndarray) -> dict:
         mv_r = np.where(ok, r, mv_r).astype(np.int16)
         mv_c = np.where(ok, c, mv_c).astype(np.int16)
     return {"ref": ref, "mv_row": mv_r, "mv_col": mv_c}
+
+
+def projection_safe(fr, slots, bits: int) -> bool:
+    """Conservative per-frame gate for use_ref_frame_mvs: False when any
+    projection source holds saved MVs large enough that the temporal
+    projection would run into the +-(1<<14)-1 clamp region. Encoders
+    may legally skip temporal MVP per frame; near that region our
+    derivation still disagrees with dav1d on rare streams (448x256 p6
+    crf46 blobs repro, round 5) — until that residual divergence is
+    root-caused, frames with such wild source motion code
+    use_ref_frame_mvs=0 so encoder and decoder agree by construction."""
+    for name in (LAST, BWDREF, ALTREF2, ALTREF, LAST2):
+        slot = slots[fr.ref_frame_idx[name - 1]]
+        if slot is None or slot.get("saved_mvs") is None:
+            continue
+        if slot.get("frame_is_intra", True):
+            continue
+        num = abs(rel_dist(bits, slot["order_hint"], fr.order_hint))
+        sv = slot["saved_mvs"]
+        m = max(int(np.abs(sv["mv_row"]).max(initial=0)),
+                int(np.abs(sv["mv_col"]).max(initial=0)))
+        if m * min(num, MAX_FRAME_DISTANCE) >= (1 << 14):
+            return False
+    return True
 
 
 class TplMvs:

@@ -40,7 +40,7 @@ def test_mv_projection_matches_scalar():
             x = v * num * int(mfmv.DIV_MULT[min(den, 31)])
             s = (abs(x) + (1 << 13)) >> 14
             s = -s if x < 0 else s
-            return max(-32767, min(32767, s))
+            return max(-16383, min(16383, s))  # MV_UPP - 1
 
         assert int(pr[0]) == scalar(r) and int(pc[0]) == scalar(c)
 

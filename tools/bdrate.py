@@ -46,6 +46,43 @@ def _psnr_yuv(dec_frames, src_frames, bit_depth=8) -> float:
     return 10.0 * np.log10(maxv * maxv / mse)
 
 
+def _ssim_luma(dec_frames, src_frames, bit_depth=8) -> float:
+    """Mean luma SSIM (8x8 windows stepping 4, aom_ssim2 convention)."""
+    maxv = (1 << bit_depth) - 1
+    c1 = (0.01 * maxv) ** 2
+    c2 = (0.03 * maxv) ** 2
+    tot = n = 0.0
+    for dec, src in zip(dec_frames, src_frames):
+        a = dec[0].astype(np.float64)
+        dh, dw = a.shape
+        b = src[0][:dh, :dw].astype(np.float64)
+        # 8x8 windows stepping 4: integral-image means/moments
+        ii = lambda x: x.cumsum(0).cumsum(1)  # noqa: E731
+        pad = lambda x: np.pad(x, ((1, 0), (1, 0)))  # noqa: E731
+        sa, sb = pad(ii(a)), pad(ii(b))
+        saa, sbb = pad(ii(a * a)), pad(ii(b * b))
+        sab = pad(ii(a * b))
+        ys = np.arange(0, dh - 7, 4)
+        xs = np.arange(0, dw - 7, 4)
+        if len(ys) == 0 or len(xs) == 0:
+            continue
+        Y, X = np.meshgrid(ys, xs, indexing="ij")
+
+        def win(s):
+            return (s[Y + 8, X + 8] - s[Y, X + 8] - s[Y + 8, X]
+                    + s[Y, X]) / 64.0
+
+        ma, mb = win(sa), win(sb)
+        va = win(saa) - ma * ma
+        vb = win(sbb) - mb * mb
+        cab = win(sab) - ma * mb
+        ssim = ((2 * ma * mb + c1) * (2 * cab + c2)
+                / ((ma * ma + mb * mb + c1) * (va + vb + c2)))
+        tot += float(ssim.mean())
+        n += 1
+    return tot / max(n, 1)
+
+
 def bd_rate(rate_a, psnr_a, rate_b, psnr_b) -> float:
     """Bjontegaard delta rate (%) of B vs A (negative = B cheaper).
 
@@ -104,12 +141,18 @@ def run_ref(ref_bin: str, y4m: Path, ivf: Path, preset: int, crf: int):
 def run_ours(y4m: Path, ivf: Path, preset: int, crf: int,
              extra_env: dict | None = None):
     env = dict(os.environ)
+    extra_args = []
     if extra_env:
-        env.update(extra_env)
+        for k, v in extra_env.items():
+            if k == "ARGS":  # extra CLI tokens, space-separated
+                extra_args = v.split()
+            else:
+                env[k] = v
     t0 = time.perf_counter()
     subprocess.run([sys.executable, "-m", "svt_av1_psyex_tpu.app.main",
                     "-i", str(y4m), "-b", str(ivf),
-                    "--preset", str(preset), "--crf", str(crf)],
+                    "--preset", str(preset), "--crf", str(crf)]
+                   + extra_args,
                    check=True, capture_output=True, cwd=REPO, env=env)
     return time.perf_counter() - t0
 
@@ -118,7 +161,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", type=int, default=6)
     ap.add_argument("--crfs", default="25,32,39,46")
-    ap.add_argument("--clips", default="blobs:320x180:48")
+    ap.add_argument("--clips", default="blobs:448x256:48")
     ap.add_argument("--ref", default=str(REPO / ".refbin" / "SvtAv1EncApp"))
     ap.add_argument("--encoders", default="ref,ours",
                     help="comma list of name[=ENV1:v1;ENV2:v2]; name "
@@ -148,7 +191,8 @@ def main() -> None:
             w, h = (int(x) for x in size.split("x"))
             y4m = tdp / f"{kind}.y4m"
             src = make_clip(kind, w, h, int(n), y4m)
-            pts = {name: {"rate": [], "psnr": [], "fps": []}
+            pts = {name: {"rate": [], "psnr": [], "ssim": [],
+                          "ssim_db": [], "fps": []}
                    for name, _ in encs}
             for crf in crfs:
                 for who, env in encs:
@@ -160,20 +204,32 @@ def main() -> None:
                     dec = decode_ivf(ivf)
                     pts[who]["rate"].append(ivf.stat().st_size)
                     pts[who]["psnr"].append(_psnr_yuv(dec, src))
+                    ssim = _ssim_luma(dec, src)
+                    pts[who]["ssim"].append(ssim)
+                    # SSIM in dB so the Bjontegaard integral behaves
+                    pts[who]["ssim_db"].append(
+                        -10.0 * np.log10(max(1.0 - ssim, 1e-10)))
                     pts[who]["fps"].append(int(n) / dt)
                     print(f"{kind} crf{crf} {who}: "
                           f"{ivf.stat().st_size}B "
                           f"{pts[who]['psnr'][-1]:.3f}dB "
+                          f"ssim {ssim:.5f} "
                           f"{pts[who]['fps'][-1]:.2f}fps", flush=True)
             base = encs[0][0]
             bds = {}
+            bds_ssim = {}
             for who, _ in encs[1:]:
                 bds[who] = bd_rate(pts[base]["rate"], pts[base]["psnr"],
                                    pts[who]["rate"], pts[who]["psnr"])
+                bds_ssim[who] = bd_rate(
+                    pts[base]["rate"], pts[base]["ssim_db"],
+                    pts[who]["rate"], pts[who]["ssim_db"])
                 print(f"== {kind}: BD-rate ({who} vs {base}) = "
-                      f"{bds[who]:+.2f}%", flush=True)
+                      f"{bds[who]:+.2f}% (PSNR) / "
+                      f"{bds_ssim[who]:+.2f}% (SSIM)", flush=True)
             results[kind] = {"points": pts,
-                             "bd_rate_pct_vs_" + base: bds}
+                             "bd_rate_pct_vs_" + base: bds,
+                             "bd_rate_ssim_pct_vs_" + base: bds_ssim}
     if args.output:
         Path(args.output).write_text(json.dumps(results, indent=1))
     print(json.dumps({k: {w: round(b, 2)
