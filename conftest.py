@@ -38,6 +38,10 @@ _SLOW_FILES = {
     "test_rdoq.py", "test_native_commit.py", "test_tf.py",
     "test_device_txselect.py", "test_device_motion_mode.py",
     "test_conformance_cross.py",
+    # round-5: multi-frame e2e encodes that had crept into the quick
+    # tier (measured 7:44 total vs the <3 min pledge; VERDICT r4 #8)
+    "test_compound_types.py", "test_intrabc.py", "test_palette.py",
+    "test_superres.py", "test_tpl.py", "test_psy_dist.py",
 }
 
 

@@ -236,7 +236,15 @@ class SvtAv1Encoder:
             la = cfg.look_ahead_distance
             la = 8 if la < 0 else min(la, 32)
             tpl_frames = tpl_bucket(self._max_minigop() + la)
-        self._enc.warm_device(tpl_frames)
+        # TF programs are the slowest compiles (device/tf.py); warm the
+        # neighbor buckets this encode will hit: ARF window (8) on RA
+        # streams, KF window (4) when kf TF is armed
+        tf_buckets = ()
+        if cfg.enable_tf and cfg.enc_mode <= 9 and cfg.pred_structure != 1:
+            tf_buckets += (8,)
+            if cfg.kf_tf_strength > 0:
+                tf_buckets += (4,)
+        self._enc.warm_device(tpl_frames, tf_buckets=tf_buckets)
         self._initialized = True
 
     def stream_header(self) -> bytes:

@@ -245,7 +245,8 @@ class Av1Encoder:
                      or (seq.subsampling_x and seq.subsampling_y))
                 and os.environ.get("SVT_TPU_HOST_MD") != "1")
 
-    def warm_device(self, tpl_frames: int = 0) -> None:
+    def warm_device(self, tpl_frames: int = 0,
+                    tf_buckets: tuple = ()) -> None:
         """Pre-dispatch every device program this encode will use, on a
         background thread, with zero-filled inputs of the REAL shapes.
 
@@ -257,7 +258,11 @@ class Av1Encoder:
         configs the device path can't serve. SVT_TPU_NO_WARM=1 disables.
 
         tpl_frames: padded TPL group length (codec.tpl.tpl_bucket of the
-        minigop+lookahead size); 0 = encode won't run TPL."""
+        minigop+lookahead size); 0 = encode won't run TPL.
+        tf_buckets: device.tf neighbor buckets the encode will hit
+        (e.g. (4, 8) = KF window + ARF window); TF is the single
+        slowest server-side compile (~230 s at 720p over the tunnel),
+        so warming it here matters more than any other program."""
         import os
         import threading
 
@@ -318,6 +323,26 @@ class Av1Encoder:
                 src, jax.device_put(np.zeros((REFS_CANON, hp, wp), lum_dt)),
                 qp, jax.device_put(rd), depths=depths, bit_depth=bd,
                 psy=psy))
+            if tf_buckets:
+                import jax.numpy as jnp
+
+                from ..device.tf import BLK, tf_filter
+
+                h16 = -(-seq.height // BLK) * BLK
+                w16 = -(-seq.width // BLK) * BLK
+                if seq.mono_chrome:
+                    ss = ((0, 0),)
+                else:
+                    ss = ((0, 0), (seq.subsampling_y, seq.subsampling_x),
+                          (seq.subsampling_y, seq.subsampling_x))
+                cen = tuple(np.zeros((h16 >> sy, w16 >> sx), lum_dt)
+                            for sy, sx in ss)
+                for b in tf_buckets:
+                    stacks = tuple(np.zeros((b,) + c.shape, lum_dt)
+                                   for c in cen)
+                    out.append(tf_filter(cen, stacks, jnp.int32(1),
+                                         np.float32(1.0), bit_depth=bd,
+                                         planes_ss=ss)[0])
             # hold until executed: fetching one element of the LAST
             # program keeps the thread (and the tracebacks of any compile
             # failure) alive through the whole warm-up
