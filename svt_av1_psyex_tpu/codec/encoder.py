@@ -932,19 +932,29 @@ class Av1Encoder:
                                            False)
                            and os.environ.get("SVT_TPU_PY_COMMIT") != "1")
             plans = []
+            # whole-frame partition DP (md_device.plan_frame): one
+            # vectorized pass replaces the per-SB recursive pick
+            from .md_device import _hbd8
+
+            nsby, nsbx = dmd._hp // 64, dmd._wp // 64
+            rdg = np.full((nsby, nsbx), dmd.pick_rdmult(), np.int64)
+            if sb_qmap is not None:
+                for q in np.unique(sb_qmap):
+                    v = compute_rdmult(int(q), seq.bit_depth)
+                    if _hbd8(dmd):
+                        v = max(1, v // 16)
+                    rdg[sb_qmap == q] = v
+            dmd.plan_frame(rdg)
             for r in range(0, self.mi_rows, sb_mi):
                 for c in range(0, self.mi_cols, sb_mi):
                     if sb_qmap is not None:
                         md.cur_qindex = int(sb_qmap[r // sb_mi, c // sb_mi])
                         md.rdmult = compute_rdmult(md.cur_qindex, seq.bit_depth)
+                    plan = dmd.extract_plan(r, c, sb_bsize)
                     if use_frame_c:
-                        _, plan = dmd.pick(r, c, sb_bsize,
-                                           self._min_partition_bsize,
-                                           dmd.pick_rdmult())
                         plans.append((plan, r, c, md.cur_qindex))
                     else:
-                        node = dmd.encode_sb(r, c, sb_bsize,
-                                             self._min_partition_bsize)
+                        node = dmd._commit_plan(plan, r, c)
                         sb_plans.append((node, r, c))
             if timing:
                 t0 = self._tick("pick", t0)
