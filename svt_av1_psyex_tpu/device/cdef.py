@@ -393,24 +393,28 @@ def _prep_frame(recon_planes, src_planes, skip_g, mi_rows, mi_cols):
     maskg = np.zeros((nv8p, nh8p), np.float32)
     maskg[:nv8, :nh8] = nonskip
 
-    def pad_to(p, hh, ww):
-        # planes may carry a margin beyond the aligned grid; crop first
-        ph, pw = min(p.shape[0], hh), min(p.shape[1], ww)
+    def pad_to(p, hh, ww, ch, cw):
+        # spec 7.15.2 CdefAvailable: everything beyond the CODED area
+        # (mi grid) is the large value — chroma planes carry a +4
+        # overhang margin that must NOT leak in as real samples
+        ph, pw = min(ch, hh), min(cw, ww)
         out = np.full((hh + 4, ww + 4), CDEF_VERY_LARGE, np.int32)
         out[2 : 2 + ph, 2 : 2 + pw] = p[:ph, :pw]
         return out
 
-    def src_pad(p, hh, ww):
-        ph, pw = min(p.shape[0], hh), min(p.shape[1], ww)
+    def src_pad(p, hh, ww, ch, cw):
+        ph, pw = min(ch, hh), min(cw, ww)
         out = np.zeros((hh, ww), np.int32)
         out[:ph, :pw] = p[:ph, :pw]
         return out
 
+    coded = [(mi_rows * 4, mi_cols * 4), (mi_rows * 2, mi_cols * 2),
+             (mi_rows * 2, mi_cols * 2)]
     pads = tuple(pad_to(p, nv8p * (8 if i == 0 else 4),
-                        nh8p * (8 if i == 0 else 4))
+                        nh8p * (8 if i == 0 else 4), *coded[i])
                  for i, p in enumerate(recon_planes))
     srcs = tuple(src_pad(p, nv8p * (8 if i == 0 else 4),
-                         nh8p * (8 if i == 0 else 4))
+                         nh8p * (8 if i == 0 else 4), *coded[i])
                  for i, p in enumerate(src_planes[: len(recon_planes)]))
     return pads, srcs, maskg, (nvfb, nhfb, nv8p, nh8p)
 

@@ -254,10 +254,16 @@ def filter_blocks(padded: np.ndarray, ys: np.ndarray, xs: np.ndarray,
 # ---- frame-level apply + search ---------------------------------------------------
 
 
-def _pad_plane(recon: np.ndarray) -> np.ndarray:
+def _pad_plane(recon: np.ndarray, coded_h: int | None = None,
+               coded_w: int | None = None) -> np.ndarray:
+    """2px CDEF_VERY_LARGE border; samples beyond (coded_h, coded_w) —
+    e.g. the chroma planes' +4 overhang margin — are outside the frame
+    for CDEF (spec 7.15.2 CdefAvailable) and become the large value."""
     h, w = recon.shape
+    ch = h if coded_h is None else min(coded_h, h)
+    cw = w if coded_w is None else min(coded_w, w)
     out = np.full((h + 4, w + 4), CDEF_VERY_LARGE, np.int32)
-    out[2 : 2 + h, 2 : 2 + w] = recon
+    out[2 : 2 + ch, 2 : 2 + cw] = recon[:ch, :cw]
     return out
 
 
@@ -365,7 +371,9 @@ def cdef_search_frame(recon_planes, src_planes, skip_g, mi_rows: int,
 
     act_fbs, fb_idx_all = np.unique(fb, return_inverse=True)
     n_act = act_fbs.size
-    pad = [_pad_plane(p) for p in recon_planes]
+    coded = [(mi_rows * 4, mi_cols * 4), (mi_rows * 2, mi_cols * 2),
+             (mi_rows * 2, mi_cols * 2)]
+    pad = [_pad_plane(p, *coded[i]) for i, p in enumerate(recon_planes)]
 
     ys_y_all = by8 * 8 + 2
     xs_y_all = bx8 * 8 + 2
