@@ -1,0 +1,335 @@
+#!/usr/bin/env python3
+"""Differential MVP fuzzer: forced inter/compound leaves vs dav1d.
+
+Builds streams directly at the TileWriter level (no MD): a gray KF, two
+no-show GLOBALMV frames that plant future order hints in DPB slots, then
+one inter frame whose blocks are all-skip forced-mode leaves (NEWMV /
+NEAREST / NEAR / GLOBAL, single and compound; 3 named refs with real
+past+future sign bias). Every block's recon is its motion-compensated
+prediction, with MVs derived from OUR find_mv_stack exactly like the
+commit path derives them. If dav1d's MVP derivation disagrees anywhere
+(order, dedup, sign-bias flips, clamp, weights), its decoded MVs differ
+and the recon comparison catches it.
+
+This is the tool that localized the round-5 720p compound desync.
+
+Usage:
+  python tools/mvp_fuzz.py [--seeds 200] [--w 192 --h 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from svt_av1_psyex_tpu.bitstream.bitw import BitWriter
+from svt_av1_psyex_tpu.bitstream.coeff_writer import CoeffWriter
+from svt_av1_psyex_tpu.bitstream.headers import (
+    FrameConfig,
+    SequenceConfig,
+    compute_tile_info,
+    write_frame_header,
+)
+from svt_av1_psyex_tpu.bitstream.obu import ObuType, temporal_delimiter, wrap_obu
+from svt_av1_psyex_tpu.bitstream.tables import FrameCdfs
+from svt_av1_psyex_tpu.bitstream.tile_writer import LeafBlock, PartitionNode, TileWriter
+from svt_av1_psyex_tpu.codec.constants import (
+    BlockSize,
+    InterMode,
+    Partition,
+    mode_has_newmv,
+)
+from svt_av1_psyex_tpu.codec.encoder import Av1Encoder
+from svt_av1_psyex_tpu.codec.mvp import MiState, find_mv_stack
+from svt_av1_psyex_tpu.ops.mc import mc_block, mc_block_compound
+
+LAST, BWDREF, ALTREF = 1, 5, 7
+
+_KF_CACHE: dict = {}
+
+
+def _kf(w, h, q):
+    """One KF encode per (w, h, q), shared by every seed (host MD: the
+    fuzzer targets writer/MVP behavior, not the device tier)."""
+    import os
+
+    key = (w, h, q)
+    if key not in _KF_CACHE:
+        os.environ["SVT_TPU_HOST_MD"] = "1"
+        seq = SequenceConfig(width=w, height=h)
+        enc = Av1Encoder(seq, preset=10, enable_variance_boost=False,
+                         enable_dlf=False, enable_restoration=False,
+                         enable_mfmv=False)
+        seq.enable_cdef = False
+        yy, xx = np.mgrid[0:h, 0:w]
+        kf_planes = [
+            np.clip(120 + 60 * np.sin(xx / 5.0) * np.cos(yy / 7.0),
+                    0, 255).astype(np.uint8),
+            np.full(((h + 1) >> 1, (w + 1) >> 1), 120, np.uint8),
+            np.full(((h + 1) >> 1, (w + 1) >> 1), 135, np.uint8)]
+        tu_kf = enc.encode_keyframe([p.copy() for p in kf_planes], q)
+        _KF_CACHE[key] = (seq, enc, tu_kf)
+    return _KF_CACHE[key]
+
+
+def _forced_frame(seq, mi_rows, mi_cols, q, order_hint, show,
+                  refresh_flags, ref_frame_idx, ref_order_hints,
+                  sign_bias, leaf_fn, reference_select):
+    """One forced inter frame: leaf_fn(r, c, mi) -> LeafBlock per SB.
+    Returns (tu_bytes,). The caller maintains recon/DPB bookkeeping."""
+    fr = FrameConfig(frame_type=1, show_frame=show, base_q_idx=q,
+                     order_hint=order_hint)
+    fr.refresh_frame_flags = refresh_flags
+    fr.ref_frame_idx = tuple(ref_frame_idx)
+    fr.ref_order_hints = tuple(ref_order_hints)
+    fr.reference_select = reference_select
+    fr.tile = compute_tile_info(seq)
+    fr.primary_ref_frame = 7  # fresh CDFs: isolate MVP effects
+
+    cdfs = FrameCdfs(q)
+    tw = TileWriter(seq, fr, cdfs, mi_rows, mi_cols)
+    tw.coeff_writer = CoeffWriter(tw, mi_rows, mi_cols,
+                                  seq.subsampling_x, seq.subsampling_y)
+    tw.mi_state = MiState(mi_rows, mi_cols)
+    tw.mi_state.sign_bias = sign_bias
+
+    mi = MiState(mi_rows, mi_cols)
+    mi.sign_bias = sign_bias
+
+    sb_plans = []
+    for r in range(0, mi_rows, 16):
+        for c in range(0, mi_cols, 16):
+            node = leaf_fn(r, c, mi)
+            if isinstance(node, LeafBlock):
+                leaf = node
+                if leaf.ref_frame1 >= 1:
+                    mi.set_block(r, c, BlockSize.B64X64, leaf.ref_frame,
+                                 leaf.mv, mode_has_newmv(leaf.inter_mode),
+                                 ref_frame1=leaf.ref_frame1, mv1=leaf.mv1)
+                else:
+                    mi.set_block(r, c, BlockSize.B64X64, leaf.ref_frame,
+                                 leaf.mv, mode_has_newmv(leaf.inter_mode))
+                node = PartitionNode(Partition.NONE, leaf=leaf)
+            sb_plans.append((node, r, c))
+    for node, r, c in sb_plans:
+        tw.write_superblock(node, r, c)
+    tile = tw.finish()
+    wbits = BitWriter()
+    write_frame_header(seq, fr, wbits)
+    wbits.byte_align()
+    return temporal_delimiter() + wrap_obu(ObuType.FRAME,
+                                           wbits.data() + tile)
+
+
+def build_stream(w, h, leaf_gen, q=100):
+    """KF + 2 hint-planting no-show frames + 1 forced fuzz frame.
+    leaf_gen(r, c, stack_fn) -> LeafBlock per 64x64 SB of the fuzz
+    frame; returns (ivf_bytes, fuzz_recon_planes)."""
+    seq, enc, tu_kf = _kf(w, h, q)
+    mi_rows, mi_cols = enc.mi_rows, enc.mi_cols
+    # crop DPB planes to display dims (spec 7.11.3.3 clamps MC samples
+    # at the reference's display bounds — the encoder's begin_frame
+    # crop(); the slot arrays carry aligned+margin extents)
+    cdims = [(h, w), ((h + 1) >> 1, (w + 1) >> 1),
+             ((h + 1) >> 1, (w + 1) >> 1)]
+    kf_recon = [p.astype(np.int32)[:cdims[i][0], :cdims[i][1]]
+                for i, p in enumerate(enc.slots[0]["recon"])]
+
+    def skip_global(r, c, mi):
+        return LeafBlock(BlockSize.B64X64, skip=True, is_inter=True,
+                         ref_frame=LAST, inter_mode=int(InterMode.GLOBALMV),
+                         mv=(0, 0), drl_index=0)
+
+    tus = [tu_kf]
+    # plant future hints: no-show GLOBALMV-skip frames into slots 1, 2
+    # (recon == the KF recon, so every slot's samples stay identical)
+    zero_bias = np.zeros(8, bool)
+    for hint, slot in ((4, 1), (6, 2)):
+        tus.append(_forced_frame(
+            seq, mi_rows, mi_cols, q, hint, False, 1 << slot,
+            (0,) * 7, (0,) * 7, zero_bias, skip_global, False))
+
+    # fuzz frame: order_hint 2; LAST=slot0 (hint 0, past), BWDREF=slot1
+    # (hint 4, future), ALTREF=slot2 (hint 6, future)
+    cur_hint = 2
+    ref_idx = (0, 0, 0, 0, 1, 1, 2)
+    hints_of_slot = {0: 0, 1: 4, 2: 6}
+    ref_hints = tuple(hints_of_slot[ref_idx[n]] for n in range(7))
+    sign_bias = np.zeros(8, bool)
+    for name in range(1, 8):
+        sign_bias[name] = ref_hints[name - 1] > cur_hint
+
+    ref_planes = {n: kf_recon for n in (LAST, BWDREF, ALTREF)}
+    recon = [p.copy() for p in kf_recon]
+
+    from svt_av1_psyex_tpu.codec.constants import BLOCK_H, BLOCK_W
+
+    def commit_leaf(leaf, r, c, bsize, mi):
+        x, y = c * 4, r * 4
+        bw, bh = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+        cw, ch = max(bw >> 1, 4), max(bh >> 1, 4)
+        if leaf.ref_frame1 >= 1:
+            pred = mc_block_compound(
+                ref_planes[leaf.ref_frame][0],
+                ref_planes[leaf.ref_frame1][0], x, y, bw, bh,
+                leaf.mv, leaf.mv1, 0, 0)
+            predu = mc_block_compound(
+                ref_planes[leaf.ref_frame][1],
+                ref_planes[leaf.ref_frame1][1], x >> 1, y >> 1, cw, ch,
+                leaf.mv, leaf.mv1, 1, 1)
+            predv = mc_block_compound(
+                ref_planes[leaf.ref_frame][2],
+                ref_planes[leaf.ref_frame1][2], x >> 1, y >> 1, cw, ch,
+                leaf.mv, leaf.mv1, 1, 1)
+        else:
+            pred = mc_block(ref_planes[leaf.ref_frame][0], x, y, bw, bh,
+                            leaf.mv[0], leaf.mv[1], 0, 0)
+            predu = mc_block(ref_planes[leaf.ref_frame][1], x >> 1,
+                             y >> 1, cw, ch, leaf.mv[0], leaf.mv[1], 1, 1)
+            predv = mc_block(ref_planes[leaf.ref_frame][2], x >> 1,
+                             y >> 1, cw, ch, leaf.mv[0], leaf.mv[1], 1, 1)
+        recon[0][y : y + bh, x : x + bw] = pred
+        recon[1][y >> 1 : (y >> 1) + ch, x >> 1 : (x >> 1) + cw] = predu
+        recon[2][y >> 1 : (y >> 1) + ch, x >> 1 : (x >> 1) + cw] = predv
+        if leaf.ref_frame1 >= 1:
+            mi.set_block(r, c, bsize, leaf.ref_frame, leaf.mv,
+                         mode_has_newmv(leaf.inter_mode),
+                         ref_frame1=leaf.ref_frame1, mv1=leaf.mv1)
+        else:
+            mi.set_block(r, c, bsize, leaf.ref_frame, leaf.mv,
+                         mode_has_newmv(leaf.inter_mode))
+
+    def fuzz_leaf(r, c, mi):
+        """One SB: either a single 64x64 leaf or a split into 32x32
+        (each optionally split into 16x16) — leaf_gen decides per node
+        via its optional `split` protocol."""
+        def build(rr, cc, bsize):
+            sub = leaf_gen(rr, cc, bsize,
+                           lambda rf: find_mv_stack(mi, rr, cc, bsize, rf))
+            if sub == "split":
+                from svt_av1_psyex_tpu.codec.constants import subsize
+
+                nsz = subsize(Partition.SPLIT, bsize)
+                half = (int(BLOCK_W[bsize]) >> 2) >> 1
+                kids = [build(r2, c2, nsz)
+                        for r2, c2 in ((rr, cc), (rr, cc + half),
+                                       (rr + half, cc),
+                                       (rr + half, cc + half))]
+                return PartitionNode(Partition.SPLIT, children=kids)
+            commit_leaf(sub, rr, cc, bsize, mi)
+            return PartitionNode(Partition.NONE, leaf=sub)
+
+        return build(r, c, BlockSize.B64X64)
+
+    tus.append(_forced_frame(
+        seq, mi_rows, mi_cols, q, cur_hint, True, 0, ref_idx, ref_hints,
+        sign_bias, fuzz_leaf, True))
+
+    from io import BytesIO
+
+    from svt_av1_psyex_tpu.utils.ivf import IvfWriter
+
+    bio = BytesIO()
+    iw = IvfWriter(bio, w, h)
+    for i, tu in enumerate(tus):
+        iw.write_frame(tu, i)
+    iw.close()
+    return bio.getvalue(), recon
+
+
+def mk_leaf(kind, rf, stack, rng, bsize=BlockSize.B64X64):
+    """LeafBlock for a forced compound/single mode; MVs derived from the
+    stack exactly like the commit path (md_device._commit_*_leaf)."""
+    is_comp = isinstance(rf, tuple)
+    if is_comp:
+        if kind == "nearest":
+            mode, mv, mv1 = (InterMode.NEAREST_NEARESTMV, stack.mvs[0],
+                             stack.comp_mvs[0])
+        elif kind == "near" and stack.count >= 2:
+            mode, mv, mv1 = (InterMode.NEAR_NEARMV, stack.mvs[1],
+                             stack.comp_mvs[1])
+        elif kind == "global":
+            mode, mv, mv1 = InterMode.GLOBAL_GLOBALMV, (0, 0), (0, 0)
+        else:
+            mode = InterMode.NEW_NEWMV
+            mv = (int(rng.integers(-300, 301)) * 2,
+                  int(rng.integers(-300, 301)) * 2)
+            mv1 = (int(rng.integers(-300, 301)) * 2,
+                   int(rng.integers(-300, 301)) * 2)
+        return LeafBlock(bsize, skip=True, is_inter=True,
+                         ref_frame=rf[0], ref_frame1=rf[1],
+                         inter_mode=int(mode), mv=tuple(mv), mv1=tuple(mv1),
+                         drl_index=0)
+    if kind == "nearest":
+        mode, mv = InterMode.NEARESTMV, stack.mvs[0]
+    elif kind == "near" and stack.count >= 2:
+        mode, mv = InterMode.NEARMV, stack.mvs[1]
+    elif kind == "global":
+        mode, mv = InterMode.GLOBALMV, (0, 0)
+    else:
+        mode = InterMode.NEWMV
+        mv = (int(rng.integers(-300, 301)) * 2,
+              int(rng.integers(-300, 301)) * 2)
+    return LeafBlock(bsize, skip=True, is_inter=True,
+                     ref_frame=rf, inter_mode=int(mode), mv=tuple(mv),
+                     drl_index=0)
+
+
+def run_seed(seed, w, h):
+    rng = np.random.default_rng(seed)
+    kinds = ["nearest", "near", "global", "new", "new"]
+    refs = [LAST, BWDREF, ALTREF, (LAST, ALTREF), (LAST, BWDREF),
+            (LAST, ALTREF)]
+
+    def gen(r, c, bsize, stack_fn):
+        # random quadtree: split 64->32 (30%), 32->16 (20%)
+        if bsize == BlockSize.B64X64 and rng.random() < 0.30:
+            return "split"
+        if bsize == BlockSize.B32X32 and rng.random() < 0.20:
+            return "split"
+        rf = refs[int(rng.integers(0, len(refs)))]
+        kind = kinds[int(rng.integers(0, len(kinds)))]
+        return mk_leaf(kind, rf, stack_fn(rf), rng, bsize)
+
+    ivf, recon = build_stream(w, h, gen)
+    import tempfile
+
+    from svt_av1_psyex_tpu.conformance.dav1d import decode_ivf
+
+    with tempfile.NamedTemporaryFile(suffix=".ivf") as f:
+        f.write(ivf)
+        f.flush()
+        dec = decode_ivf(f.name)
+    assert len(dec) == 2, f"seed {seed}: decoded {len(dec)} frames"
+    bad = []
+    for i in range(3):
+        dh, dw = dec[1][i].shape
+        d = dec[1][i].astype(np.int64) - recon[i][:dh, :dw]
+        if (d != 0).any():
+            bad.append((i, int((d != 0).sum()), int(np.abs(d).max())))
+    return bad
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=100)
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--w", type=int, default=192)
+    ap.add_argument("--h", type=int, default=128)
+    args = ap.parse_args()
+    fails = 0
+    for seed in range(args.start, args.start + args.seeds):
+        bad = run_seed(seed, args.w, args.h)
+        if bad:
+            fails += 1
+            print(f"SEED {seed}: MISMATCH {bad}", flush=True)
+    print(f"{args.seeds} seeds, {fails} mismatching", flush=True)
+
+
+if __name__ == "__main__":
+    main()
