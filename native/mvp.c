@@ -583,8 +583,12 @@ void svt_find_mv_stack(const int8_t *ref_frame, const int8_t *ref_frame1,
                 mvs_[nc_][1] = AT(s->g.mv_col1, rr, cc);                      \
                 nc_++;                                                        \
             }                                                                 \
+            /* BOTH components append even past 2: the MAX_CAND gate is  \
+             * per BLOCK (the outer scan loop), not per component        \
+             * (adaptive_mv_pred.c:1007-1037) — count can reach 3, which \
+             * the decoder's DRL read depends on (mvp_fuzz.py find)  */  \
             for (int k_ = 0; k_ < nc_; k_++) {                                \
-                if (s->n >= MAX_CAND) break;                                  \
+                if (s->n >= MAX_STACK) break;                                 \
                 int16_t my_ = mvs_[k_][0], mx_ = mvs_[k_][1];                 \
                 if ((s->g.sign_bias[refs_[k_]] != 0) != bias_us) {            \
                     my_ = -my_; mx_ = -mx_;                                   \

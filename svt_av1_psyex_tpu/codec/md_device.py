@@ -256,6 +256,7 @@ class DeviceIntraMD:
         else:
             src = self.pad_src(self.md.pctx[0].src)
             hp, wp = src.shape
+            self._hp, self._wp = hp, wp  # group path: plan_frame reads these
         self.stats = unpack_rd_analysis(packed_row, hp, wp, self.DEPTHS)
 
     # ---- partition argmin ------------------------------------------------

@@ -583,8 +583,14 @@ def _find_mv_stack_py(mi: MiState, mi_row: int, mi_col: int, bsize: int,
         bias_us = bool(mi.sign_bias[rf[0]])
 
         def extend(rr, cc):
+            # BOTH components of the candidate are processed even when
+            # the stack reaches 2 mid-block: the `< MAX_MV_REF_CANDIDATES`
+            # gate is per BLOCK (the outer scan loop), not per component
+            # (adaptive_mv_pred.c:1007-1037) — a compound neighbor can
+            # push the count to 3, which changes the decoder's DRL read
+            # (found by tools/mvp_fuzz.py; the 720p p8 compound desync)
             for can_rf, mv in mi.cand_refs(rr, cc):
-                if len(stack) >= MAX_MV_REF_CANDIDATES:
+                if len(stack) >= MAX_REF_MV_STACK_SIZE:
                     return
                 if bool(mi.sign_bias[can_rf]) != bias_us:
                     mv = (-mv[0], -mv[1])

@@ -363,8 +363,13 @@ def collect_lf_grids(sb_plans, mi_rows: int, mi_cols: int, sb_mi: int):
             skip_inter_g[r:r1, c:c1] = bool(leaf.skip) and leaf.is_inter
             skip_g[r:r1, c:c1] = bool(leaf.skip)
             # inter depth-1 is a uniform vartx split, so per-mi tx size is
-            # the split size everywhere in the block (same as intra depth)
-            txd_g[r:r1, c:c1] = leaf.tx_depth
+            # the split size everywhere in the block (same as intra depth).
+            # SKIP inter blocks code no tx size — the decoder infers the
+            # block-max tx (dav1d sets b->tx = max for skip), so their
+            # committed trial depth must NOT leak into the filter masks
+            # (fixes a +-1 bottom-edge recon divergence at 720p p8)
+            txd_g[r:r1, c:c1] = (0 if (leaf.skip and leaf.is_inter)
+                                 else leaf.tx_depth)
             return
         half = max(BLOCK_W[bsize] >> 3, 1)
         sub = subsize_of(node.partition, bsize)

@@ -79,7 +79,8 @@ def _kf(w, h, q):
 
 def _forced_frame(seq, mi_rows, mi_cols, q, order_hint, show,
                   refresh_flags, ref_frame_idx, ref_order_hints,
-                  sign_bias, leaf_fn, reference_select):
+                  sign_bias, leaf_fn, reference_select,
+                  tx_mode_select=False, cdfs=None, primary_ref=7):
     """One forced inter frame: leaf_fn(r, c, mi) -> LeafBlock per SB.
     Returns (tu_bytes,). The caller maintains recon/DPB bookkeeping."""
     fr = FrameConfig(frame_type=1, show_frame=show, base_q_idx=q,
@@ -88,10 +89,12 @@ def _forced_frame(seq, mi_rows, mi_cols, q, order_hint, show,
     fr.ref_frame_idx = tuple(ref_frame_idx)
     fr.ref_order_hints = tuple(ref_order_hints)
     fr.reference_select = reference_select
+    fr.tx_mode_select = tx_mode_select
     fr.tile = compute_tile_info(seq)
-    fr.primary_ref_frame = 7  # fresh CDFs: isolate MVP effects
+    fr.primary_ref_frame = primary_ref
 
-    cdfs = FrameCdfs(q)
+    if cdfs is None:
+        cdfs = FrameCdfs(q)
     tw = TileWriter(seq, fr, cdfs, mi_rows, mi_cols)
     tw.coeff_writer = CoeffWriter(tw, mi_rows, mi_cols,
                                   seq.subsampling_x, seq.subsampling_y)
@@ -119,14 +122,15 @@ def _forced_frame(seq, mi_rows, mi_cols, q, order_hint, show,
     for node, r, c in sb_plans:
         tw.write_superblock(node, r, c)
     tile = tw.finish()
+    cdfs.reset_counters()  # frame-context save (encoder _finalize_frame)
     wbits = BitWriter()
     write_frame_header(seq, fr, wbits)
     wbits.byte_align()
-    return temporal_delimiter() + wrap_obu(ObuType.FRAME,
-                                           wbits.data() + tile)
+    return (temporal_delimiter() + wrap_obu(ObuType.FRAME,
+                                            wbits.data() + tile), cdfs)
 
 
-def build_stream(w, h, leaf_gen, q=100):
+def build_stream(w, h, leaf_gen, q=100, with_coeffs=False):
     """KF + 2 hint-planting no-show frames + 1 forced fuzz frame.
     leaf_gen(r, c, stack_fn) -> LeafBlock per 64x64 SB of the fuzz
     frame; returns (ivf_bytes, fuzz_recon_planes)."""
@@ -152,7 +156,7 @@ def build_stream(w, h, leaf_gen, q=100):
     for hint, slot in ((4, 1), (6, 2)):
         tus.append(_forced_frame(
             seq, mi_rows, mi_cols, q, hint, False, 1 << slot,
-            (0,) * 7, (0,) * 7, zero_bias, skip_global, False))
+            (0,) * 7, (0,) * 7, zero_bias, skip_global, False)[0])
 
     # fuzz frame: order_hint 2; LAST=slot0 (hint 0, past), BWDREF=slot1
     # (hint 4, future), ALTREF=slot2 (hint 6, future)
@@ -167,9 +171,143 @@ def build_stream(w, h, leaf_gen, q=100):
     ref_planes = {n: kf_recon for n in (LAST, BWDREF, ALTREF)}
     recon = [p.copy() for p in kf_recon]
 
-    from svt_av1_psyex_tpu.codec.constants import BLOCK_H, BLOCK_W
+    from svt_av1_psyex_tpu.codec.constants import (
+        BLOCK_H,
+        BLOCK_W,
+        MAX_TX_SIZE_RECT,
+        SPLIT_TX_SIZE,
+        TX_H,
+        TX_W,
+        TxType,
+    )
+
+    # residual-coding mode: noisy source + CommitCtx -> real coefficients
+    # and tx-depth trials ride through the writer like the encoder's
+    coeff_ctx = None
+    src_planes = None
+    if with_coeffs:
+        from svt_av1_psyex_tpu.codec.encoder import _PlaneCtx
+        from svt_av1_psyex_tpu.native import commit as native_commit
+
+        if not native_commit.available():
+            raise RuntimeError("native commit unavailable")
+        coeff_ctx = native_commit.CommitCtx(8)
+        nrng = np.random.RandomState(9999)
+        src_planes = []
+        for i, p in enumerate(kf_recon):
+            noise = nrng.randint(-12, 13, p.shape)
+            src_planes.append(_PlaneCtx(
+                src=np.clip(p + noise, 0, 255).astype(np.int32),
+                recon=np.zeros_like(p, np.int32),
+                ss_x=0 if i == 0 else 1, ss_y=0 if i == 0 else 1))
+
+    def commit_txbs(leaf, r, c, bsize, pred_y, predu, predv, tx_depth):
+        """Commit real coefficients at the given inter tx depth; returns
+        (txbs, skip) and leaves recon in src_planes[\\*].recon."""
+        x, y = c * 4, r * 4
+        tx = int(MAX_TX_SIZE_RECT[bsize])
+        for _ in range(tx_depth):
+            tx = int(SPLIT_TX_SIZE[tx])
+        txw, txh = int(TX_W[tx]), int(TX_H[tx])
+        bw, bh = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+        txbs = []
+        for ty in range(0, bh, txh):
+            for txx in range(0, bw, txw):
+                pr = np.ascontiguousarray(
+                    pred_y[ty : ty + txh, txx : txx + txw], np.int32)
+                qc, eob = coeff_ctx.run(src_planes[0], pr, x + txx, y + ty,
+                                        tx, q, 0, 0, plane=0, is_inter=True)
+                txbs.append({"plane": 0, "plane_bsize": bsize,
+                             "tx_size": tx, "tx_type": int(TxType.DCT_DCT),
+                             "qcoeff": qc, "eob": eob,
+                             "ux": (x + txx) >> 2, "uy": (y + ty) >> 2})
+        from svt_av1_psyex_tpu.codec.constants import block_size_of
+
+        cw_px = max(bw >> 1, 4)
+        ch_px = max(bh >> 1, 4)
+        uv_bsize = block_size_of(cw_px, ch_px)
+        uv_tx = int(MAX_TX_SIZE_RECT[uv_bsize])
+        cx, cy = x >> 1, y >> 1
+        for p, pc in ((1, predu), (2, predv)):
+            qc, eob = coeff_ctx.run(
+                src_planes[p],
+                np.ascontiguousarray(pc[: int(TX_H[uv_tx]),
+                                        : int(TX_W[uv_tx])], np.int32),
+                cx, cy, uv_tx, q, 0, 0, plane=p, is_inter=True)
+            txbs.append({"plane": p, "plane_bsize": uv_bsize,
+                         "tx_size": uv_tx, "tx_type": int(TxType.DCT_DCT),
+                         "qcoeff": qc, "eob": eob, "ux": cx >> 2,
+                         "uy": cy >> 2})
+        skip = all(t["eob"] == 0 for t in txbs)
+        return txbs, skip
+
+    from svt_av1_psyex_tpu.codec.constants import IntraMode, block_size_of
+    from svt_av1_psyex_tpu.ops import intra as intra_ops
+
+    def _intra_txb(plane, px, py, ptx, rec_arr, pc):
+        txw, txh = int(TX_W[ptx]), int(TX_H[ptx])
+        above, left, flat = intra_ops.fill_neighbors(
+            rec_arr, px, py, txw, txh, py > 0, px > 0,
+            int(IntraMode.DC), 8)
+        if flat is None:
+            pred = intra_ops.predict(int(IntraMode.DC), above[None],
+                                     left[None], txw, txh, py > 0, px > 0,
+                                     8)[0]
+        else:
+            pred = np.full((txh, txw), flat, np.int32)
+        if with_coeffs:
+            return coeff_ctx.run(pc, np.ascontiguousarray(pred, np.int32),
+                                 px, py, ptx, q, 0, 0, plane=plane,
+                                 is_inter=False)
+        rec_arr[py : py + txh, px : px + txw] = pred
+        return np.zeros((min(txh, 32), min(txw, 32)), np.int32), 0
+
+    def commit_intra_leaf(leaf, r, c, bsize, mi):
+        x, y = c * 4, r * 4
+        bw, bh = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
+        tx = int(MAX_TX_SIZE_RECT[bsize])
+        for _ in range(leaf.tx_depth):
+            tx = int(SPLIT_TX_SIZE[tx])
+        txw, txh = int(TX_W[tx]), int(TX_H[tx])
+        luma_rec = src_planes[0].recon if with_coeffs else recon[0]
+        txbs = []
+        for ty in range(0, bh, txh):
+            for txx in range(0, bw, txw):
+                qc, eob = _intra_txb(0, x + txx, y + ty, tx, luma_rec,
+                                     src_planes[0] if with_coeffs else None)
+                txbs.append({"plane": 0, "plane_bsize": bsize,
+                             "tx_size": tx, "tx_type": int(TxType.DCT_DCT),
+                             "qcoeff": qc, "eob": eob,
+                             "ux": (x + txx) >> 2, "uy": (y + ty) >> 2})
+        cw_px, ch_px = max(bw >> 1, 4), max(bh >> 1, 4)
+        uv_bsize = block_size_of(cw_px, ch_px)
+        uv_tx = int(MAX_TX_SIZE_RECT[uv_bsize])
+        cx, cy = x >> 1, y >> 1
+        for pnum in (1, 2):
+            prec = src_planes[pnum].recon if with_coeffs else recon[pnum]
+            qc, eob = _intra_txb(pnum, cx, cy, uv_tx, prec,
+                                 src_planes[pnum] if with_coeffs else None)
+            txbs.append({"plane": pnum, "plane_bsize": uv_bsize,
+                         "tx_size": uv_tx, "tx_type": int(TxType.DCT_DCT),
+                         "qcoeff": qc, "eob": eob, "ux": cx >> 2,
+                         "uy": cy >> 2})
+        if with_coeffs:
+            skip = all(t["eob"] == 0 for t in txbs)
+            leaf.skip = skip
+            leaf.coeffs = None if skip else txbs
+            ch = max(bh >> 1, 4)
+            cw = max(bw >> 1, 4)
+            recon[0][y : y + bh, x : x + bw] = \
+                src_planes[0].recon[y : y + bh, x : x + bw]
+            recon[1][cy : cy + ch, cx : cx + cw] = \
+                src_planes[1].recon[cy : cy + ch, cx : cx + cw]
+            recon[2][cy : cy + ch, cx : cx + cw] = \
+                src_planes[2].recon[cy : cy + ch, cx : cx + cw]
+        mi.set_block(r, c, bsize, -1, (0, 0), False)
 
     def commit_leaf(leaf, r, c, bsize, mi):
+        if not leaf.is_inter:
+            return commit_intra_leaf(leaf, r, c, bsize, mi)
         x, y = c * 4, r * 4
         bw, bh = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
         cw, ch = max(bw >> 1, 4), max(bh >> 1, 4)
@@ -193,9 +331,22 @@ def build_stream(w, h, leaf_gen, q=100):
                              y >> 1, cw, ch, leaf.mv[0], leaf.mv[1], 1, 1)
             predv = mc_block(ref_planes[leaf.ref_frame][2], x >> 1,
                              y >> 1, cw, ch, leaf.mv[0], leaf.mv[1], 1, 1)
-        recon[0][y : y + bh, x : x + bw] = pred
-        recon[1][y >> 1 : (y >> 1) + ch, x >> 1 : (x >> 1) + cw] = predu
-        recon[2][y >> 1 : (y >> 1) + ch, x >> 1 : (x >> 1) + cw] = predv
+        if with_coeffs:
+            txbs, skip = commit_txbs(leaf, r, c, bsize, pred, predu, predv,
+                                     leaf.tx_depth)
+            leaf.skip = skip
+            leaf.coeffs = None if skip else txbs
+            cy, cx = y >> 1, x >> 1
+            recon[0][y : y + bh, x : x + bw] = \
+                src_planes[0].recon[y : y + bh, x : x + bw]
+            recon[1][cy : cy + ch, cx : cx + cw] = \
+                src_planes[1].recon[cy : cy + ch, cx : cx + cw]
+            recon[2][cy : cy + ch, cx : cx + cw] = \
+                src_planes[2].recon[cy : cy + ch, cx : cx + cw]
+        else:
+            recon[0][y : y + bh, x : x + bw] = pred
+            recon[1][y >> 1 : (y >> 1) + ch, x >> 1 : (x >> 1) + cw] = predu
+            recon[2][y >> 1 : (y >> 1) + ch, x >> 1 : (x >> 1) + cw] = predv
         if leaf.ref_frame1 >= 1:
             mi.set_block(r, c, bsize, leaf.ref_frame, leaf.mv,
                          mode_has_newmv(leaf.inter_mode),
@@ -226,9 +377,30 @@ def build_stream(w, h, leaf_gen, q=100):
 
         return build(r, c, BlockSize.B64X64)
 
-    tus.append(_forced_frame(
-        seq, mi_rows, mi_cols, q, cur_hint, True, 0, ref_idx, ref_hints,
-        sign_bias, fuzz_leaf, True))
+    tuA, cdfsA = _forced_frame(
+        seq, mi_rows, mi_cols, q, cur_hint, True, 1 << 3, ref_idx,
+        ref_hints, sign_bias, fuzz_leaf, True, tx_mode_select=with_coeffs)
+    tus.append(tuA)
+    reconA = [p.copy() for p in recon]
+
+    # chained frame B: LAST = frame A (slot 3, hint 2) with CDF
+    # FORWARDING from A's end-of-tile state (primary_ref_frame = LAST).
+    # Any context-selection divergence inside A that decoded the same
+    # values still desyncs B here, like the encoder's primary-ref chain.
+    ref_planes[LAST] = reconA
+    cur2 = 3
+    ref_idx2 = (3, 3, 3, 3, 1, 1, 2)
+    hints2 = {3: 2, 1: 4, 2: 6}
+    ref_hints2 = tuple(hints2[ref_idx2[n]] for n in range(7))
+    sign_bias2 = np.zeros(8, bool)
+    for name in range(1, 8):
+        sign_bias2[name] = ref_hints2[name - 1] > cur2
+    tuB, _ = _forced_frame(
+        seq, mi_rows, mi_cols, q, cur2, True, 0, ref_idx2, ref_hints2,
+        sign_bias2, fuzz_leaf, True, tx_mode_select=with_coeffs,
+        cdfs=cdfsA.clone(), primary_ref=0)
+    tus.append(tuB)
+    reconB = [p.copy() for p in recon]
 
     from io import BytesIO
 
@@ -239,12 +411,15 @@ def build_stream(w, h, leaf_gen, q=100):
     for i, tu in enumerate(tus):
         iw.write_frame(tu, i)
     iw.close()
-    return bio.getvalue(), recon
+    return bio.getvalue(), (reconA, reconB)
 
 
 def mk_leaf(kind, rf, stack, rng, bsize=BlockSize.B64X64):
     """LeafBlock for a forced compound/single mode; MVs derived from the
     stack exactly like the commit path (md_device._commit_*_leaf)."""
+    if kind == "intra":
+        return LeafBlock(bsize, y_mode=0, uv_mode=0, skip=True,
+                         drl_index=0)
     is_comp = isinstance(rf, tuple)
     if is_comp:
         if kind == "nearest":
@@ -280,9 +455,9 @@ def mk_leaf(kind, rf, stack, rng, bsize=BlockSize.B64X64):
                      drl_index=0)
 
 
-def run_seed(seed, w, h):
+def run_seed(seed, w, h, with_coeffs=False):
     rng = np.random.default_rng(seed)
-    kinds = ["nearest", "near", "global", "new", "new"]
+    kinds = ["nearest", "near", "global", "new", "new", "intra"]
     refs = [LAST, BWDREF, ALTREF, (LAST, ALTREF), (LAST, BWDREF),
             (LAST, ALTREF)]
 
@@ -294,9 +469,12 @@ def run_seed(seed, w, h):
             return "split"
         rf = refs[int(rng.integers(0, len(refs)))]
         kind = kinds[int(rng.integers(0, len(kinds)))]
-        return mk_leaf(kind, rf, stack_fn(rf), rng, bsize)
+        leaf = mk_leaf(kind, rf, stack_fn(rf), rng, bsize)
+        if with_coeffs:
+            leaf.tx_depth = int(rng.integers(0, 2))
+        return leaf
 
-    ivf, recon = build_stream(w, h, gen)
+    ivf, (reconA, reconB) = build_stream(w, h, gen, with_coeffs=with_coeffs)
     import tempfile
 
     from svt_av1_psyex_tpu.conformance.dav1d import decode_ivf
@@ -305,13 +483,15 @@ def run_seed(seed, w, h):
         f.write(ivf)
         f.flush()
         dec = decode_ivf(f.name)
-    assert len(dec) == 2, f"seed {seed}: decoded {len(dec)} frames"
+    assert len(dec) == 3, f"seed {seed}: decoded {len(dec)} frames"
     bad = []
-    for i in range(3):
-        dh, dw = dec[1][i].shape
-        d = dec[1][i].astype(np.int64) - recon[i][:dh, :dw]
-        if (d != 0).any():
-            bad.append((i, int((d != 0).sum()), int(np.abs(d).max())))
+    for fi, rec in ((1, reconA), (2, reconB)):
+        for i in range(3):
+            dh, dw = dec[fi][i].shape
+            d = dec[fi][i].astype(np.int64) - rec[i][:dh, :dw]
+            if (d != 0).any():
+                bad.append((fi, i, int((d != 0).sum()),
+                            int(np.abs(d).max())))
     return bad
 
 
@@ -321,10 +501,12 @@ def main():
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--w", type=int, default=192)
     ap.add_argument("--h", type=int, default=128)
+    ap.add_argument("--coeffs", action="store_true",
+                    help="code real residuals + random inter tx depth")
     args = ap.parse_args()
     fails = 0
     for seed in range(args.start, args.start + args.seeds):
-        bad = run_seed(seed, args.w, args.h)
+        bad = run_seed(seed, args.w, args.h, with_coeffs=args.coeffs)
         if bad:
             fails += 1
             print(f"SEED {seed}: MISMATCH {bad}", flush=True)
