@@ -122,7 +122,10 @@ def warp_plane(plane: np.ndarray, mat, shear, x0: int, y0: int,
     ref = plane.astype(np.int64)
     fil = warp_filter_table()
 
-    round0 = 3 if bd == 8 else 5
+    # reduce_bits_horiz = round_0 + max(bd + FILTER_BITS - round_0 - 14, 0)
+    # (highbd warp, warped_motion.c:720): 3 at 8 AND 10 bit, 5 only at 12
+    # (a 10-bit ±2 recon divergence on warp blocks until round 5)
+    round0 = 3 + max(bd - 10, 0)
     reduce_vert = 7 if is_compound else 2 * FILTER_BITS - round0
     offs_h = bd + FILTER_BITS - 1
     offs_v = bd + 2 * FILTER_BITS - round0

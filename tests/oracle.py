@@ -477,6 +477,42 @@ def warp_affine(mat, shear, plane, x0, y0, w, h, sub_x=0, sub_y=0):
     return pred
 
 
+def highbd_warp_affine(mat, shear, plane, x0, y0, w, h, bd,
+                       sub_x=0, sub_y=0):
+    """Reference svt_av1_highbd_warp_affine_c (warped_motion.c:714),
+    non-compound; plane: uint16 10/12-bit samples (split into the SVT
+    8b + top-2b representation for the call)."""
+    lib = get_lib()
+    height, width = plane.shape
+    p16 = np.ascontiguousarray(plane, np.uint16)
+    ref8 = np.ascontiguousarray(p16 >> (bd - 8)).astype(np.uint8)
+    ref2 = np.ascontiguousarray(
+        ((p16 & ((1 << (bd - 8)) - 1)) << (8 - (bd - 8))) & 0xC0
+    ).astype(np.uint8)
+    if bd == 10:
+        ref2 = np.ascontiguousarray(((p16 & 3) << 6).astype(np.uint8))
+    pred = np.zeros((h, w), np.uint16)
+    cp = _ConvolveParams(ref=0, do_average=0, dst=None, dst_stride=0,
+                         round_0=3, round_1=11, plane=0, is_compound=0,
+                         use_jnt_comp_avg=0, fwd_offset=0, bck_offset=0,
+                         use_dist_wtd_comp_avg=0)
+    m = np.ascontiguousarray(np.asarray(mat, np.int64)[:6], np.int32)
+    fn = lib.svt_av1_highbd_warp_affine_c
+    fn.argtypes = [_I32P, ctypes.c_void_p, ctypes.c_void_p,
+                   ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                   ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+                   ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                   ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                   ctypes.c_int32, ctypes.POINTER(_ConvolveParams),
+                   ctypes.c_int16, ctypes.c_int16, ctypes.c_int16,
+                   ctypes.c_int16]
+    a, b, g, d = shear
+    fn(m, ref8.ctypes.data, ref2.ctypes.data, width, height, width,
+       width, pred.ctypes.data, x0, y0, w, h, w, sub_x, sub_y, bd,
+       ctypes.byref(cp), a, b, g, d)
+    return pred
+
+
 def find_projection(pts, pts_inref, bsize_idx, mv, mi_row, mi_col):
     """Reference svt_find_projection (warped_motion.c:472). pts in 1/8
     pel. Returns (ok, mat6, alpha, beta, gamma, delta)."""

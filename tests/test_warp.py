@@ -68,6 +68,29 @@ def test_warp_affine_bit_exact(kind, sub):
         assert np.array_equal(got, ref), (m, shear, x0, y0, w, h)
 
 
+@pytest.mark.parametrize("bd", [10])
+def test_highbd_warp_affine_bit_exact(bd):
+    """10-bit warp uses reduce_bits_horiz = 3 (NOT the 12-bit 5) —
+    regression for the round-5 config-3 ±2 recon divergence. (The
+    reference's 8b+2b split plane format carries 10-bit samples only,
+    so 12-bit can't be oracle-checked through this entry point.)"""
+    rng = np.random.default_rng(31 + bd)
+    plane = rng.integers(0, 1 << bd, (128, 160), dtype=np.uint16)
+    n = 0
+    while n < 10:
+        m = _rand_model(rng, "affine" if rng.integers(2) else "rotzoom")
+        ok, *shear = warp.get_shear_params(m)
+        if not ok:
+            continue
+        n += 1
+        w, h = int(rng.choice([8, 16, 32])), int(rng.choice([8, 16, 32]))
+        x0 = int(rng.integers(0, 160 - w))
+        y0 = int(rng.integers(0, 128 - h))
+        ref = oracle.highbd_warp_affine(m, shear, plane, x0, y0, w, h, bd)
+        got = warp.warp_plane(plane, m, shear, x0, y0, w, h, bd=bd)
+        assert np.array_equal(got, ref), (bd, m, shear, x0, y0, w, h)
+
+
 def test_project_mv_translation_rounding():
     one = 1 << warp.WARPEDMODEL_PREC_BITS
     # TRANSLATION stores (row, col) in mat[0], mat[1] (libaom/dav1d
