@@ -928,6 +928,8 @@ class Av1Encoder:
             use_frame_c = (native_frame.available()
                            and not fr.using_qmatrix
                            and self.noise_norm_strength == 0
+                           and not self.max_32_tx_size  # C trial lacks
+                           # the 64-class tx cap; per-leaf path has it
                            and not getattr(fr, "is_motion_mode_switchable",
                                            False)
                            and os.environ.get("SVT_TPU_PY_COMMIT") != "1")

@@ -466,9 +466,29 @@ class DeviceIntraMD:
 
         tx_size = int(MAX_TX_SIZE_RECT[bsize])
         bw_px, bh_px = int(BLOCK_W[bsize]), int(BLOCK_H[bsize])
-        do_trial = self.tx_select and bsize > 0
+        base_depth = 0
+        if (getattr(self.md, "max_32_tx", False) and self.tx_select
+                and max(int(TX_W[tx_size]), int(TX_H[tx_size])) == 64):
+            # --max-32-tx-size: forbid 64-class transforms — the base of
+            # the depth trial becomes the 32-split (signaled as depth 1)
+            tx_size = int(SPLIT_TX_SIZE[tx_size])
+            base_depth = 1
+        do_trial = self.tx_select and bsize > 0 and base_depth == 0
         snap = (pc.recon[y : y + bh_px, x : x + bw_px].copy()
                 if do_trial else None)
+        if base_depth:
+            sw, sh = int(TX_W[tx_size]), int(TX_H[tx_size])
+            subs0 = []
+            for ty in range(0, bh_px, sh):
+                for txx in range(0, bw_px, sw):
+                    qcs, es = commit_fn(x + txx, y + ty, tx_size)
+                    subs0.append({"plane": 0, "plane_bsize": bsize,
+                                  "tx_size": tx_size,
+                                  "tx_type": int(TxType.DCT_DCT),
+                                  "qcoeff": qcs, "eob": es,
+                                  "ux": (x + txx) >> 2,
+                                  "uy": (y + ty) >> 2})
+            return base_depth, subs0
         qc, eob = commit_fn(x, y, tx_size)
         base = [{"plane": 0, "plane_bsize": bsize, "tx_size": tx_size,
                  "tx_type": int(TxType.DCT_DCT), "qcoeff": qc, "eob": eob,

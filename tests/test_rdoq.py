@@ -17,7 +17,10 @@ pytestmark = []
 
 
 def _rdoq_frame(q=100):
-    rf = RdoqFrame(FrameCdfs(q), q, compute_rdmult(q))
+    # the round-4 lambda rescale made compute_rdmult return the /16
+    # raw-SSE value; RDOQ's coefficient-domain trellis pairs with the
+    # UNDIVIDED libaom rdmult (see encoder.py RdoqFrame construction)
+    rf = RdoqFrame(FrameCdfs(q), q, compute_rdmult(q) * 16)
     if rf.lib() is None:
         pytest.skip("native toolchain unavailable")
     return rf
