@@ -53,25 +53,27 @@ LAST, BWDREF, ALTREF = 1, 5, 7
 _KF_CACHE: dict = {}
 
 
-def _kf(w, h, q):
-    """One KF encode per (w, h, q), shared by every seed (host MD: the
-    fuzzer targets writer/MVP behavior, not the device tier)."""
+def _kf(w, h, q, bd=8):
+    """One KF encode per (w, h, q, bd), shared by every seed (host MD:
+    the fuzzer targets writer/MVP behavior, not the device tier)."""
     import os
 
-    key = (w, h, q)
+    key = (w, h, q, bd)
     if key not in _KF_CACHE:
         os.environ["SVT_TPU_HOST_MD"] = "1"
-        seq = SequenceConfig(width=w, height=h)
+        seq = SequenceConfig(width=w, height=h, bit_depth=bd)
         enc = Av1Encoder(seq, preset=10, enable_variance_boost=False,
                          enable_dlf=False, enable_restoration=False,
                          enable_mfmv=False)
         seq.enable_cdef = False
         yy, xx = np.mgrid[0:h, 0:w]
+        sc = 1 << (bd - 8)
+        dt = np.uint8 if bd == 8 else np.uint16
         kf_planes = [
-            np.clip(120 + 60 * np.sin(xx / 5.0) * np.cos(yy / 7.0),
-                    0, 255).astype(np.uint8),
-            np.full(((h + 1) >> 1, (w + 1) >> 1), 120, np.uint8),
-            np.full(((h + 1) >> 1, (w + 1) >> 1), 135, np.uint8)]
+            (np.clip(120 + 60 * np.sin(xx / 5.0) * np.cos(yy / 7.0),
+                     0, 255) * sc).astype(dt),
+            np.full(((h + 1) >> 1, (w + 1) >> 1), 120 * sc, dt),
+            np.full(((h + 1) >> 1, (w + 1) >> 1), 135 * sc, dt)]
         tu_kf = enc.encode_keyframe([p.copy() for p in kf_planes], q)
         _KF_CACHE[key] = (seq, enc, tu_kf)
     return _KF_CACHE[key]
@@ -89,6 +91,7 @@ def _forced_frame(seq, mi_rows, mi_cols, q, order_hint, show,
     fr.ref_frame_idx = tuple(ref_frame_idx)
     fr.ref_order_hints = tuple(ref_order_hints)
     fr.reference_select = reference_select
+    fr.interp_filter = 4  # SWITCHABLE: leaves carry per-block filters
     fr.tx_mode_select = tx_mode_select
     fr.tile = compute_tile_info(seq)
     fr.primary_ref_frame = primary_ref
@@ -130,11 +133,11 @@ def _forced_frame(seq, mi_rows, mi_cols, q, order_hint, show,
                                             wbits.data() + tile), cdfs)
 
 
-def build_stream(w, h, leaf_gen, q=100, with_coeffs=False):
+def build_stream(w, h, leaf_gen, q=100, with_coeffs=False, bd=8):
     """KF + 2 hint-planting no-show frames + 1 forced fuzz frame.
     leaf_gen(r, c, stack_fn) -> LeafBlock per 64x64 SB of the fuzz
     frame; returns (ivf_bytes, fuzz_recon_planes)."""
-    seq, enc, tu_kf = _kf(w, h, q)
+    seq, enc, tu_kf = _kf(w, h, q, bd)
     mi_rows, mi_cols = enc.mi_rows, enc.mi_cols
     # crop DPB planes to display dims (spec 7.11.3.3 clamps MC samples
     # at the reference's display bounds — the encoder's begin_frame
@@ -191,13 +194,15 @@ def build_stream(w, h, leaf_gen, q=100, with_coeffs=False):
 
         if not native_commit.available():
             raise RuntimeError("native commit unavailable")
-        coeff_ctx = native_commit.CommitCtx(8)
+        coeff_ctx = native_commit.CommitCtx(bd)
         nrng = np.random.RandomState(9999)
         src_planes = []
+        maxv = (1 << bd) - 1
         for i, p in enumerate(kf_recon):
-            noise = nrng.randint(-12, 13, p.shape)
+            noise = nrng.randint(-12 << (bd - 8), (13 << (bd - 8)) + 1,
+                                 p.shape)
             src_planes.append(_PlaneCtx(
-                src=np.clip(p + noise, 0, 255).astype(np.int32),
+                src=np.clip(p + noise, 0, maxv).astype(np.int32),
                 recon=np.zeros_like(p, np.int32),
                 ss_x=0 if i == 0 else 1, ss_y=0 if i == 0 else 1))
 
@@ -248,11 +253,11 @@ def build_stream(w, h, leaf_gen, q=100, with_coeffs=False):
         txw, txh = int(TX_W[ptx]), int(TX_H[ptx])
         above, left, flat = intra_ops.fill_neighbors(
             rec_arr, px, py, txw, txh, py > 0, px > 0,
-            int(IntraMode.DC), 8)
+            int(IntraMode.DC), bd)
         if flat is None:
             pred = intra_ops.predict(int(IntraMode.DC), above[None],
                                      left[None], txw, txh, py > 0, px > 0,
-                                     8)[0]
+                                     bd)[0]
         else:
             pred = np.full((txh, txw), flat, np.int32)
         if with_coeffs:
@@ -315,22 +320,26 @@ def build_stream(w, h, leaf_gen, q=100, with_coeffs=False):
             pred = mc_block_compound(
                 ref_planes[leaf.ref_frame][0],
                 ref_planes[leaf.ref_frame1][0], x, y, bw, bh,
-                leaf.mv, leaf.mv1, 0, 0)
+                leaf.mv, leaf.mv1, 0, 0, bit_depth=bd)
             predu = mc_block_compound(
                 ref_planes[leaf.ref_frame][1],
                 ref_planes[leaf.ref_frame1][1], x >> 1, y >> 1, cw, ch,
-                leaf.mv, leaf.mv1, 1, 1)
+                leaf.mv, leaf.mv1, 1, 1, bit_depth=bd)
             predv = mc_block_compound(
                 ref_planes[leaf.ref_frame][2],
                 ref_planes[leaf.ref_frame1][2], x >> 1, y >> 1, cw, ch,
-                leaf.mv, leaf.mv1, 1, 1)
+                leaf.mv, leaf.mv1, 1, 1, bit_depth=bd)
         else:
+            flt = getattr(leaf, "interp_filter", 0)
             pred = mc_block(ref_planes[leaf.ref_frame][0], x, y, bw, bh,
-                            leaf.mv[0], leaf.mv[1], 0, 0)
+                            leaf.mv[0], leaf.mv[1], 0, 0, flt, flt,
+                            bit_depth=bd)
             predu = mc_block(ref_planes[leaf.ref_frame][1], x >> 1,
-                             y >> 1, cw, ch, leaf.mv[0], leaf.mv[1], 1, 1)
+                             y >> 1, cw, ch, leaf.mv[0], leaf.mv[1], 1, 1,
+                             flt, flt, bit_depth=bd)
             predv = mc_block(ref_planes[leaf.ref_frame][2], x >> 1,
-                             y >> 1, cw, ch, leaf.mv[0], leaf.mv[1], 1, 1)
+                             y >> 1, cw, ch, leaf.mv[0], leaf.mv[1], 1, 1,
+                             flt, flt, bit_depth=bd)
         if with_coeffs:
             txbs, skip = commit_txbs(leaf, r, c, bsize, pred, predu, predv,
                                      leaf.tx_depth)
@@ -353,7 +362,8 @@ def build_stream(w, h, leaf_gen, q=100, with_coeffs=False):
                          ref_frame1=leaf.ref_frame1, mv1=leaf.mv1)
         else:
             mi.set_block(r, c, bsize, leaf.ref_frame, leaf.mv,
-                         mode_has_newmv(leaf.inter_mode))
+                         mode_has_newmv(leaf.inter_mode),
+                         interp_filter=getattr(leaf, "interp_filter", 0))
 
     def fuzz_leaf(r, c, mi):
         """One SB: either a single 64x64 leaf or a split into 32x32
@@ -450,12 +460,16 @@ def mk_leaf(kind, rf, stack, rng, bsize=BlockSize.B64X64):
         mode = InterMode.NEWMV
         mv = (int(rng.integers(-300, 301)) * 2,
               int(rng.integers(-300, 301)) * 2)
-    return LeafBlock(bsize, skip=True, is_inter=True,
+    leaf = LeafBlock(bsize, skip=True, is_inter=True,
                      ref_frame=rf, inter_mode=int(mode), mv=tuple(mv),
                      drl_index=0)
+    # switchable interp filter (REG/SMOOTH/SHARP) when any subpel bits
+    if (mv[0] | mv[1]) & 7:
+        leaf.interp_filter = int(rng.integers(0, 3))
+    return leaf
 
 
-def run_seed(seed, w, h, with_coeffs=False):
+def run_seed(seed, w, h, with_coeffs=False, bd=8):
     rng = np.random.default_rng(seed)
     kinds = ["nearest", "near", "global", "new", "new", "intra"]
     refs = [LAST, BWDREF, ALTREF, (LAST, ALTREF), (LAST, BWDREF),
@@ -474,7 +488,7 @@ def run_seed(seed, w, h, with_coeffs=False):
             leaf.tx_depth = int(rng.integers(0, 2))
         return leaf
 
-    ivf, (reconA, reconB) = build_stream(w, h, gen, with_coeffs=with_coeffs)
+    ivf, (reconA, reconB) = build_stream(w, h, gen, with_coeffs=with_coeffs, bd=bd)
     import tempfile
 
     from svt_av1_psyex_tpu.conformance.dav1d import decode_ivf
@@ -503,10 +517,11 @@ def main():
     ap.add_argument("--h", type=int, default=128)
     ap.add_argument("--coeffs", action="store_true",
                     help="code real residuals + random inter tx depth")
+    ap.add_argument("--bd", type=int, default=8)
     args = ap.parse_args()
     fails = 0
     for seed in range(args.start, args.start + args.seeds):
-        bad = run_seed(seed, args.w, args.h, with_coeffs=args.coeffs)
+        bad = run_seed(seed, args.w, args.h, with_coeffs=args.coeffs, bd=args.bd)
         if bad:
             fails += 1
             print(f"SEED {seed}: MISMATCH {bad}", flush=True)
